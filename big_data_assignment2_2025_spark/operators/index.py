@@ -1,0 +1,145 @@
+"""Inverted-index builder — the reference's two MapReduce jobs as ONE Spark job.
+
+Reference semantics being replicated (SURVEY.md §2.4, §3.2):
+- document frequency per term   (``app/mapreduce/reducer1.py:33-43``)
+- term frequency per (doc,term) (``app/mapreduce/reducer2.py:49-64``)
+- document length               (``app/mapreduce/reducer2.py:52,66-70``)
+- corpus stats doc_n/total_len  (``app/mapreduce/reducer2.py:80-92``)
+- blank/malformed rows skipped  (``app/mapreduce/mapper1.py:7-13``)
+- incremental upsert accumulation across runs (``reducer1.py:18-24``,
+  ``reducer2.py:32-39``) — including its double-count-on-reindex quirk.
+
+Scale design (100 TB corpus, 1000 executors):
+- ONE wide transformation chain with ONE shuffle on the token stream:
+  ``tokens -> groupBy(term, doc_id, doc_title)``. Spark's partial
+  HashAggregate does the map-side combine the reference approximated with
+  per-doc dedup + reducer dicts — but spills instead of OOMing.
+- ``doc_frequency``, ``doc_info`` and ``corpus_info`` are derived from the
+  already-aggregated (and far smaller) ``term_freq`` relation instead of
+  re-reading the corpus like the reference's second MapReduce pass
+  (``app/index.sh:53-73`` reads the corpus twice).
+- Output tables are plain parquet; `(corpus_name, term)` point lookups
+  (the Cassandra partition key, ``app/cassandra/schema.cql:9,18``) become
+  parquet predicate pushdown / row-group skipping. Callers writing huge
+  indexes should ``write_index_table`` with ``partitionBy("corpus_name")``
+  and sort within partitions by ``term`` to maximize skipping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_of
+
+WHOLE_CORPUS = "whole_corpus"  # hardcoded corpus name, reference app/query.py:23
+
+
+@dataclass
+class InvertedIndex:
+    """The four index tables (logical schemas from ``app/cassandra/schema.cql``)."""
+
+    term_freq: DataFrame      # term, corpus_name, doc_id, doc_title, term_frequency
+    term_doc_freq: DataFrame  # term, corpus_name, doc_frequency
+    doc_info: DataFrame       # doc_id, doc_title, doc_length
+    corpus_info: DataFrame    # corpus_name, doc_n, total_doc_length
+
+    def cache(self) -> "InvertedIndex":
+        self.term_freq.cache()
+        self.term_doc_freq.cache()
+        self.doc_info.cache()
+        self.corpus_info.cache()
+        return self
+
+
+def _valid_docs(corpus: DataFrame) -> DataFrame:
+    # blank-text / malformed guard, reference mapper1.py:7-13
+    return corpus.where(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & (F.length(F.trim(F.col("text"))) > 0)
+    )
+
+
+def build_index(corpus: DataFrame, corpus_name: str = WHOLE_CORPUS) -> InvertedIndex:
+    """corpus(doc_id, doc_title, text) -> the four index tables.
+
+    One shuffle (the term_freq groupBy); everything else derives from
+    term_freq without touching the raw text again.
+    """
+    tokens = tokens_of(_valid_docs(corpus))
+
+    term_freq = (
+        tokens.groupBy("term", "doc_id", "doc_title")
+        .agg(F.count("*").cast("int").alias("term_frequency"))
+        .withColumn("corpus_name", F.lit(corpus_name))
+        .select("term", "corpus_name", "doc_id", "doc_title", "term_frequency")
+    )
+
+    # term_freq is unique per (term, doc) => row count per term == #docs
+    # containing the term (the mapper1.py:20 per-doc dedup, for free).
+    term_doc_freq = (
+        term_freq.groupBy("term")
+        .agg(F.count("*").cast("int").alias("doc_frequency"))
+        .withColumn("corpus_name", F.lit(corpus_name))
+        .select("term", "corpus_name", "doc_frequency")
+    )
+
+    # sum(term_frequency) per doc == doc_length (duplicates included),
+    # reference reducer2.py:52,66-70.
+    doc_info = term_freq.groupBy("doc_id", "doc_title").agg(
+        F.sum("term_frequency").cast("int").alias("doc_length")
+    )
+
+    corpus_info = doc_info.agg(
+        F.count("*").cast("int").alias("doc_n"),
+        F.sum("doc_length").cast("int").alias("total_doc_length"),
+    ).select(
+        F.lit(corpus_name).alias("corpus_name"), "doc_n", "total_doc_length"
+    )
+
+    return InvertedIndex(term_freq, term_doc_freq, doc_info, corpus_info)
+
+
+def incremental_reindex(
+    old: InvertedIndex, delta_corpus: DataFrame, corpus_name: str = WHOLE_CORPUS
+) -> InvertedIndex:
+    """Accumulate a delta corpus into an existing index.
+
+    Faithfully replicates the reference's read-modify-write upserts —
+    ``new = old + delta`` for doc_frequency (``reducer1.py:18-24``) and
+    corpus stats (``reducer2.py:32-39``) — *including* the quirk that
+    re-indexing the same document double-counts it. Implemented as
+    union + re-aggregate + overwrite (SURVEY.md A5), the scalable
+    equivalent of per-row CQL upserts.
+    """
+    delta = build_index(delta_corpus, corpus_name)
+
+    term_freq = (
+        old.term_freq.unionByName(delta.term_freq)
+        .groupBy("term", "corpus_name", "doc_id", "doc_title")
+        .agg(F.sum("term_frequency").cast("int").alias("term_frequency"))
+        .select("term", "corpus_name", "doc_id", "doc_title", "term_frequency")
+    )
+    term_doc_freq = (
+        old.term_doc_freq.unionByName(delta.term_doc_freq)
+        .groupBy("term", "corpus_name")
+        .agg(F.sum("doc_frequency").cast("int").alias("doc_frequency"))
+        .select("term", "corpus_name", "doc_frequency")
+    )
+    doc_info = (
+        old.doc_info.unionByName(delta.doc_info)
+        .groupBy("doc_id", "doc_title")
+        .agg(F.sum("doc_length").cast("int").alias("doc_length"))
+    )
+    corpus_info = (
+        old.corpus_info.unionByName(delta.corpus_info)
+        .groupBy("corpus_name")
+        .agg(
+            F.sum("doc_n").cast("int").alias("doc_n"),
+            F.sum("total_doc_length").cast("int").alias("total_doc_length"),
+        )
+    )
+    return InvertedIndex(term_freq, term_doc_freq, doc_info, corpus_info)

@@ -1,0 +1,21 @@
+"""The declared query registry — the single source of truth consumed by
+``__spark_entry__.py`` (driver contract) and by the differential tests.
+
+Every operator from SURVEY.md §2 that is implemented has a named entry in
+``QUERIES`` (callable ``(spark, sf_dir) -> DataFrame``) and, when the
+semantics are SQL-expressible, a matching DuckDB oracle in ``ORACLES``.
+Column names are aliased identically on both sides (the driver's comparison
+sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from . import search_queries
+
+_MODULES = [search_queries]
+
+QUERIES = {}
+ORACLES = {}
+for _m in _MODULES:
+    QUERIES.update(_m.QUERIES)
+    ORACLES.update(getattr(_m, "ORACLES", {}))

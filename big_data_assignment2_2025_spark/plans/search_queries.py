@@ -1,0 +1,163 @@
+"""Declared queries for the reference's own surface: the inverted index
+tables and BM25 ranked retrieval (SURVEY.md §2.1-§2.8), each with a DuckDB
+oracle over the same parquet corpus.
+
+The oracle SQL mirrors the index/scoring pipeline in ANSI SQL (CTEs). The
+corpus fixture is the synthetic ``documents`` table with
+``doc_title = concat('doc_', doc_id)`` per FIXTURES.md Group B.
+
+Float determinism: BM25 ranks are rounded to 6 decimals on BOTH sides —
+Spark's ``Math.log`` and DuckDB's ``ln`` can differ in the last ulp and
+double summation order is engine-specific; 1e-6 rounding of O(1) scores
+makes the hash comparison stable while still pinning the math to ~9
+significant digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.index import build_index
+from ..operators.search import bm25_scores, parse_query
+from ..sources.readers import read_documents
+
+FLAGSHIP_QUERY = "spark join window"
+
+# Tokens of the synthetic documents are plain lowercase ASCII words, so the
+# oracle tokenizer regexp matches our Unicode-aware one on this corpus.
+_TOKENS_CTE = """
+docs AS (
+  SELECT doc_id, concat('doc_', CAST(doc_id AS VARCHAR)) AS doc_title, text
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(trim(text)) > 0
+),
+tokens AS (
+  SELECT doc_id, doc_title,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term
+  FROM docs
+),
+tf AS (
+  SELECT term, 'whole_corpus' AS corpus_name, doc_id, doc_title,
+         CAST(count(*) AS INTEGER) AS term_frequency
+  FROM tokens GROUP BY 1, 2, 3, 4
+),
+vocab AS (
+  SELECT term, 'whole_corpus' AS corpus_name,
+         CAST(count(*) AS INTEGER) AS doc_frequency
+  FROM tf GROUP BY 1, 2
+),
+doc_info AS (
+  SELECT doc_id, doc_title, CAST(sum(term_frequency) AS INTEGER) AS doc_length
+  FROM tf GROUP BY 1, 2
+),
+corpus_info AS (
+  SELECT 'whole_corpus' AS corpus_name, CAST(count(*) AS INTEGER) AS doc_n,
+         CAST(sum(doc_length) AS INTEGER) AS total_doc_length
+  FROM doc_info
+)
+"""
+
+
+def _bm25_oracle(query: str, k: int = 10) -> str:
+    terms = ", ".join(f"('{t}')" for t in parse_query(query))
+    return f"""
+WITH {_TOKENS_CTE},
+q(term) AS (VALUES {terms}),
+scored AS (
+  SELECT tf.doc_id, tf.doc_title,
+         ln(CAST(ci.doc_n AS DOUBLE) / CAST(v.doc_frequency AS DOUBLE))
+           * (2.0 * CAST(tf.term_frequency AS DOUBLE))
+           / (1.0 * (0.25 + 0.75 * CAST(di.doc_length AS DOUBLE)
+                        / (CAST(ci.total_doc_length AS DOUBLE) / CAST(ci.doc_n AS DOUBLE)))
+              + CAST(tf.term_frequency AS DOUBLE)) AS bm25
+  FROM tf
+  JOIN q USING (term)
+  JOIN vocab v USING (term, corpus_name)
+  JOIN doc_info di USING (doc_id, doc_title)
+  CROSS JOIN corpus_info ci
+)
+SELECT CAST(doc_id AS INTEGER) AS doc_id, doc_title,
+       round(sum(bm25), 6) AS doc_rank
+FROM scored
+GROUP BY doc_id, doc_title
+ORDER BY sum(bm25) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _search_rounded(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
+    index = build_index(read_documents(spark, sf_dir))
+    scored = bm25_scores(index, parse_query(query))
+    ranked = scored.groupBy("doc_id", "doc_title").agg(F.sum("bm25").alias("rank_raw"))
+    return (
+        ranked.orderBy(F.col("rank_raw").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select(
+            F.col("doc_id").cast("int").alias("doc_id"),
+            "doc_title",
+            F.round(F.col("rank_raw"), 6).alias("doc_rank"),
+        )
+    )
+
+
+# --- queries() callables ---------------------------------------------------
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _search_rounded(spark, sf_dir, FLAGSHIP_QUERY)
+
+
+def q_bm25_single_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _search_rounded(spark, sf_dir, "spark")
+
+
+def q_bm25_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # term absent from the vocabulary -> empty frame, stable schema
+    # (reference app/query.py:38-54)
+    return _search_rounded(spark, sf_dir, "zzzunseen")
+
+
+def q_index_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = build_index(read_documents(spark, sf_dir))
+    return idx.term_doc_freq
+
+
+def q_index_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = build_index(read_documents(spark, sf_dir))
+    return idx.term_freq.select(
+        "term", "corpus_name", F.col("doc_id").cast("int").alias("doc_id"),
+        "doc_title", "term_frequency",
+    )
+
+
+def q_index_doc_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = build_index(read_documents(spark, sf_dir))
+    return idx.doc_info.select(
+        F.col("doc_id").cast("int").alias("doc_id"), "doc_title", "doc_length"
+    )
+
+
+def q_index_corpus_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = build_index(read_documents(spark, sf_dir))
+    return idx.corpus_info
+
+
+QUERIES = {
+    "bm25_search": q_bm25_search,
+    "bm25_single_term": q_bm25_single_term,
+    "bm25_empty_result": q_bm25_empty,
+    "index_term_doc_freq": q_index_term_doc_freq,
+    "index_term_freq": q_index_term_freq,
+    "index_doc_info": q_index_doc_info,
+    "index_corpus_info": q_index_corpus_info,
+}
+
+ORACLES = {
+    "bm25_search": _bm25_oracle(FLAGSHIP_QUERY),
+    "bm25_single_term": _bm25_oracle("spark"),
+    "bm25_empty_result": _bm25_oracle("zzzunseen"),
+    "index_term_doc_freq": f"WITH {_TOKENS_CTE} SELECT term, corpus_name, doc_frequency FROM vocab",
+    "index_term_freq": f"WITH {_TOKENS_CTE} SELECT term, corpus_name, CAST(doc_id AS INTEGER) AS doc_id, doc_title, term_frequency FROM tf",
+    "index_doc_info": f"WITH {_TOKENS_CTE} SELECT CAST(doc_id AS INTEGER) AS doc_id, doc_title, doc_length FROM doc_info",
+    "index_corpus_info": f"WITH {_TOKENS_CTE} SELECT corpus_name, doc_n, total_doc_length FROM corpus_info",
+}

@@ -1,0 +1,97 @@
+"""Sources.
+
+Reference parity (SURVEY.md S1-S3, S7):
+- parquet scan (reference ``app/prepare_data.py:15``) -> ``spark.read.parquet``
+- TSV corpus lines ``doc_id \\t doc_title \\t text`` fed to the MapReduce
+  mappers (reference ``app/mapreduce/mapper1.py:11-15``) -> schema'd CSV read
+- ad-hoc single-file ingest that synthesizes doc_id/title and flattens
+  newlines (reference ``app/index.sh:11-41``) -> ``ingest_text_file``
+
+The Cassandra connector scans (reference ``app/query.py:31-35``) are replaced
+by parquet-backed index tables; predicate pushdown and partition pruning come
+from the parquet reader instead of CQL partition keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("doc_title", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Vectorized parquet scan of one synthetic table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def read_corpus_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """Read a reference-format corpus: TSV lines ``doc_id\\tdoc_title\\ttext``.
+
+    Blank lines and rows missing any of the three fields are dropped, matching
+    the mapper guards at reference ``app/mapreduce/mapper1.py:7-13``.
+    """
+    df = spark.read.csv(path, sep="\t", schema=CORPUS_SCHEMA, mode="DROPMALFORMED")
+    return df.where(
+        F.col("doc_id").isNotNull()
+        & F.col("doc_title").isNotNull()
+        & F.col("text").isNotNull()
+    )
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``documents`` fixture as a reference-shaped corpus.
+
+    The synthetic table has no title column; FIXTURES.md Group B specifies
+    ``doc_title = concat('doc_', doc_id)``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string")).alias("doc_title"),
+        F.col("text"),
+    )
+
+
+def ingest_text_file(spark: SparkSession, path: str) -> DataFrame:
+    """Ad-hoc single-file ingest (reference ``app/index.sh:11-41``).
+
+    The reference synthesizes a random 6-digit doc id (``index.sh:21``), uses
+    the filename as title (``:24``) and flattens newlines (``:27``). We keep
+    the same shape but derive the id deterministically from the file name.
+    """
+    raw = spark.read.text(path).select(
+        F.input_file_name().alias("fname"), F.col("value")
+    )
+    flat = raw.groupBy("fname").agg(
+        F.concat_ws(" ", F.collect_list("value")).alias("text")
+    )
+    return flat.select(
+        (F.abs(F.hash(F.col("fname"))) % 900000 + 100000).cast("long").alias("doc_id"),
+        F.element_at(F.split(F.col("fname"), "/"), -1).alias("doc_title"),
+        F.regexp_replace(F.col("text"), "\n", " ").alias("text"),
+    )
