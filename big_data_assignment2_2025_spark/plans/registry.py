@@ -10,9 +10,9 @@ sorts columns by name before hashing).
 
 from __future__ import annotations
 
-from . import search_queries
+from . import relational, search_queries
 
-_MODULES = [search_queries]
+_MODULES = [search_queries, relational]
 
 QUERIES = {}
 ORACLES = {}
