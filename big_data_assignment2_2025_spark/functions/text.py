@@ -62,13 +62,14 @@ def language_id(text: Column | str) -> Column:
     Scale note: evaluated as a single projection, no shuffle, no UDF.
     """
     toks = tokenize(text)
-    scores = [
-        (
-            lang,
-            F.size(F.filter(toks, lambda t, ws=words: t.isin(*ws))),
-        )
-        for lang, words in _LANG_MARKERS.items()
-    ]
+
+    # NB: the filter lambda must take exactly ONE parameter — F.filter treats
+    # a two-parameter lambda as (element, index), so capturing the word list
+    # via a default arg (lambda t, ws=words: ...) binds ws to the index.
+    def _hits(words: list) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    scores = [(lang, _hits(words)) for lang, words in _LANG_MARKERS.items()]
     best = F.lit("und")
     best_score = F.lit(0)
     for lang, score in scores:

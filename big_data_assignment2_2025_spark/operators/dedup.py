@@ -1,0 +1,300 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No counterpart in the reference (its only dedup is the per-doc term dedup at
+``mapper1.py:20`` and query-term dedup at ``query.py:21``); these are the
+LLM-data-pipeline extensions mandated by the build plan (SURVEY.md §7.6).
+
+Every operator is built from native column expressions + at most one or two
+shuffles, and each has a documented scale story:
+
+- **exact**: hash-groupBy on a text digest. One shuffle; digest instead of
+  raw text keeps shuffle rows small at 100 TB.
+- **n-gram Jaccard**: shingle -> inverted (shingle, doc) list -> same-shingle
+  pair generation -> exact Jaccard. The pair join only materializes pairs
+  that share >= 1 shingle (never the full N^2).
+- **MinHash + LSH**: k portable hash functions (md5-derived, reproducible in
+  any engine) -> per-doc signature -> banded bucket keys -> candidate pairs
+  from bucket collisions only -> exact-Jaccard verification. At 100 TB the
+  candidate set is ~linear in data size for reasonable band geometry.
+- **SimHash**: 48-bit signatures; pairs via 4-chunk blocking (pigeonhole:
+  hamming distance <= 3 guarantees one identical 12-bit chunk), so the join
+  is an equi-join on chunk value, never a cross product.
+- **embedding cosine**: exact cosine >= tau within blocking keys (label);
+  the ANN path for unblocked data lives in operators/similarity.py.
+
+Portable hash: ``hash64(s) = bigint(hex(md5(s)[:15]))`` — 60 bits, identical
+in Spark (conv) and DuckDB (hex cast), unlike murmur3/xxhash which differ
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+
+def hash64(col: Column, bits: int = 60) -> Column:
+    """Portable 4*h-bit integer hash of a string (md5 prefix)."""
+    hex_digits = bits // 4
+    return F.conv(F.substring(F.md5(col), 1, hex_digits), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts by digest; emit keeper id + copy count.
+
+    Scale: the groupBy key is a 32-hex digest, not the document body, so the
+    shuffle moves ~40 bytes/row regardless of document size.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_digest"), F.col(id_col))
+        .groupBy("text_digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+def shingles_df(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) rows: distinct word n-grams per document.
+
+    Built from the token array with transform/slice — no UDF, no shuffle;
+    shingling happens inside the scan's projection.
+    """
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("toks"))
+    return (
+        toks.select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)),"
+                        f" i -> concat_ws(' ', slice(toks, i, {n})))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard for every pair sharing >= 1 shingle.
+
+    Returns (doc1, doc2, inter, n1, n2, jaccard). The same-shingle join is
+    the inverted-index trick: pairs that share nothing never materialize.
+    Hot shingles (stopword runs) are the skew risk at scale — AQE skew-join
+    handles moderate skew; extreme skew calls for dropping ultra-frequent
+    shingles (document frequency cap) before the join.
+    """
+    a = sh.select(F.col(id_col).alias("doc1"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col(id_col).alias("doc1"), F.col("n_shingles").alias("n1"))),
+            "doc1",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col(id_col).alias("doc2"), F.col("n_shingles").alias("n2"))),
+            "doc2",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig array<long>) — sig[s] = min over shingles of hash64(s:shingle).
+
+    One shuffle (groupBy id, seed). The seed fan-out multiplies shingle rows
+    by num_hashes; at very large scale prefer computing all seeds per row
+    with a transform() over a seed array before the aggregate, which is what
+    we do here — the explode is on the *seed array per shingle row*, kept
+    narrow (id, seed, hash).
+    """
+    seeds = F.array(*[F.lit(s) for s in range(num_hashes)])
+    hashed = sh.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                seeds,
+                lambda s: F.struct(
+                    s.alias("seed"),
+                    hash64(
+                        F.concat(s.cast("string"), F.lit(":"), F.col("shingle"))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("sh"),
+    ).select(id_col, F.col("sh.seed").alias("seed"), F.col("sh.h").alias("h"))
+    per_seed = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
+    return (
+        per_seed.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("pairs")
+        )
+        .select(
+            id_col,
+            F.transform(F.col("pairs"), lambda p: p["mh"]).alias("sig"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (doc1, doc2) whose signatures collide in >= 1 band.
+
+    Band key = md5 of the band's signature slice — the equi-join key. The
+    join is per-(band, key) so only bucket collisions materialize.
+    """
+    band_idx = F.array(*[F.lit(b) for b in range(bands)])
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col(id_col).alias("doc1"), "band", "key")
+    b = banded.select(F.col(id_col).alias("doc2"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup: candidates from banded signatures, then exact
+    Jaccard verification >= threshold. Returns (doc1, doc2, jaccard)."""
+    sh = shingles_df(df, n=n, text_col=text_col, id_col=id_col)
+    sigs = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands, id_col=id_col)
+    exact = jaccard_pairs(sh, id_col=id_col)
+    return (
+        cands.join(exact, ["doc1", "doc2"], "inner")
+        .where(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 48
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """48-bit SimHash per document from term-frequency-weighted token hashes."""
+    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("cnt"))
+    th = tf.withColumn("h", hash64(F.col("term"), bits=SIMHASH_BITS))
+    # shiftright/shiftleft need SQL-expr form to take a *column* shift amount
+    bits = th.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BITS - 1}),"
+                " b -> struct(b AS bit,"
+                " IF((shiftright(h, b) & 1) = 1, cnt, -cnt) AS w))"
+            )
+        ).alias("bw"),
+    ).select(id_col, F.col("bw.bit").alias("bit"), F.col("bw.w").alias("w"))
+    return (
+        bits.groupBy(id_col, "bit")
+        .agg(F.sum("w").alias("weight"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("weight") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    sigs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance, via exact chunk blocking.
+
+    With ``chunks = max_hamming + 1``, hamming(a,b) <= max_hamming implies
+    some chunk is identical (pigeonhole), so the chunk equi-join loses
+    nothing vs brute force while scaling as an inverted index on chunk
+    values.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = SIMHASH_BITS // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunked = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_chunks - 1}),"
+                f" c -> struct(c AS chunk,"
+                f" (shiftright(simhash, c * {chunk_bits}) & {mask}) AS ckey))"
+            )
+        ).alias("ck"),
+    ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
+    a = chunked.select(F.col(id_col).alias("doc1"), F.col("simhash").alias("h1"), "chunk", "ckey")
+    b = chunked.select(F.col(id_col).alias("doc2"), F.col("simhash").alias("h2"), "chunk", "ckey")
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .where(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "h1", "h2")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+    )

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+LLM-data-pipeline extension (SURVEY.md §7.6). Two paths:
+
+- **brute-force top-k** (the correctness baseline): query-set × corpus
+  cosine via native zip_with/aggregate expressions, ranked per query with a
+  window. Exact; cost O(|Q| * N * d). Right answer for small |Q|; the
+  corpus side stays distributed, queries broadcast.
+- **LSH-bucketed** (the scale path): random-hyperplane signatures — sign
+  bits of dot products against ``n_planes`` pseudo-random ±1 hyperplanes
+  derived deterministically from md5, so any engine reproduces them.
+  Neighbor candidates come from equal signature buckets (optionally with
+  multi-probe by flipping one bit); exact cosine re-ranks within buckets.
+  At 100 TB the bucket join replaces the N×Q cross product with
+  |bucket collisions|.
+
+Cosine near-dup for *pair* discovery (dedup use case) lives here too,
+blocked by a key column to bound the pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.vectors import cosine_similarity
+from .dedup import hash64
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of each query vector.
+
+    Broadcast the (small) query set against the distributed corpus; rank
+    with a per-query window. Ties broken by neighbor id; cosine rounded to
+    6 decimals so ranking survives float-accumulation differences across
+    engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(
+    vec: Column, n_planes: int = 8, dim: int = 64
+) -> Column:
+    """Deterministic random-hyperplane LSH signature (int in [0, 2^n)).
+
+    Plane p's component for dimension d is +1 if hash64(f"{p}:{d}") is odd
+    else -1 — reproducible in any engine with md5. Signature bit p = 1 iff
+    dot(vec, plane_p) > 0.
+    """
+    # NB: the lambda must take exactly ONE parameter — F.transform treats a
+    # two-parameter lambda as (element, index), so capturing the plane id via
+    # a default arg (lambda d, p=p: ...) silently binds p to the array index.
+    def _terms(p: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: F.element_at(vec, d + 1).cast("double")
+            * F.when(
+                hash64(F.concat(F.lit(f"{p}:"), d.cast("string"))) % 2 == 1, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+
+    bits = []
+    for p in range(n_planes):
+        dot_p = F.aggregate(_terms(p), F.lit(0.0), lambda a, x: a + x)
+        bits.append(F.when(dot_p > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket; exact
+    cosine re-ranks candidates. Queries whose bucket holds < k neighbors
+    return fewer rows — the standard ANN recall trade-off (raise recall
+    with fewer planes or multi-probe)."""
+    sig = lambda df, name: df.select(  # noqa: E731
+        F.col(id_col).alias(name),
+        F.col(vec_col).alias(f"{name}_vec"),
+        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    c = sig(corpus, "neighbor_id")
+    q = sig(queries, "query_id")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("query_id_vec"), F.col("neighbor_id_vec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs within blocking groups.
+
+    Blocking bounds the pair space to sum(|block|^2) — the practical
+    pattern when a cheap partition key exists (source, language, shard).
+    Exact within each block."""
+    a = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+    )
+    b = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("id1") < F.col("id2"))
+        .select(
+            "blk",
+            "id1",
+            "id2",
+            F.round(cosine_similarity(F.col("v1"), F.col("v2")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,176 @@
+"""Declared queries for the dedup operator family (operators/dedup.py),
+each with a DuckDB oracle that replays the SAME algorithm in SQL — the
+hashes are md5-derived specifically so both engines compute identical
+signatures (murmur3/xxhash are engine-specific; md5 is not).
+
+The synthetic documents table contains planted near-duplicates (pairs with
+3-gram Jaccard up to ~0.99), so thresholded results are non-trivial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_dedup,
+    shingles_df,
+    simhash_pairs,
+    simhash_signatures,
+)
+from ..sources.readers import load_table
+
+# Shared oracle CTEs: tokens with position, distinct 3-gram shingles.
+_SHINGLES_CTE = """
+t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS toks
+      FROM documents WHERE text IS NOT NULL),
+tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM t),
+sh0 AS (SELECT doc_id,
+               term || ' ' || LEAD(term, 1) OVER w || ' ' || LEAD(term, 2) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT doc1, doc2, inter,
+               inter / (s1.n + s2.n - inter) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = doc1
+        JOIN sizes s2 ON s2.doc_id = doc2)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs)
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 most similar pairs by exact 3-gram Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs, n=3)
+    # rank on the ROUNDED jaccard (both engines) so the top-25 cut is stable
+    return (
+        jaccard_pairs(sh)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy(F.col("jaccard").desc(), F.col("doc1").asc(), F.col("doc2").asc())
+        .limit(25)
+        .select("doc1", "doc2", "inter", "jaccard")
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH {_SHINGLES_CTE}
+SELECT doc1, doc2, inter, round(jaccard, 6) AS jaccard
+FROM jac
+ORDER BY jaccard DESC, doc1 ASC, doc2 ASC
+LIMIT 25
+"""
+
+
+def dedup_ngram_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with 3-gram Jaccard >= 0.5 (the near-dup removal set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs, n=3)
+    return (
+        jaccard_pairs(sh)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+DEDUP_NGRAM_THRESHOLD_SQL = f"""
+WITH {_SHINGLES_CTE}
+SELECT doc1, doc2, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= 0.5
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 hashes)+LSH(4 bands x 4 rows) candidates, exact-Jaccard
+    verified at >= 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(docs, threshold=0.5, n=3, num_hashes=16, bands=4)
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_SHINGLES_CTE},
+seeds AS (SELECT unnest(range(16)) AS seed),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(CAST('0x' || substring(md5(seed || ':' || shingle), 1, 15) AS BIGINT)) AS mh
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+),
+sig AS (SELECT doc_id, list(mh ORDER BY seed ASC) AS sig FROM mh GROUP BY doc_id),
+bandidx AS (SELECT unnest(range(4)) AS band),
+bands AS (
+  SELECT doc_id, band,
+         md5(array_to_string(sig[CAST(band*4+1 AS INTEGER):CAST(band*4+4 AS INTEGER)], ',')) AS key
+  FROM sig CROSS JOIN bandidx
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc1, c.doc2, round(j.jaccard, 6) AS jaccard
+FROM cand c JOIN jac j ON j.doc1 = c.doc1 AND j.doc2 = c.doc2
+WHERE j.jaccard >= 0.5
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash near-dup pairs at Hamming distance <= 3 (found via
+    exact 4-chunk blocking, verified by bit_count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs)
+    return simhash_pairs(sigs, max_hamming=3)
+
+
+DEDUP_SIMHASH_SQL = """
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS toks
+           FROM documents WHERE text IS NOT NULL),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+th AS (SELECT doc_id, cnt, CAST('0x' || substring(md5(term), 1, 12) AS BIGINT) AS h FROM tf),
+bitidx AS (SELECT unnest(range(48)) AS bitpos),
+bits AS (
+  SELECT doc_id, bitpos,
+         SUM(CASE WHEN (h >> CAST(bitpos AS INTEGER)) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+  FROM th CROSS JOIN bitidx GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(bitpos AS INTEGER)) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_topk": dedup_ngram_topk,
+    "dedup_ngram_threshold": dedup_ngram_threshold,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_topk": DEDUP_NGRAM_SQL,
+    "dedup_ngram_threshold": DEDUP_NGRAM_THRESHOLD_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+}

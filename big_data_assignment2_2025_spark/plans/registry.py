@@ -10,9 +10,9 @@ sorts columns by name before hashing).
 
 from __future__ import annotations
 
-from . import relational, search_queries
+from . import dedup_queries, relational, search_queries, similarity_queries
 
-_MODULES = [search_queries, relational]
+_MODULES = [search_queries, relational, dedup_queries, similarity_queries]
 
 QUERIES = {}
 ORACLES = {}

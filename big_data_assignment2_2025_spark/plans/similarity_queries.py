@@ -1,0 +1,133 @@
+"""Declared queries for similarity search (operators/similarity.py) with
+DuckDB oracles computing the same cosine/LSH math in SQL.
+
+Cosines are rounded to 6 decimals BEFORE ranking on both sides: double
+accumulation order differs between engines, and ranking on the rounded
+value keeps the top-k cut deterministic (ties broken by neighbor id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    lsh_bucketed_topk,
+)
+from ..sources.readers import load_table
+
+# dot/norm on doubles; embeddings are FLOAT[] so cast element-wise (exact).
+_COSINE_EXPR = """
+round(
+  list_sum(list_transform(range(1, 65), i -> CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(qv[CAST(i AS INTEGER)] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE))))),
+  6)
+"""
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors vec_id < 5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=5)
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COSINE_EXPR} AS cosine
+  FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via 8-plane random-hyperplane LSH buckets (md5-
+    derived hyperplanes, reproducible in any engine), exact re-rank inside
+    the bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_bucketed_topk(emb, queries, k=5, n_planes=8, dim=64)
+
+
+ANN_LSH_SQL = f"""
+WITH planes AS (
+  SELECT p, d,
+         CASE WHEN CAST('0x' || substring(md5(p || ':' || d), 1, 15) AS BIGINT) % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS d)
+),
+sigs AS (
+  SELECT e.vec_id,
+         SUM(CASE WHEN pd.dot > 0 THEN (1 << CAST(pd.p AS INTEGER)) ELSE 0 END) AS bucket
+  FROM (SELECT vec_id FROM embeddings) e
+  JOIN (
+    SELECT vec_id, p,
+           SUM(CAST(embedding[CAST(d + 1 AS INTEGER)] AS DOUBLE) * s) AS dot
+    FROM embeddings CROSS JOIN planes
+    GROUP BY vec_id, p
+  ) pd USING (vec_id)
+  GROUP BY e.vec_id
+),
+q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, s.bucket
+      FROM embeddings e JOIN sigs s USING (vec_id) WHERE e.vec_id < 5),
+c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, s.bucket
+      FROM embeddings e JOIN sigs s USING (vec_id)),
+scored AS (
+  SELECT query_id, neighbor_id, {_COSINE_EXPR} AS cosine
+  FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine >= 0.4 pairs within label blocks (blocking bounds the pair
+    space; embeddings are near-orthogonal so 0.4 is the near-dup tail)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.4, block_col="label")
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH p AS (
+  SELECT a.label AS blk, a.vec_id AS id1, b.vec_id AS id2,
+         a.embedding AS qv, b.embedding AS cv
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT blk, id1, id2, {_COSINE_EXPR} AS cosine
+FROM p
+WHERE {_COSINE_EXPR} >= 0.4
+"""
+
+
+QUERIES = {
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "embedding_neardup": embedding_neardup,
+}
+
+ORACLES = {
+    "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+    "ann_lsh_bucketed": ANN_LSH_SQL,
+    "embedding_neardup": EMBEDDING_NEARDUP_SQL,
+}
