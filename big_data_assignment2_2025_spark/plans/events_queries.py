@@ -1,0 +1,182 @@
+"""Declared queries over the ``events`` table: JSON prop extraction, hourly
+tumbling-window aggregation (the batch form of the streaming slice), and
+gap-based sessionization via analytic windows.
+
+These exercise the scalar-function surface the reference lacks entirely
+(SURVEY.md §2.8 "Not present: date/time, JSON" → §7.4 extension targets).
+
+Timestamp parity note: the parquet ``ts`` column is nanosecond-precision;
+Spark truncates to microseconds, DuckDB keeps ns. All oracle-compared
+outputs therefore go through second-or-coarser granularity (epoch seconds
+as BIGINT) so the ns/µs representation difference can't leak into hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..sources.readers import load_table
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: count + stats of the JSON prop ``$.k`` — JSON parsing
+    stays native (get_json_object), no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via Spark's ``window()`` — the exact plan the
+    streaming slice reuses (streaming/stream.py runs this same aggregation
+    incrementally with a watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+       event_type, COUNT(*) AS n_events,
+       round(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag → gap flag → running sum = session id, then per-session rollup.
+    One shuffle on user_id; the window and the groupBy share it."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    by_user = W.partitionBy("user_id").orderBy("sec", "event_id")
+    sess = (
+        ev.select("user_id", "event_id", "value", sec.alias("sec"))
+        .withColumn("prev_sec", F.lag("sec").over(by_user))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_sec").isNull()
+                | (F.col("sec") - F.col("prev_sec") > 1800),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(by_user))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("sec").alias("session_start"),
+            F.max("sec").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec, ts
+  FROM events),
+lagged AS (
+  SELECT *, LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev_sec
+  FROM e),
+flagged AS (
+  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM lagged),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, session_id,
+       MIN(sec) AS session_start, MAX(sec) AS session_end,
+       COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by event volume with per-type pivots — the profiling
+    query for a behavioral stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.min(F.col("ts").cast("long")).alias("first_seen"),
+            F.max(F.col("ts").cast("long")).alias("last_seen"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+EVENTS_USER_ACTIVITY_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       round(SUM(value), 4) AS total_value,
+       MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS first_seen,
+       MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_seen
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "events_json_extract": events_json_extract,
+    "events_hourly_window": events_hourly_window,
+    "events_sessionize": events_sessionize,
+    "events_user_activity": events_user_activity,
+}
+
+ORACLES = {
+    "events_json_extract": EVENTS_JSON_SQL,
+    "events_hourly_window": EVENTS_HOURLY_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_user_activity": EVENTS_USER_ACTIVITY_SQL,
+}

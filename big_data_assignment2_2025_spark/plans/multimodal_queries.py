@@ -1,0 +1,108 @@
+"""Declared queries for the multimodal plumbing (operators/multimodal.py).
+
+The decode is a deterministic md5-based stub (container has no media libs),
+so DuckDB can replay it exactly: payload = UTF-8 bytes of ``text``, digest =
+md5(payload) = md5(text), features[i] = byte i of the digest / 255.0.
+
+``multimodal_decode_features`` exercises the REAL scale path — Arrow record
+batches through mapInPandas — and its oracle checks every per-document value
+including the feature vector (exploded to scalar rows so the value hash
+compares doubles, not list reprs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    decode_features,
+    frame_sample_plan,
+    with_binary_payload,
+)
+from ..sources.readers import load_table
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → mapInPandas decode → per-(doc, dim) feature rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_features(with_binary_payload(docs))
+    return decoded.select(
+        "doc_id",
+        "n_bytes",
+        "digest",
+        F.posexplode("features").alias("dim", "feat"),
+    )
+
+
+MULTIMODAL_DECODE_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       md5(text) AS digest,
+       CAST(i AS INTEGER) AS dim,
+       CAST('0x' || substring(md5(text), 2 * i + 1, 2) AS BIGINT) / 255.0 AS feat
+FROM documents CROSS JOIN (SELECT unnest(range(8)) AS i)
+"""
+
+
+def multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level feature profile: per-dimension mean/min/max over the
+    decoded features — the sanity aggregation a real embedding-extraction
+    job runs before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_features(with_binary_payload(docs))
+    return (
+        decoded.select(F.posexplode("features").alias("dim", "feat"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("feat"), 6).alias("mean_feat"),
+            F.round(F.min("feat"), 6).alias("min_feat"),
+            F.round(F.max("feat"), 6).alias("max_feat"),
+        )
+        .orderBy("dim")
+    )
+
+
+MULTIMODAL_STATS_SQL = """
+WITH f AS (
+  SELECT CAST(i AS INTEGER) AS dim,
+         CAST('0x' || substring(md5(text), 2 * i + 1, 2) AS BIGINT) / 255.0 AS feat
+  FROM documents CROSS JOIN (SELECT unnest(range(8)) AS i)
+)
+SELECT dim, COUNT(*) AS n,
+       round(AVG(feat), 6) AS mean_feat,
+       round(MIN(feat), 6) AS min_feat,
+       round(MAX(feat), 6) AS max_feat
+FROM f GROUP BY dim ORDER BY dim
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-10th-frame sampling plan from payload metadata (no decode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample_plan(with_binary_payload(docs), every_k=10)
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) // 64 AS INTEGER) AS n_frames
+  FROM documents)
+SELECT doc_id, n_frames, CAST(f AS INTEGER) AS frame_idx
+FROM m CROSS JOIN LATERAL (SELECT unnest(range(0, n_frames, 10)) AS f)
+WHERE n_frames > 0
+"""
+
+
+QUERIES = {
+    "multimodal_decode_features": multimodal_decode_features,
+    "multimodal_feature_stats": multimodal_feature_stats,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+
+ORACLES = {
+    "multimodal_decode_features": MULTIMODAL_DECODE_SQL,
+    "multimodal_feature_stats": MULTIMODAL_STATS_SQL,
+    "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
+}

@@ -10,9 +10,27 @@ sorts columns by name before hashing).
 
 from __future__ import annotations
 
-from . import dedup_queries, relational, search_queries, similarity_queries
+from . import (
+    dedup_queries,
+    events_queries,
+    multimodal_queries,
+    relational,
+    search_queries,
+    similarity_queries,
+    streaming_queries,
+    text_queries,
+)
 
-_MODULES = [search_queries, relational, dedup_queries, similarity_queries]
+_MODULES = [
+    search_queries,
+    relational,
+    dedup_queries,
+    similarity_queries,
+    text_queries,
+    events_queries,
+    streaming_queries,
+    multimodal_queries,
+]
 
 QUERIES = {}
 ORACLES = {}

@@ -1,0 +1,77 @@
+"""Declared queries for the Structured Streaming slice (streaming/stream.py).
+
+Each runs a real streaming query (file-source replay → watermarked event-time
+operator → availableNow drain into a memory sink) and returns the final
+state, so the driver can oracle-check streaming results against batch SQL —
+the batch-equivalence property SURVEY.md §5.5 calls for.
+
+The session-window oracle replays Spark's merge rule exactly: an event joins
+the open session iff its event time is strictly inside [start, last+gap), so
+a new session begins when the µs gap is >= 30 minutes. All comparisons use
+integer microseconds (Spark's timestamp precision) to keep both engines
+bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import (
+    run_streaming_dedup,
+    run_streaming_hourly,
+    run_streaming_sessions,
+)
+from .events_queries import EVENTS_HOURLY_SQL
+
+
+def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_hourly(spark, sf_dir)
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_dedup(spark, sf_dir)
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_sessions(spark, sf_dir)
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+FROM events GROUP BY event_type
+"""
+
+STREAMING_SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, value,
+         CAST(floor(epoch_ns(ts) / 1000) AS BIGINT) AS us
+  FROM events),
+lagged AS (
+  SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us FROM e),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM lagged),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id, MIN(us) // 1000000 AS session_start,
+       COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+QUERIES = {
+    "streaming_hourly_window": streaming_hourly_window,
+    "streaming_dedup_events": streaming_dedup_events,
+    "streaming_session_windows": streaming_session_windows,
+}
+
+ORACLES = {
+    # identical final state to the batch tumbling-window aggregation
+    "streaming_hourly_window": EVENTS_HOURLY_SQL,
+    "streaming_dedup_events": STREAMING_DEDUP_SQL,
+    "streaming_session_windows": STREAMING_SESSIONS_SQL,
+}

@@ -1,0 +1,170 @@
+"""Declared queries for the text-analysis operator family (functions/text.py):
+language ID, quality scoring, token counting, document fingerprinting, and
+corpus roll-ups — the text half of the LLM-data-pipeline extensions
+(SURVEY.md §7.6; no reference counterpart).
+
+Oracle notes: the synthetic documents are ASCII, so the DuckDB oracles use
+the ASCII token pattern ``[a-z0-9_']+`` — semantically identical here to the
+Spark side's Unicode pattern (golden-tested separately for Unicode parity in
+tests/test_tokenizer.py). Double arithmetic keeps a fixed operation order on
+both sides and rounds to 6 decimals before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    whitespace_token_count,
+)
+from ..sources.readers import load_table
+
+_TOKS_CTE = """
+t AS (SELECT doc_id, lang, source, n_chars,
+             regexp_extract_all(lower(text), '[a-z0-9_'']+') AS toks, text
+      FROM documents WHERE text IS NOT NULL)
+"""
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-argmax language guess per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id("text").alias("lang_guess"))
+
+
+TEXT_LANGUAGE_ID_SQL = f"""
+WITH {_TOKS_CTE},
+h AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS en,
+         len(list_filter(toks, t -> t IN ('el','la','de','que','los'))) AS es,
+         len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS de,
+         len(list_filter(toks, t -> t IN ('le','la','et','les','des'))) AS fr
+  FROM t)
+SELECT doc_id,
+       CASE WHEN GREATEST(en, es, de, fr) = 0 THEN 'und'
+            WHEN en = GREATEST(en, es, de, fr) THEN 'en'
+            WHEN es = GREATEST(en, es, de, fr) THEN 'es'
+            WHEN de = GREATEST(en, es, de, fr) THEN 'de'
+            ELSE 'fr' END AS lang_guess
+FROM h
+"""
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score in [0,1] per document (length band + alpha
+    ratio + stopword presence), rounded to 6 decimals."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH {_TOKS_CTE},
+m AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+         CAST(len(list_filter(toks,
+              t -> t IN ('the','and','of','to','is','a','in'))) AS DOUBLE) AS stop_hits
+  FROM t)
+SELECT doc_id,
+       round(
+         (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+               WHEN n > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+         + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) * 0.3
+         + (CASE WHEN n_tok > 0 THEN LEAST(1.0, stop_hits * 10.0 / n_tok)
+                 ELSE 0.0 END) * 0.3,
+         6) AS quality
+FROM m
+"""
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish piece count per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+TEXT_TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rolling-hash fingerprint of each document's token
+    stream (portable: pure integer fold, identical in any engine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+TEXT_FINGERPRINT_SQL = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks,
+             t -> CAST(length(t) AS BIGINT) * 131 + CAST(ascii(t) AS BIGINT))),
+         (a, x) -> (a * 31 + x) % 2147483647) AS fingerprint
+FROM t
+"""
+
+
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus roll-up by (lang, source): doc count, char stats, token sum —
+    the profiling pass a training-data pipeline runs before filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+            F.sum(F.size(F.split(F.lower("text"), r"[^a-z0-9_']+"))).alias(
+                "approx_tokens"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+TEXT_CORPUS_STATS_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       round(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+       SUM(len(string_split_regex(lower(text), '[^a-z0-9_'']+'))) AS approx_tokens
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+QUERIES = {
+    "text_language_id": text_language_id,
+    "text_quality_scores": text_quality_scores,
+    "text_token_counts": text_token_counts,
+    "text_fingerprints": text_fingerprints,
+    "text_corpus_stats": text_corpus_stats,
+}
+
+ORACLES = {
+    "text_language_id": TEXT_LANGUAGE_ID_SQL,
+    "text_quality_scores": TEXT_QUALITY_SQL,
+    "text_token_counts": TEXT_TOKEN_COUNTS_SQL,
+    "text_fingerprints": TEXT_FINGERPRINT_SQL,
+    "text_corpus_stats": TEXT_CORPUS_STATS_SQL,
+}

@@ -1,0 +1,6 @@
+from .stream import (  # noqa: F401
+    read_events_stream,
+    run_streaming_dedup,
+    run_streaming_hourly,
+    run_streaming_sessions,
+)

@@ -1,0 +1,125 @@
+"""Structured Streaming slice (SURVEY.md §7.5 north-star extension; the
+reference is pure batch — SURVEY.md §2.9 "Streaming: none").
+
+Design: the ``events`` parquet fixture is replayed as a *file stream*
+(``readStream.parquet`` on the fixture directory), run through watermarked
+event-time operators, and drained with ``trigger(availableNow=True)`` into a
+memory sink. availableNow processes the full backlog then stops, so these
+functions return a plain DataFrame of the final state — which makes the
+streaming path oracle-checkable against the same SQL as its batch twin
+(the watermark drops nothing when the whole input is replayed in order).
+
+At scale the same code runs unchanged against a real source (Kafka, file
+drops): swap ``readStream.parquet(dir)`` for the production source; the
+aggregation, watermark, and sink contract stay identical.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """File streams consume *directories*; the fixture dir mixes ten tables.
+    Stage a per-sf temp dir holding only a symlink to events.parquet."""
+    staged = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{sf_dir.strip('/').replace('/', '_')}"
+    )
+    os.makedirs(staged, exist_ok=True)
+    link = os.path.join(staged, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return staged
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture.
+
+    The ns-precision ``ts`` is read as long (session sets ``nanosAsLong``)
+    and rebuilt as a µs timestamp, mirroring ``sources.readers.load_table``.
+    ``maxFilesPerTrigger=1`` keeps micro-batches small if a processing-time
+    trigger is used; availableNow batches the backlog on its own.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_dir(sf_dir))
+        .where(F.col("event_id").isNotNull())
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def _drain_to_memory(result: DataFrame, spark: SparkSession) -> DataFrame:
+    """Run the streaming query to completion (availableNow) into a memory
+    sink; return the sink contents as a static DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def run_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the incremental twin of
+    plans.events_queries.events_hourly_window (same oracle SQL)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain_to_memory(agg, spark)
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful stream dedup: ``dropDuplicates`` on event_id bounded by a
+    watermark (state is evictable at scale), then a per-type count."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return _drain_to_memory(agg, spark)
+
+
+def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows (30-min gap) per user via Spark's native
+    ``session_window`` — the streaming counterpart of the batch lag/cumsum
+    sessionization (plans.events_queries.events_sessionize)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain_to_memory(agg, spark)
