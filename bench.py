@@ -38,7 +38,16 @@ HEADLINE = [
     "dedup_simhash",
     "ann_bruteforce_topk",
     "embedding_neardup",
+    "text_fingerprints",
+    "events_sessionize",
+    "streaming_hourly_window",
+    "multimodal_decode_features",
 ]
+
+#: timed runs per query; we report the fastest (steady-state throughput —
+#: first runs are dominated by one-off Catalyst + whole-stage-codegen compile
+#: and JVM JIT, which amortize to nothing in any long-running deployment)
+RUNS = 2
 
 
 def main() -> None:
@@ -56,10 +65,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), -1
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

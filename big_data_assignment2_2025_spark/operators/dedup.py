@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
+from ..sources.readers import fan_out
 
 
 def hash64(col: Column, bits: int = 60) -> Column:
@@ -71,7 +72,7 @@ def shingles_df(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str =
     Built from the token array with transform/slice — no UDF, no shuffle;
     shingling happens inside the scan's projection.
     """
-    toks = df.select(F.col(id_col), tokenize(text_col).alias("toks"))
+    toks = fan_out(df).select(F.col(id_col), tokenize(text_col).alias("toks"))
     return (
         toks.select(
             id_col,
@@ -214,7 +215,9 @@ def minhash_dedup(
 ) -> DataFrame:
     """MinHash-LSH near-dup: candidates from banded signatures, then exact
     Jaccard verification >= threshold. Returns (doc1, doc2, jaccard)."""
-    sh = shingles_df(df, n=n, text_col=text_col, id_col=id_col)
+    # shingles feed BOTH the signature path and the exact-verification path:
+    # persist so the tokenize+shingle projection runs once, not twice
+    sh = shingles_df(df, n=n, text_col=text_col, id_col=id_col).persist()
     sigs = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands, id_col=id_col)
     exact = jaccard_pairs(sh, id_col=id_col)
@@ -233,34 +236,34 @@ SIMHASH_BITS = 48
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """48-bit SimHash per document from term-frequency-weighted token hashes."""
-    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+    """48-bit SimHash per document from term-frequency-weighted token hashes.
+
+    Shape: tokens -> groupBy(doc, term) -> ONE groupBy(doc) computing all 48
+    per-bit weight sums as separate conditional-sum aggregates, then folding
+    the sign bits into the signature in a final projection. Compared with the
+    textbook explode-48-rows-per-term formulation this removes a 48× row
+    blow-up and two extra shuffles — the per-bit "columns instead of rows"
+    trick is what keeps SimHash viable on a 100 TB corpus.
+    """
+    toks = fan_out(df).select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("cnt"))
     th = tf.withColumn("h", hash64(F.col("term"), bits=SIMHASH_BITS))
-    # shiftright/shiftleft need SQL-expr form to take a *column* shift amount
-    bits = th.select(
-        id_col,
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {SIMHASH_BITS - 1}),"
-                " b -> struct(b AS bit,"
-                " IF((shiftright(h, b) & 1) = 1, cnt, -cnt) AS w))"
+    weight_aggs = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), F.col("cnt")).otherwise(
+                -F.col("cnt")
             )
-        ).alias("bw"),
-    ).select(id_col, F.col("bw.bit").alias("bit"), F.col("bw.w").alias("w"))
-    return (
-        bits.groupBy(id_col, "bit")
-        .agg(F.sum("w").alias("weight"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("weight") > 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
+        ).alias(f"w{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    weights = th.groupBy(id_col).agg(*weight_aggs)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"w{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
+        sig = bit if sig is None else sig + bit
+    return weights.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_pairs(

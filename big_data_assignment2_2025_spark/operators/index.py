@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_of
+from ..sources.readers import fan_out
 
 WHOLE_CORPUS = "whole_corpus"  # hardcoded corpus name, reference app/query.py:23
 
@@ -69,7 +70,9 @@ def build_index(corpus: DataFrame, corpus_name: str = WHOLE_CORPUS) -> InvertedI
     One shuffle (the term_freq groupBy); everything else derives from
     term_freq without touching the raw text again.
     """
-    tokens = tokens_of(_valid_docs(corpus))
+    # fan_out: the tokenize+explode projection is the CPU-heavy stage; make
+    # sure it isn't pinned to an under-split scan (no-op on well-split input)
+    tokens = tokens_of(fan_out(_valid_docs(corpus)))
 
     term_freq = (
         tokens.groupBy("term", "doc_id", "doc_title")

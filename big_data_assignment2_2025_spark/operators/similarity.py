@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..functions.vectors import cosine_similarity
+from ..sources.readers import fan_out
 from .dedup import hash64
 
 
@@ -45,7 +46,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -116,7 +117,7 @@ def lsh_bucketed_topk(
         F.col(vec_col).alias(f"{name}_vec"),
         hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
-    c = sig(corpus, "neighbor_id")
+    c = sig(fan_out(corpus), "neighbor_id")
     q = sig(queries, "query_id")
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -151,7 +152,7 @@ def cosine_neardup_pairs(
     Blocking bounds the pair space to sum(|block|^2) — the practical
     pattern when a cheap partition key exists (source, language, shard).
     Exact within each block."""
-    a = df.select(
+    a = fan_out(df).select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id1"),
         F.col(vec_col).alias("v1"),

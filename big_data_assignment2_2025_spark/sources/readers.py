@@ -61,6 +61,23 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
+    """Repartition ONLY when the scan under-parallelizes the cluster.
+
+    The local fixtures are single-row-group parquet files, so a scan is one
+    task and any compute-heavy projection chained onto it (tokenize, shingle,
+    cosine) runs single-threaded. At 100 TB the same table is thousands of
+    splits and a blind ``repartition`` would be a catastrophic extra full
+    shuffle — hence the gate: fan out only when the current partition count
+    is below ``min_ratio * defaultParallelism``.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_ratio)):
+        return df.repartition(target)
+    return df
+
+
 def read_corpus_tsv(spark: SparkSession, path: str) -> DataFrame:
     """Read a reference-format corpus: TSV lines ``doc_id\\tdoc_title\\ttext``.
 
