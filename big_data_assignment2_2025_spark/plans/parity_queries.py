@@ -1,0 +1,99 @@
+"""Reference-parity queries that close the remaining SURVEY.md §2 inventory
+lines not yet represented in the registry:
+
+- A5  incremental index accumulation (reference reducer1.py:18-24,
+      reducer2.py:32-39 read-modify-write upserts — including the
+      double-count-on-reindex quirk, replayed faithfully by the oracle)
+- S4/S3  TSV sink + schema'd TSV source round-trip (reference
+      prepare_data.py:29 write, mapper1.py:11-15 read)
+- O2/P1  corpus subsetting (reference prepare_data.py:16-17 sample+limit;
+      expressed as a deterministic hash-sample so both engines agree —
+      seeded Bernoulli sampling is partitioning-dependent in Spark and not
+      reproducible in DuckDB, so the *operator* keeps reference semantics in
+      prepare.py while the *gate query* pins a portable predicate)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import hash64
+from ..operators.index import build_index, incremental_reindex
+from ..sources.readers import load_table, read_corpus_tsv, read_documents
+from ..sources.sinks import write_tsv
+
+
+def index_incremental_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index even-id docs, then accumulate odd-id docs as a delta; return
+    the merged per-term doc_frequency table (reference A5 semantics)."""
+    corpus = read_documents(spark, sf_dir)
+    old = build_index(corpus.where(F.col("doc_id") % 2 == 0))
+    merged = incremental_reindex(old, corpus.where(F.col("doc_id") % 2 == 1))
+    return merged.term_doc_freq.select("term", "corpus_name", "doc_frequency")
+
+
+INDEX_INCREMENTAL_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+per_doc AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+SELECT term, 'whole_corpus' AS corpus_name,
+       CAST(COUNT(*) AS INTEGER) AS doc_frequency
+FROM per_doc
+GROUP BY term
+"""
+
+
+def tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the corpus through the TSV sink (S4) and read it back through
+    the schema'd TSV source (S3); values must survive the round-trip."""
+    corpus = read_documents(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), f"tsv_rt_{sf_dir.strip('/').replace('/', '_')}"
+    )
+    write_tsv(corpus, out)
+    back = read_corpus_tsv(spark, out)
+    return back.select(
+        "doc_id", "doc_title", F.length("text").alias("n_chars")
+    )
+
+
+TSV_ROUNDTRIP_SQL = """
+SELECT doc_id, 'doc_' || doc_id AS doc_title, length(text) AS n_chars
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+def corpus_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus subset via a portable hash predicate (the
+    gate-checkable stand-in for the reference's seeded sample+limit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(
+        hash64(F.col("doc_id").cast("string")) % 10 == 0
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+CORPUS_SAMPLE_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0
+"""
+
+
+QUERIES = {
+    "index_incremental_accumulate": index_incremental_accumulate,
+    "tsv_roundtrip": tsv_roundtrip,
+    "corpus_hash_sample": corpus_hash_sample,
+}
+
+ORACLES = {
+    "index_incremental_accumulate": INDEX_INCREMENTAL_SQL,
+    "tsv_roundtrip": TSV_ROUNDTRIP_SQL,
+    "corpus_hash_sample": CORPUS_SAMPLE_SQL,
+}

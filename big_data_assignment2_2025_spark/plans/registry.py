@@ -14,10 +14,12 @@ from . import (
     dedup_queries,
     events_queries,
     multimodal_queries,
+    parity_queries,
     relational,
     search_queries,
     similarity_queries,
     streaming_queries,
+    temporal_queries,
     text_queries,
 )
 
@@ -30,6 +32,8 @@ _MODULES = [
     events_queries,
     streaming_queries,
     multimodal_queries,
+    temporal_queries,
+    parity_queries,
 ]
 
 QUERIES = {}

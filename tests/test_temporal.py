@@ -1,0 +1,76 @@
+"""Edge-semantics tests for as-of and banded range joins."""
+
+from __future__ import annotations
+
+from big_data_assignment2_2025_spark.operators.temporal import (
+    asof_join,
+    range_join_banded,
+)
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (1, 50, "c"), (2, 100, "d")],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (2, 150, 30.0)], ["k", "t", "v"]
+    )
+    out = {
+        r.tag: r.v_asof
+        for r in asof_join(left, right, on="k", time_col="t", right_cols=["v"]).collect()
+    }
+    assert out["a"] == 10.0   # equal time matches (inclusive)
+    assert out["b"] == 20.0   # latest prior, not first
+    assert out["c"] is None   # nothing at-or-before -> NULL
+    assert out["d"] is None   # right row is later -> NULL
+
+
+def test_asof_no_cross_key_leak(spark):
+    left = spark.createDataFrame([(1, 500, "x")], ["k", "t", "tag"])
+    right = spark.createDataFrame([(2, 100, 9.0)], ["k", "t", "v"])
+    rows = asof_join(left, right, on="k", time_col="t", right_cols=["v"]).collect()
+    assert rows[0].v_asof is None
+
+
+def test_range_join_banded_equals_naive(spark):
+    import random
+
+    rnd = random.Random(7)
+    left = spark.createDataFrame(
+        [(rnd.randint(1, 5), rnd.randint(0, 5000), i) for i in range(120)],
+        ["k", "t", "lid"],
+    )
+    right = spark.createDataFrame(
+        [(rnd.randint(1, 5), rnd.randint(0, 5000), i) for i in range(120)],
+        ["k", "t", "rid"],
+    )
+    got = {
+        (r.k, r.lid_l, r.rid_r)
+        for r in range_join_banded(
+            left, right, on="k", time_col="t", lower=0, upper=600, band=250
+        ).collect()
+    }
+    lrows = left.collect()
+    rrows = right.collect()
+    want = {
+        (lr.k, lr.lid, rr.rid)
+        for lr in lrows
+        for rr in rrows
+        if lr.k == rr.k and 0 <= rr.t - lr.t <= 600
+    }
+    assert got == want
+
+
+def test_range_join_negative_lower(spark):
+    left = spark.createDataFrame([(1, 1000, 0)], ["k", "t", "lid"])
+    right = spark.createDataFrame(
+        [(1, 900, 0), (1, 1100, 1), (1, 1700, 2)], ["k", "t", "rid"]
+    )
+    got = {
+        r.rid_r
+        for r in range_join_banded(
+            left, right, on="k", time_col="t", lower=-200, upper=200, band=100
+        ).collect()
+    }
+    assert got == {0, 1}
