@@ -47,7 +47,7 @@ HEADLINE = [
 #: timed runs per query; we report the fastest (steady-state throughput —
 #: first runs are dominated by one-off Catalyst + whole-stage-codegen compile
 #: and JVM JIT, which amortize to nothing in any long-running deployment)
-RUNS = 2
+RUNS = 3
 
 
 def main() -> None:

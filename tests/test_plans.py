@@ -1,0 +1,92 @@
+"""Physical-plan audits: assert the plans we designed for are the plans
+Catalyst actually produces (pushdown reaching parquet, broadcast joins on
+small sides, distributed top-k, no accidental cartesian products). These are
+regression tests for the 100 TB story — a silent plan change that drops a
+pushed filter or turns a broadcast join into a cross product would pass the
+value-correctness gate but die at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_assignment2_2025_spark.plans import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    plan = _plan(spark, "filter_in_list")
+    assert "PushedFilters:" in plan
+    assert "In(p_brand" in plan
+    assert "GreaterThanOrEqual(p_size,5)" in plan
+
+
+def test_q3_pushdown_and_broadcast(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_plan_shape(spark):
+    plan = _plan(spark, "bm25_search")
+    # distributed top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    # NB: formatted explain mentions each operator twice (tree + detail)
+    # vocab + doc_info joins are broadcast
+    assert plan.count("BroadcastHashJoin") >= 4
+    # the only nested-loop is the deliberate 1-row corpus-stats cross join
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan  # TakeOrdered subsumes sort+limit
+
+
+def test_minhash_no_cross_product(spark):
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_shares_one_user_shuffle(spark):
+    plan = _plan(spark, "events_sessionize")
+    # the analytic window and the per-session groupBy reuse the same
+    # hashpartitioning(user_id...) exchange: exactly one such shuffle, and
+    # no rangepartitioning (no global sort in the plan)
+    n = plan.count("hashpartitioning(user_id")
+    assert n == 1, f"expected 1 user_id shuffle, plan has {n}"
+    assert "rangepartitioning" not in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    # 'codegen' explain mode compiles the plan and reports its spans; the
+    # un-executed AdaptiveSparkPlan hides them, so turn AQE off for the probe
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES["q1_pricing_summary"](spark, SF_SMALL)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "codegen"
+        )
+        s = df._jdf.queryExecution().explainString(mode)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in s
+    assert "Found 0 WholeStageCodegen" not in s
+
+
+@pytest.mark.parametrize("name", ["ann_bruteforce_topk", "embedding_neardup"])
+def test_similarity_broadcasts_small_side(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for index/BM25 invariants
+(SURVEY.md §5.4): random corpora -> structural invariants that must hold for
+ANY input, catching classes of bugs example tests miss.
+
+The Spark session is module-scoped and corpora are small (Spark round-trips
+per example are expensive), so examples are capped but each exercises the
+full distributed pipeline.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_assignment2_2025_spark.functions.text import tokenize
+from big_data_assignment2_2025_spark.operators.index import build_index
+from big_data_assignment2_2025_spark.operators.search import bm25_search
+
+_words = st.text(
+    alphabet=st.sampled_from("abc déf_1'"), min_size=0, max_size=12
+)
+_texts = st.lists(_words, min_size=0, max_size=20).map(" ".join)
+_corpus = st.lists(_texts, min_size=1, max_size=8)
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(corpus=_corpus)
+@_SETTINGS
+def test_index_invariants(spark, corpus):
+    df = spark.createDataFrame(
+        [(i, f"doc_{i}", t) for i, t in enumerate(corpus)],
+        ["doc_id", "doc_title", "text"],
+    )
+    idx = build_index(df)
+    tf = idx.term_freq.collect()
+    vocab = {r.term: r.doc_frequency for r in idx.term_doc_freq.collect()}
+    docs = {r.doc_id: r.doc_length for r in idx.doc_info.collect()}
+    ci = idx.corpus_info.collect()
+
+    # doc_frequency == number of distinct docs containing the term
+    per_term_docs = {}
+    for r in tf:
+        per_term_docs.setdefault(r.term, set()).add(r.doc_id)
+    assert vocab == {t: len(ds) for t, ds in per_term_docs.items()}
+
+    # sum of term frequencies per doc == doc_length
+    per_doc_len = {}
+    for r in tf:
+        per_doc_len[r.doc_id] = per_doc_len.get(r.doc_id, 0) + r.term_frequency
+    assert docs == per_doc_len
+
+    # corpus stats consistent with doc_info (docs with zero tokens excluded
+    # by the blank-text guard BEFORE tokenizing, so doc_n == len(docs))
+    if docs:
+        assert ci[0].doc_n == len(docs)
+        assert ci[0].total_doc_length == sum(docs.values())
+    else:
+        assert not ci or ci[0].doc_n == 0
+
+
+@given(corpus=_corpus, query=_texts)
+@_SETTINGS
+def test_bm25_topk_bounded_and_sorted(spark, corpus, query):
+    df = spark.createDataFrame(
+        [(i, f"doc_{i}", t) for i, t in enumerate(corpus)],
+        ["doc_id", "doc_title", "text"],
+    )
+    idx = build_index(df)
+    out = bm25_search(idx, query, k=5).collect()
+    assert len(out) <= 5
+    ranks = [r.doc_rank for r in out]
+    assert ranks == sorted(ranks, reverse=True)
+    # every returned doc contains at least one query term
+    q_terms = set(query.lower().split())
+    for r in out:
+        text = corpus[r.doc_id].lower()
+        toks = set(re.findall(r"[\w']+", text))
+        assert toks & {t for qt in q_terms for t in re.findall(r"[\w']+", qt)}
+
+
+@given(text=_texts)
+@_SETTINGS
+def test_tokenizer_matches_cpython(spark, text):
+    got = spark.createDataFrame([(text,)], ["t"]).select(
+        tokenize(F.col("t")).alias("toks")
+    ).collect()[0].toks
+    assert got == re.findall(r"[\w']+", text.lower())
