@@ -140,6 +140,86 @@ def lsh_bucketed_topk(
     )
 
 
+def _assign_cells(
+    df: DataFrame,
+    cents: DataFrame,
+    n_probe: int,
+    name: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Rank centroids by (rounded) cosine per vector; keep the top n_probe
+    cell assignments. Ties broken by centroid id — deterministic."""
+    scored = (
+        df.select(F.col(id_col).alias(name), F.col(vec_col).alias(f"{name}_vec"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            name,
+            f"{name}_vec",
+            "cell",
+            F.round(
+                cosine_similarity(F.col(f"{name}_vec"), F.col("cent_vec")), 6
+            ).alias("cent_cos"),
+        )
+    )
+    w = W.partitionBy(name).orderBy(F.col("cent_cos").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= n_probe)
+        .drop("_r", "cent_cos")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer (the ``n_cells``
+    lowest-id corpus vectors as deterministic centroids) partitions the
+    corpus into cells; each query probes its ``n_probe`` nearest cells and
+    exact cosine re-ranks only those candidates.
+
+    Scale story: corpus cell assignment is one broadcast pass (centroid set
+    is tiny); the search join touches ``n_probe / n_cells`` of the corpus per
+    query instead of all of it, and the cell column is a plain int — at
+    100 TB you would write the corpus bucketed/partitioned BY cell so probes
+    prune at the scan. Deterministic by construction (no trained kmeans), so
+    the DuckDB oracle replays it exactly.
+    """
+    cents = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
+    )
+    c = _assign_cells(fan_out(corpus), cents, 1, "neighbor_id", id_col, vec_col)
+    q = _assign_cells(queries, cents, n_probe, "query_id", id_col, vec_col)
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("query_id_vec"), F.col("neighbor_id_vec")), 6
+            ).alias("cosine"),
+        )
+        .distinct()  # a (query, neighbor) pair can meet in several probed cells
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.4,

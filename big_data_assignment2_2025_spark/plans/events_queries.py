@@ -166,8 +166,40 @@ LIMIT 20
 """
 
 
+def events_skewed_type_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over the 5-value event_type key — the
+    skew-mitigation shape for low-cardinality keys at scale (every partition
+    contributes a partial per (key, salt) before the 5-row final combine)."""
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        [
+            F.count("*").alias("pc"),
+            F.sum("value").alias("ps"),
+            F.max("value").alias("pm"),
+        ],
+        [
+            F.sum("pc").alias("n_events"),
+            F.round(F.sum("ps"), 4).alias("total_value"),
+            F.max("pm").alias("max_value"),
+        ],
+    )
+
+
+EVENTS_SKEWED_AGG_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       round(SUM(value), 4) AS total_value,
+       MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_json_extract": events_json_extract,
+    "events_skewed_type_agg": events_skewed_type_agg,
     "events_hourly_window": events_hourly_window,
     "events_sessionize": events_sessionize,
     "events_user_activity": events_user_activity,
@@ -175,6 +207,7 @@ QUERIES = {
 
 ORACLES = {
     "events_json_extract": EVENTS_JSON_SQL,
+    "events_skewed_type_agg": EVENTS_SKEWED_AGG_SQL,
     "events_hourly_window": EVENTS_HOURLY_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_user_activity": EVENTS_USER_ACTIVITY_SQL,

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from ..sources.readers import load_table
@@ -100,6 +101,65 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: 8 deterministic centroid cells (lowest-id vectors),
+    2-probe search, exact cosine re-rank within probed cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2)
+
+
+ANN_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS cent FROM embeddings ORDER BY vec_id LIMIT 8),
+c_assign AS (
+  SELECT neighbor_id, cv, cell FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS cv, ct.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(ct.cent[CAST(i AS INTEGER)] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                         * CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(ct.cent[CAST(i AS INTEGER)] AS DOUBLE)
+                         * CAST(ct.cent[CAST(i AS INTEGER)] AS DOUBLE))))), 6) DESC,
+               ct.cell ASC) AS r
+    FROM embeddings e CROSS JOIN cents ct) WHERE r <= 1),
+q_assign AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, ct.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * CAST(ct.cent[CAST(i AS INTEGER)] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                         * CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(ct.cent[CAST(i AS INTEGER)] AS DOUBLE)
+                         * CAST(ct.cent[CAST(i AS INTEGER)] AS DOUBLE))))), 6) DESC,
+               ct.cell ASC) AS r
+    FROM embeddings e CROSS JOIN cents ct WHERE e.vec_id < 5) WHERE r <= 2),
+scored AS (
+  SELECT DISTINCT query_id, neighbor_id, {_COSINE_EXPR} AS cosine
+  FROM c_assign JOIN q_assign USING (cell)
+  WHERE query_id <> neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine >= 0.4 pairs within label blocks (blocking bounds the pair
     space; embeddings are near-orthogonal so 0.4 is the near-dup tail)."""
@@ -123,11 +183,13 @@ WHERE {_COSINE_EXPR} >= 0.4
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_neardup": embedding_neardup,
 }
 
 ORACLES = {
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_lsh_bucketed": ANN_LSH_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
 }

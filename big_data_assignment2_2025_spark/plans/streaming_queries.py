@@ -20,6 +20,7 @@ from ..streaming import (
     run_streaming_dedup,
     run_streaming_hourly,
     run_streaming_sessions,
+    run_streaming_stateful_counter,
 )
 from .events_queries import EVENTS_HOURLY_SQL
 
@@ -35,6 +36,17 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_sessions(spark, sf_dir)
 
+
+def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_stateful_counter(spark, sf_dir)
+
+
+STREAMING_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       round(SUM(value), 4) AS total_value,
+       MAX(value) AS max_value
+FROM events GROUP BY user_id
+"""
 
 STREAMING_DEDUP_SQL = """
 SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
@@ -67,6 +79,7 @@ QUERIES = {
     "streaming_hourly_window": streaming_hourly_window,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_session_windows": streaming_session_windows,
+    "streaming_stateful_counter": streaming_stateful_counter,
 }
 
 ORACLES = {
@@ -74,4 +87,5 @@ ORACLES = {
     "streaming_hourly_window": EVENTS_HOURLY_SQL,
     "streaming_dedup_events": STREAMING_DEDUP_SQL,
     "streaming_session_windows": STREAMING_SESSIONS_SQL,
+    "streaming_stateful_counter": STREAMING_STATEFUL_SQL,
 }

@@ -3,4 +3,5 @@ from .stream import (  # noqa: F401
     run_streaming_dedup,
     run_streaming_hourly,
     run_streaming_sessions,
+    run_streaming_stateful_counter,
 )

@@ -22,6 +22,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def _stage_dir(sf_dir: str) -> str:
@@ -101,6 +102,86 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
     return _drain_to_memory(agg, spark)
+
+
+def run_streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a per-user
+    running profile (event count, value sum, max seen value) maintained in
+    explicit GroupState across micro-batches — the escape hatch for stateful
+    logic Spark's built-in aggregations can't express (here the logic *is*
+    expressible, deliberately, so the DuckDB oracle can check the plumbing).
+
+    State is one tiny tuple per user — bounded, watermark-evictable in a
+    production timeout configuration (GroupStateTimeout.NoTimeout here since
+    availableNow drains a finite replay).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("mx", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "max_value": [mx],
+            }
+        )
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # update-mode sinks emit one row per (batch, user); the final state per
+    # user is the row from the last batch that touched it
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    snap = spark.table(name)
+    w_latest = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    )
+    return snap.withColumn("_r", w_latest).where(F.col("_r") == 1).drop("_r")
 
 
 def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
