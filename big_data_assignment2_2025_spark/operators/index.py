@@ -106,6 +106,45 @@ def build_index(corpus: DataFrame, corpus_name: str = WHOLE_CORPUS) -> InvertedI
     return InvertedIndex(term_freq, term_doc_freq, doc_info, corpus_info)
 
 
+def materialize_index(
+    index: InvertedIndex, out_dir: str, partition_by_corpus: bool = True
+) -> None:
+    """Persist the four index tables as parquet (the offline half of the
+    reference's index/search split — replaces the Cassandra store, S6).
+
+    ``term_freq`` is written sorted by term within files so parquet
+    min/max row-group statistics prune term point-lookups; with
+    ``partition_by_corpus`` the ``(corpus_name, term)`` Cassandra partition
+    key becomes directory-level partition pruning + row-group skipping.
+    """
+    import os
+
+    tf = index.term_freq.sortWithinPartitions("term")
+    writer = tf.write.mode("overwrite")
+    if partition_by_corpus:
+        writer = writer.partitionBy("corpus_name")
+    writer.parquet(os.path.join(out_dir, "term_freq"))
+    for name, df in [
+        ("term_doc_freq", index.term_doc_freq),
+        ("doc_info", index.doc_info),
+        ("corpus_info", index.corpus_info),
+    ]:
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+
+
+def load_materialized_index(spark, out_dir: str) -> InvertedIndex:
+    """The online half: reopen a materialized index. Term predicates push
+    down to the parquet scans (the reference's CQL point lookup, S2)."""
+    import os
+
+    return InvertedIndex(
+        term_freq=spark.read.parquet(os.path.join(out_dir, "term_freq")),
+        term_doc_freq=spark.read.parquet(os.path.join(out_dir, "term_doc_freq")),
+        doc_info=spark.read.parquet(os.path.join(out_dir, "doc_info")),
+        corpus_info=spark.read.parquet(os.path.join(out_dir, "corpus_info")),
+    )
+
+
 def incremental_reindex(
     old: InvertedIndex, delta_corpus: DataFrame, corpus_name: str = WHOLE_CORPUS
 ) -> InvertedIndex:

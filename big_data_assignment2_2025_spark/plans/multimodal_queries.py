@@ -95,13 +95,51 @@ WHERE n_frames > 0
 """
 
 
+def pandas_udf_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF (Arrow-batched scalar) demonstration — the
+    sanctioned slow path when column expressions genuinely can't express the
+    logic. Here: a per-batch vectorized value->bucket transform over events,
+    aggregated per (event_type, bucket). Chosen to be SQL-replayable so the
+    UDF *plumbing* is what's under test, per the zero-hot-path-UDF policy
+    (SURVEY.md §2.9)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: no type hints — `from __future__ import annotations` stringifies
+    # them and pandas_udf rejects string signatures; returnType covers it
+    def _bucket(v):
+        return (v // 50).clip(upper=5).astype("int32")
+
+    value_bucket = pandas_udf(_bucket, "int")
+    assert pd is not None  # imported for the executor-side closure
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", value_bucket("value").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+PANDAS_UDF_SQL = """
+SELECT event_type,
+       CAST(LEAST(floor(value / 50), 5) AS INTEGER) AS bucket,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "pandas_udf_quantile_bucket": pandas_udf_quantile_bucket,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_feature_stats": multimodal_feature_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES = {
+    "pandas_udf_quantile_bucket": PANDAS_UDF_SQL,
     "multimodal_decode_features": MULTIMODAL_DECODE_SQL,
     "multimodal_feature_stats": MULTIMODAL_STATS_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,

@@ -107,6 +107,29 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _search_rounded(spark, sf_dir, FLAGSHIP_QUERY)
 
 
+def q_bm25_search_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's real deployment shape: index once to parquet
+    (offline), search from the materialized tables (online) — term
+    predicates push down to the index scan instead of re-tokenizing the
+    corpus per query."""
+    import os
+    import tempfile
+
+    from ..operators.index import load_materialized_index, materialize_index
+    from ..operators.search import bm25_search
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"bm25_index_{sf_dir.strip('/').replace('/', '_')}"
+    )
+    if not os.path.exists(os.path.join(out, "corpus_info")):
+        materialize_index(build_index(read_documents(spark, sf_dir)), out)
+    idx = load_materialized_index(spark, out)
+    ranked = bm25_search(idx, FLAGSHIP_QUERY, deterministic_ties=True)
+    return ranked.select(
+        "doc_id", "doc_title", F.round("doc_rank", 6).alias("doc_rank")
+    )
+
+
 def q_bm25_single_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _search_rounded(spark, sf_dir, "spark")
 
@@ -150,10 +173,12 @@ QUERIES = {
     "index_term_freq": q_index_term_freq,
     "index_doc_info": q_index_doc_info,
     "index_corpus_info": q_index_corpus_info,
+    "bm25_search_materialized": q_bm25_search_materialized,
 }
 
 ORACLES = {
     "bm25_search": _bm25_oracle(FLAGSHIP_QUERY),
+    "bm25_search_materialized": _bm25_oracle(FLAGSHIP_QUERY),
     "bm25_single_term": _bm25_oracle("spark"),
     "bm25_empty_result": _bm25_oracle("zzzunseen"),
     "index_term_doc_freq": f"WITH {_TOKENS_CTE} SELECT term, corpus_name, doc_frequency FROM vocab",
