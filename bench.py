@@ -42,6 +42,10 @@ HEADLINE = [
     "events_sessionize",
     "streaming_hourly_window",
     "multimodal_decode_features",
+    "bm25_search_materialized",
+    "ann_ivf_topk",
+    "asof_last_purchase",
+    "percentile_stats",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

@@ -705,7 +705,37 @@ FROM customer
 """
 
 
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles/median per group (Spark ``percentile`` == DuckDB
+    ``quantile_cont`` with linear interpolation) plus stddev — the numeric
+    profiling aggregates the reference lacks entirely (SURVEY §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.9)"), 4).alias("p90_price"),
+            F.round(F.stddev_samp(price), 4).alias("sd_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PERCENTILE_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS median_price,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS p90_price,
+       round(stddev_samp(CAST(l_extendedprice AS DOUBLE)), 4) AS sd_price,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "percentile_stats": percentile_stats,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
@@ -739,6 +769,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "percentile_stats": PERCENTILE_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
