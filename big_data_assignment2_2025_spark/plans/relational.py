@@ -734,7 +734,63 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO emulation (operators/merge.py): a staging set of
+    updates (every 10th order gets +100.00 and status 'U') and inserts
+    (negated keys for orderkey % 17 == 3) merged into orders in ONE
+    full-outer shuffle join. Updates are additive (+100.0 is an exact IEEE
+    double op) so no cross-engine rounding is involved."""
+    from ..operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    updates = target.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    inserts = target.where(F.col("o_orderkey") % 17 == 3).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    staging = updates.unionByName(inserts)
+    return merge_upsert(target, staging, on=["o_orderkey"])
+
+
+MERGE_UPSERT_SQL = """
+WITH target AS (
+  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         o_orderstatus
+  FROM orders),
+staging AS (
+  SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice,
+         'U' AS o_orderstatus
+  FROM target WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT -o_orderkey, o_custkey, o_totalprice, 'N'
+  FROM target WHERE o_orderkey % 17 = 3)
+SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+       COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+       COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+       CASE WHEN t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+              THEN 'update'
+            WHEN t.o_orderkey IS NULL THEN 'insert'
+            ELSE 'keep' END AS merge_action
+FROM target t FULL OUTER JOIN staging s ON t.o_orderkey = s.o_orderkey
+"""
+
+
 QUERIES = {
+    "merge_upsert_orders": merge_upsert_orders,
     "percentile_stats": percentile_stats,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -769,6 +825,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "merge_upsert_orders": MERGE_UPSERT_SQL,
     "percentile_stats": PERCENTILE_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,

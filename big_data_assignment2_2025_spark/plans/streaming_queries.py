@@ -21,6 +21,7 @@ from ..streaming import (
     run_streaming_hourly,
     run_streaming_sessions,
     run_streaming_stateful_counter,
+    run_streaming_stream_join,
 )
 from .events_queries import EVENTS_HOURLY_SQL
 
@@ -39,6 +40,33 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_stateful_counter(spark, sf_dir)
+
+
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_stream_join(spark, sf_dir)
+
+
+# Batch twin of the watermarked stream-stream interval join. Timestamps are
+# rebuilt at exact µs on both engines (Spark: timestamp_micros(ns div 1000);
+# DuckDB: make_timestamp(epoch_ns // 1000)) so >=/<= boundary comparisons
+# never disagree on sub-µs residue.
+STREAMING_STREAM_JOIN_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts
+  FROM events WHERE event_type = 'click' AND event_id IS NOT NULL),
+p AS (
+  SELECT event_id, user_id, value,
+         make_timestamp(epoch_ns(ts) // 1000) AS ts
+  FROM events WHERE event_type = 'purchase' AND event_id IS NOT NULL)
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       round(p.value, 4) AS purchase_value
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
 
 
 STREAMING_STATEFUL_SQL = """
@@ -80,9 +108,11 @@ QUERIES = {
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_session_windows": streaming_session_windows,
     "streaming_stateful_counter": streaming_stateful_counter,
+    "streaming_stream_join": streaming_stream_join,
 }
 
 ORACLES = {
+    "streaming_stream_join": STREAMING_STREAM_JOIN_SQL,
     # identical final state to the batch tumbling-window aggregation
     "streaming_hourly_window": EVENTS_HOURLY_SQL,
     "streaming_dedup_events": STREAMING_DEDUP_SQL,

@@ -153,7 +153,37 @@ ORDER BY lang, source
 """
 
 
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split — the assignment every training-data
+    pipeline needs to be reproducible across engines, runs, and re-shards.
+
+    Assignment hashes the *stable document id*, never the row order or
+    partition id (``rand()``/``randomSplit`` would re-deal on every re-read
+    of a 100 TB corpus). The portable hash is the first two hex chars of
+    md5(doc_id): < 'cd' (205/256) -> train, else test — a fixed ~80/20 cut
+    that DuckDB reproduces byte-for-byte. Pure per-row projection: no
+    shuffle, fully pushdown-friendly, scales linearly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(bucket < "cd", "train").otherwise("test").alias("split"),
+        "n_chars",
+    )
+
+
+SPLIT_TRAIN_TEST_SQL = """
+SELECT doc_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+            THEN 'train' ELSE 'test' END AS split,
+       n_chars
+FROM documents
+"""
+
+
 QUERIES = {
+    "split_train_test": split_train_test,
     "text_language_id": text_language_id,
     "text_quality_scores": text_quality_scores,
     "text_token_counts": text_token_counts,
@@ -162,6 +192,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "split_train_test": SPLIT_TRAIN_TEST_SQL,
     "text_language_id": TEXT_LANGUAGE_ID_SQL,
     "text_quality_scores": TEXT_QUALITY_SQL,
     "text_token_counts": TEXT_TOKEN_COUNTS_SQL,

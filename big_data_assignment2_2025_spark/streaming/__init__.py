@@ -4,4 +4,5 @@ from .stream import (  # noqa: F401
     run_streaming_hourly,
     run_streaming_sessions,
     run_streaming_stateful_counter,
+    run_streaming_stream_join,
 )

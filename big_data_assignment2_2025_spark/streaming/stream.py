@@ -57,7 +57,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drain_to_memory(result: DataFrame, spark: SparkSession) -> DataFrame:
+def _drain_to_memory(
+    result: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     """Run the streaming query to completion (availableNow) into a memory
     sink; return the sink contents as a static DataFrame."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
@@ -65,7 +67,7 @@ def _drain_to_memory(result: DataFrame, spark: SparkSession) -> DataFrame:
         q = (
             result.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -182,6 +184,57 @@ def run_streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFram
         W.partitionBy("user_id").orderBy(F.col("n_events").desc())
     )
     return snap.withColumn("_r", w_latest).where(F.col("_r") == 1).drop("_r")
+
+
+def run_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join: clicks joined to same-user purchases
+    that land within one hour of the click.
+
+    Both sides carry a watermark AND the join condition bounds purchase_ts
+    relative to click_ts — that pair is what lets Spark evict join state at
+    scale (a click older than watermark+1h can never match again, so its
+    buffered row is dropped). Without the time-range condition the state
+    grows without bound; this is the canonical production shape.
+
+    Timestamps are rebuilt as exact µs on the Spark side (read_events_stream)
+    and the oracle rebuilds them identically via make_timestamp(epoch_ns//1000),
+    so boundary comparisons agree bit-for-bit across engines.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """user_id = p_user_id
+               AND purchase_ts >= click_ts
+               AND purchase_ts <= click_ts + INTERVAL 1 HOUR"""
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+    return _drain_to_memory(joined, spark, output_mode="append")
 
 
 def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
