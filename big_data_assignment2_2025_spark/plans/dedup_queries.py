@@ -159,8 +159,48 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: transitive closure of the Jaccard>=0.5 pair graph
+    via iterative min-label propagation (operators/graph.py). Output is one
+    row per clustered doc: its component id (= min doc_id in the cluster,
+    the canonical keeper) and the cluster size."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingles_df(docs, n=3)).where(F.col("jaccard") >= 0.5)
+    comp = connected_components(pairs)
+    size_w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count("*").over(size_w).alias("cluster_size"),
+    )
+
+
+# The oracle computes the same transitive closure with a recursive CTE:
+# reach(node,label) enumerates every (node, reachable id) pair, and
+# min(label) per node is exactly the fixpoint min-label propagation reaches.
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+e0 AS (SELECT doc1 AS src, doc2 AS dst FROM jac WHERE jaccard >= 0.5),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node)
+SELECT doc_id, component,
+       count(*) OVER (PARTITION BY component) AS cluster_size
+FROM comp
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_cluster_components": dedup_cluster_components,
     "dedup_ngram_topk": dedup_ngram_topk,
     "dedup_ngram_threshold": dedup_ngram_threshold,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -169,6 +209,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_cluster_components": DEDUP_COMPONENTS_SQL,
     "dedup_ngram_topk": DEDUP_NGRAM_SQL,
     "dedup_ngram_threshold": DEDUP_NGRAM_THRESHOLD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,

@@ -197,7 +197,49 @@ FROM events GROUP BY event_type
 """
 
 
+def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: a different keep-rate per
+    event_type (keep all errors and purchases-heavy, downsample the
+    high-volume click/view strata) — the class-rebalancing step of an
+    event-training pipeline.
+
+    Like split_train_test, membership hashes the stable event_id (md5 first
+    4 hex chars -> 16-bit bucket), NOT rand()/sampleBy(seed): the sample is
+    identical across engines, re-runs, and re-partitioning. Pure projection
+    + filter, no shuffle, pushdown-friendly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    rate = (
+        F.when(F.col("event_type") == "error", 1.0)
+        .when(F.col("event_type") == "purchase", 0.5)
+        .when(F.col("event_type") == "signup", 0.25)
+        .otherwise(0.1)  # click / view: high-volume strata
+    )
+    return (
+        ev.withColumn("bucket", bucket)
+        .where(F.col("bucket") < rate * 65536)
+        .select("event_id", "event_type", "user_id")
+    )
+
+
+EVENTS_STRATIFIED_SAMPLE_SQL = """
+SELECT event_id, event_type, user_id
+FROM (
+  SELECT event_id, event_type, user_id,
+         CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4) AS BIGINT)
+           AS bucket,
+         CASE event_type WHEN 'error' THEN 1.0 WHEN 'purchase' THEN 0.5
+              WHEN 'signup' THEN 0.25 ELSE 0.1 END AS rate
+  FROM events)
+WHERE bucket < rate * 65536
+"""
+
+
 QUERIES = {
+    "events_stratified_sample": events_stratified_sample,
     "events_json_extract": events_json_extract,
     "events_skewed_type_agg": events_skewed_type_agg,
     "events_hourly_window": events_hourly_window,
@@ -206,6 +248,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_stratified_sample": EVENTS_STRATIFIED_SAMPLE_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
     "events_skewed_type_agg": EVENTS_SKEWED_AGG_SQL,
     "events_hourly_window": EVENTS_HOURLY_SQL,

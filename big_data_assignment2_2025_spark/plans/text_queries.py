@@ -182,8 +182,70 @@ FROM documents
 """
 
 
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/budget selection: per language, take the highest-quality
+    documents until a 10k-token budget is filled — the "fill the training mix
+    by quality under a token budget" step of a data pipeline.
+
+    Shape: one window (partition lang, order quality desc / doc_id asc for a
+    TOTAL order — ties would otherwise make the cumulative range-frame
+    nondeterministic) computing a running token sum; filter cum <= budget.
+    One shuffle on lang; at 100 TB partition-by-language parallelizes per
+    language, and a skewed mega-language would move to a two-pass
+    (per-bucket presum + offset) variant of the same plan.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.round(quality_score("text"), 6).alias("quality"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn(
+        "cum_tokens", F.sum("bpe_tokens").over(w)
+    ).where(F.col("cum_tokens") <= 10000)
+
+
+TOKEN_BUDGET_PACK_SQL = f"""
+WITH {_TOKS_CTE},
+m AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+         CAST(len(list_filter(toks,
+              t -> t IN ('the','and','of','to','is','a','in'))) AS DOUBLE) AS stop_hits,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
+  FROM t),
+s AS (
+  SELECT doc_id, lang,
+         round(
+           (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                 WHEN n > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+           + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) * 0.3
+           + (CASE WHEN n_tok > 0 THEN LEAST(1.0, stop_hits * 10.0 / n_tok)
+                   ELSE 0.0 END) * 0.3,
+           6) AS quality,
+         bpe_tokens
+  FROM m),
+c AS (
+  SELECT doc_id, lang, quality, bpe_tokens,
+         SUM(bpe_tokens) OVER (PARTITION BY lang
+                               ORDER BY quality DESC, doc_id ASC) AS cum_tokens
+  FROM s)
+SELECT doc_id, lang, quality, bpe_tokens, cum_tokens
+FROM c WHERE cum_tokens <= 10000
+"""
+
+
 QUERIES = {
     "split_train_test": split_train_test,
+    "token_budget_pack": token_budget_pack,
     "text_language_id": text_language_id,
     "text_quality_scores": text_quality_scores,
     "text_token_counts": text_token_counts,
@@ -193,6 +255,7 @@ QUERIES = {
 
 ORACLES = {
     "split_train_test": SPLIT_TRAIN_TEST_SQL,
+    "token_budget_pack": TOKEN_BUDGET_PACK_SQL,
     "text_language_id": TEXT_LANGUAGE_ID_SQL,
     "text_quality_scores": TEXT_QUALITY_SQL,
     "text_token_counts": TEXT_TOKEN_COUNTS_SQL,
