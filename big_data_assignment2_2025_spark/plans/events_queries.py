@@ -238,8 +238,71 @@ WHERE bucket < rate * 65536
 """
 
 
+def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score normalization of event values via ``applyInPandas``
+    (grouped-map Pandas UDF) — the API surface for per-group Python logic
+    that built-in expressions can't cover (here they could — a window AVG/
+    STDDEV does it — which is exactly why this one is oracle-checkable; use
+    this shape when the per-group step is a real Python library call).
+
+    Cross-engine float determinism: pandas' pairwise summation orders float
+    adds differently from SQL engines, so mean/std are computed from EXACT
+    integer sums of cent-scaled values (2-decimal inputs -> int64 cents;
+    Σc and Σc² are exact), then converted to float with the identical
+    operation sequence on both engines — bit-identical results, no rounding
+    slack needed (rounded to 6 anyway for belt-and-braces).
+
+    Scale: applyInPandas shuffles on user_id once; each group is a single
+    Arrow batch in worker memory — fine for per-user event counts, and the
+    same plan holds on 1000 executors.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = (pdf["value"] * 100).round().astype("int64")
+        n = len(c)
+        if n < 2:
+            return pdf.iloc[0:0][["user_id", "event_id"]].assign(zscore=0.0)
+        s = int(c.sum())
+        s2 = int((c * c).sum())
+        var = (n * s2 - s * s) / (10000.0 * n * (n - 1))
+        if var <= 0.0:
+            return pdf.iloc[0:0][["user_id", "event_id"]].assign(zscore=0.0)
+        mean = s / (100.0 * n)
+        std = var ** 0.5
+        z = ((c / 100.0 - mean) / std).round(6)
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "zscore": z}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="user_id long, event_id long, zscore double"
+    )
+
+
+EVENTS_USER_ZSCORE_SQL = """
+WITH c AS (
+  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+agg AS (
+  SELECT user_id, COUNT(*) AS n, SUM(cents) AS s, SUM(cents * cents) AS s2
+  FROM c GROUP BY user_id),
+z AS (
+  SELECT c.user_id, c.event_id,
+         (c.cents / 100.0 - s / (100.0 * n))
+           / sqrt((n * s2 - s * s) / (10000.0 * n * (n - 1))) AS zraw,
+         n, (n * s2 - s * s) / (10000.0 * n * (n - 1)) AS var
+  FROM c JOIN agg ON c.user_id = agg.user_id)
+SELECT user_id, event_id, round(zraw, 6) AS zscore
+FROM z WHERE n >= 2 AND var > 0.0
+"""
+
+
 QUERIES = {
     "events_stratified_sample": events_stratified_sample,
+    "events_user_zscore": events_user_zscore,
     "events_json_extract": events_json_extract,
     "events_skewed_type_agg": events_skewed_type_agg,
     "events_hourly_window": events_hourly_window,
@@ -249,6 +312,7 @@ QUERIES = {
 
 ORACLES = {
     "events_stratified_sample": EVENTS_STRATIFIED_SAMPLE_SQL,
+    "events_user_zscore": EVENTS_USER_ZSCORE_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
     "events_skewed_type_agg": EVENTS_SKEWED_AGG_SQL,
     "events_hourly_window": EVENTS_HOURLY_SQL,

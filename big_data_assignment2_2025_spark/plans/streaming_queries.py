@@ -21,6 +21,7 @@ from ..streaming import (
     run_streaming_hourly,
     run_streaming_sessions,
     run_streaming_stateful_counter,
+    run_streaming_static_join,
     run_streaming_stream_join,
 )
 from .events_queries import EVENTS_HOURLY_SQL
@@ -44,6 +45,22 @@ def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_stream_join(spark, sf_dir)
+
+
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_static_join(spark, sf_dir)
+
+
+# Batch twin: plain inner join + aggregate. The streaming side is stateless
+# (broadcast dim), so the availableNow replay's final state equals the batch
+# answer exactly.
+STREAMING_STATIC_JOIN_SQL = """
+SELECT c.c_mktsegment, COUNT(*) AS n_events,
+       round(SUM(e.value), 4) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_id IS NOT NULL
+GROUP BY c.c_mktsegment
+"""
 
 
 # Batch twin of the watermarked stream-stream interval join. Timestamps are
@@ -109,10 +126,12 @@ QUERIES = {
     "streaming_session_windows": streaming_session_windows,
     "streaming_stateful_counter": streaming_stateful_counter,
     "streaming_stream_join": streaming_stream_join,
+    "streaming_static_join": streaming_static_join,
 }
 
 ORACLES = {
     "streaming_stream_join": STREAMING_STREAM_JOIN_SQL,
+    "streaming_static_join": STREAMING_STATIC_JOIN_SQL,
     # identical final state to the batch tumbling-window aggregation
     "streaming_hourly_window": EVENTS_HOURLY_SQL,
     "streaming_dedup_events": STREAMING_DEDUP_SQL,

@@ -237,6 +237,32 @@ def run_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(joined, spark, output_mode="append")
 
 
+def run_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the static
+    customer dimension (user_id = c_custkey), aggregated per market segment.
+
+    The static side is marked ``broadcast`` — a stream-static join with a
+    broadcast dimension is stateless (no watermark, no join state at all):
+    each micro-batch hash-joins against the in-memory dim table. This is THE
+    production enrichment shape at scale; the dim is re-read per batch, so a
+    slowly-changing dimension picks up updates between batches for free.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    enriched = ev.join(F.broadcast(cust), "user_id", "inner")
+    agg = (
+        enriched.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    return _drain_to_memory(agg, spark)
+
+
 def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time session windows (30-min gap) per user via Spark's native
     ``session_window`` — the streaming counterpart of the batch lag/cumsum
