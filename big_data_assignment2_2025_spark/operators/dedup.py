@@ -122,6 +122,53 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard computed ONLY for the given (doc1, doc2) candidate pairs.
+
+    This is the verification step after LSH: instead of enumerating every
+    pair that shares a shingle (``jaccard_pairs`` — quadratic in hot-shingle
+    document frequency), the shingle join is restricted to the candidate
+    set. Shape: prune the shingle table to candidate docs (semi-join on the
+    small distinct-doc sets), expand candidates by doc1's shingles, then
+    equi-join on (doc2, shingle) to count the intersection. Work is
+    O(|candidates| * shingles/doc), independent of how many unrelated pairs
+    co-occur in hot shingles — the property that keeps exact verification
+    feasible at 100 TB.
+
+    Sizes join is left to AQE (it will broadcast when small); the candidate
+    doc set is bounded by the near-dup population, not the corpus.
+    """
+    d1 = pairs.select("doc1").distinct()
+    d2 = pairs.select("doc2").distinct()
+    sh1 = sh.select(F.col(id_col).alias("doc1"), "shingle").join(
+        F.broadcast(d1), "doc1", "left_semi"
+    )
+    sh2 = sh.select(F.col(id_col).alias("doc2"), "shingle").join(
+        F.broadcast(d2), "doc2", "left_semi"
+    )
+    inter = (
+        pairs.join(sh1, "doc1")
+        .join(sh2, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("doc1"), F.col("n_shingles").alias("n1")),
+            "doc1",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc2"), F.col("n_shingles").alias("n2")),
+            "doc2",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -219,11 +266,18 @@ def minhash_dedup(
     # persist so the tokenize+shingle projection runs once, not twice
     sh = shingles_df(df, n=n, text_col=text_col, id_col=id_col).persist()
     sigs = minhash_signatures(sh, num_hashes=num_hashes, id_col=id_col)
-    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands, id_col=id_col)
-    exact = jaccard_pairs(sh, id_col=id_col)
+    # persist: the candidate set feeds three consumers in jaccard_for_pairs
+    # (two distinct-doc prunes + the intersection join); without it the whole
+    # signature+banding subtree would recompute per consumer
+    cands = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=num_hashes // bands, id_col=id_col
+    ).persist()
+    # verify ONLY the LSH candidates (a pair sharing zero shingles yields no
+    # intersection row and cannot pass the threshold, so restricting the
+    # exact-Jaccard computation to candidates changes nothing semantically)
+    exact = jaccard_for_pairs(sh, cands, id_col=id_col)
     return (
-        cands.join(exact, ["doc1", "doc2"], "inner")
-        .where(F.col("jaccard") >= threshold)
+        exact.where(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
     )
 
