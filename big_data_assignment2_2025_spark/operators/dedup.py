@@ -297,7 +297,11 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     the sign bits into the signature in a final projection. Compared with the
     textbook explode-48-rows-per-term formulation this removes a 48× row
     blow-up and two extra shuffles — the per-bit "columns instead of rows"
-    trick is what keeps SimHash viable on a 100 TB corpus.
+    trick is what keeps SimHash viable on a 100 TB corpus. (A one-shuffle
+    variant that hashes every occurrence and sums ±1 — integer-identical
+    since the weighted sum is linear in cnt — measured SLOWER: the tf stage
+    means md5 runs once per distinct (doc, term), not per occurrence, and
+    its shuffle is small after map-side combine. Keep the tf stage.)
     """
     toks = fan_out(df).select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("cnt"))
