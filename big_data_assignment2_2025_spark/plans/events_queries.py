@@ -79,6 +79,42 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation: 1-hour windows advancing every 15 min
+    (each event contributes to exactly 4 overlapping windows). Spark's
+    ``window(ts, dur, slide)`` expands the 4 memberships inside the scan
+    projection — no self-join — then one aggregation shuffle.
+
+    Oracle parity: Spark aligns sliding windows to the epoch on the slide
+    grid, so membership is window starts ``floor(t/900)*900 - k*900`` for
+    k=0..3; the DuckDB twin generates the same 4 rows per event via
+    ``range(4)``. Window bounds compare on exact event time, but the floored
+    epoch second yields identical membership because 900 divides the grid.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_SLIDING_SQL = """
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900 * 900) - k.k * 900 AS window_start,
+       COUNT(*) AS n_events,
+       round(SUM(value), 4) AS sum_value
+FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
+GROUP BY 1
+"""
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity closes a session):
     lag → gap flag → running sum = session id, then per-session rollup.
@@ -303,6 +339,7 @@ FROM z WHERE n >= 2 AND var > 0.0
 QUERIES = {
     "events_stratified_sample": events_stratified_sample,
     "events_user_zscore": events_user_zscore,
+    "events_sliding_window": events_sliding_window,
     "events_json_extract": events_json_extract,
     "events_skewed_type_agg": events_skewed_type_agg,
     "events_hourly_window": events_hourly_window,
@@ -313,6 +350,7 @@ QUERIES = {
 ORACLES = {
     "events_stratified_sample": EVENTS_STRATIFIED_SAMPLE_SQL,
     "events_user_zscore": EVENTS_USER_ZSCORE_SQL,
+    "events_sliding_window": EVENTS_SLIDING_SQL,
     "events_json_extract": EVENTS_JSON_SQL,
     "events_skewed_type_agg": EVENTS_SKEWED_AGG_SQL,
     "events_hourly_window": EVENTS_HOURLY_SQL,

@@ -792,7 +792,78 @@ FROM target t FULL OUTER JOIN staging s ON t.o_orderkey = s.o_orderkey
 """
 
 
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile / percent_rank / cume_dist over
+    customer balances per market segment. The ordering key includes custkey
+    so the order is total (percent_rank/cume_dist are rational functions of
+    rank and are then exactly portable: (rank-1)/(n-1) and rank/n in exact
+    IEEE division on both engines)."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+WINDOW_DISTRIBUTION_SQL = """
+SELECT c_custkey, c_mktsegment,
+       NTILE(4) OVER w AS bal_quartile,
+       round(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
+       round(CUME_DIST() OVER w, 6) AS bal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
+def array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column — transform,
+    filter, aggregate (left fold), slice — all JVM-side codegen expressions,
+    zero UDFs. Float math stays portable because both engines fold
+    left-to-right over the same double-cast elements (and results are
+    rounded to 6)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("vec_sum"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("vec_sumsq"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head8_sum"),
+    )
+
+
+ARRAY_HOF_SQL = """
+WITH v AS (
+  SELECT vec_id, len(embedding) AS dim,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+  FROM embeddings)
+SELECT vec_id, dim,
+       round(list_reduce(list_prepend(0.0, vd), (a, x) -> a + x), 6) AS vec_sum,
+       round(list_reduce(list_prepend(0.0, vd), (a, x) -> a + x * x), 6) AS vec_sumsq,
+       len(list_filter(vd, x -> x > 0)) AS n_positive,
+       round(list_reduce(list_prepend(0.0, vd[1:8]), (a, x) -> a + x), 6) AS head8_sum
+FROM v
+"""
+
+
 QUERIES = {
+    "array_hof_funcs": array_hof_funcs,
+    "window_distribution": window_distribution,
     "merge_upsert_orders": merge_upsert_orders,
     "percentile_stats": percentile_stats,
     "q1_pricing_summary": q1_pricing_summary,
@@ -828,6 +899,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "array_hof_funcs": ARRAY_HOF_SQL,
+    "window_distribution": WINDOW_DISTRIBUTION_SQL,
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "percentile_stats": PERCENTILE_SQL,
     "q1_pricing_summary": Q1_SQL,
