@@ -106,6 +106,16 @@ def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Always pass a schema in production: schema
+    inference costs a full extra pass over the data — unacceptable at
+    100 TB — and silently widens types on dirty rows."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def ingest_text_file(spark: SparkSession, path: str) -> DataFrame:
     """Ad-hoc single-file ingest (reference ``app/index.sh:11-41``).
 

@@ -30,6 +30,26 @@ def write_index_table(df: DataFrame, path: str, mode: str = "overwrite") -> None
     df.write.mode(mode).parquet(path)
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format most LLM-data tooling speaks.
+    One JSON object per line, written in parallel (one file per partition)."""
+    df.write.mode(mode).json(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet layout (``path/col=value/...``).
+
+    At 100 TB this is THE layout decision: a filter on a partition column
+    prunes whole directories at planning time (zero I/O for excluded
+    partitions) — the test asserts the scan's plan carries the pruned
+    partition filter. Choose low-cardinality columns (date, lang,
+    event_type); high-cardinality partitioning creates a small-file storm.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def dump_documents(df: DataFrame, out_dir: str) -> None:
     """One sanitized-named ``.txt`` file per document (reference
     ``app/prepare_data.py:20-26``). Executor-side side-effect write; not part

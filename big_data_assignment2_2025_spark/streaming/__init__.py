@@ -6,4 +6,5 @@ from .stream import (  # noqa: F401
     run_streaming_stateful_counter,
     run_streaming_static_join,
     run_streaming_stream_join,
+    run_streaming_tws_counter,
 )

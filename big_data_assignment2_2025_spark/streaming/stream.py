@@ -237,6 +237,73 @@ def run_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(joined, spark, output_mode="append")
 
 
+def _make_running_counter():
+    """StatefulProcessor factory for ``run_streaming_tws_counter``. The
+    class is declared at module scope semantics-wise (importable by executor
+    workers) via this module-level factory; the streaming-state imports stay
+    inside so batch-only use of this module never touches them."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.count = handle.getValueState("count", "cnt long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt = self.count.get()[0] if self.count.exists() else 0
+            for pdf in rows:
+                cnt += len(pdf)
+            self.count.update((cnt,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt]})
+
+        def close(self) -> None:
+            pass
+
+    return RunningCounter()
+
+
+def run_streaming_tws_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running event counter via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-state API (typed state variables, timers, TTL),
+    the successor of ``applyInPandasWithState`` used by
+    ``run_streaming_stateful_counter``.
+
+    Needs the RocksDB state store provider; set per-query here at runtime so
+    a caller-built session works. Final state per user equals the batch
+    groupBy count (asserted in tests/test_transform_with_state.py).
+
+    Environment gate: the python<->JVM state channel is protobuf-based, so
+    this requires the real ``google.protobuf`` package at runtime (the test
+    skips where it's absent). ``streaming_stateful_counter`` provides the
+    same semantics on the protobuf-free applyInPandasWithState API.
+    """
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = read_events_stream(spark, sf_dir)
+        counted = (
+            ev.select("user_id", "event_id")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=_make_running_counter(),
+                outputStructType="user_id long, n_events long",
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        snap = _drain_to_memory(counted, spark, output_mode="update")
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+    # last update per user is the final running count
+    return snap.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
 def run_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the event stream joined to the static
     customer dimension (user_id = c_custkey), aggregated per market segment.

@@ -1,0 +1,45 @@
+"""Source/sink round-trips beyond the reference's TSV surface: JSONL
+interchange and Hive-partitioned parquet with planning-time pruning."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from big_data_assignment2_2025_spark.sources.readers import read_jsonl
+from big_data_assignment2_2025_spark.sources.sinks import (
+    write_jsonl,
+    write_partitioned,
+)
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, schema="doc_id long, lang string, n_chars long")
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.select("doc_id", "lang", "n_chars").collect()}
+    assert a == b
+    # overwrite semantics: second write replaces, not appends
+    write_jsonl(docs.limit(10), path)
+    assert read_jsonl(spark, path, schema="doc_id long").count() == 10
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+    # hive layout on disk
+    langs = sorted(d for d in os.listdir(path) if d.startswith("lang="))
+    assert len(langs) >= 2
+
+    back = spark.read.parquet(path)
+    one_lang = langs[0].split("=", 1)[1]
+    q = back.where(F.col("lang") == one_lang)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # partition filter present => directory-level pruning, not a data filter
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200]
+    expected = docs.where(F.col("lang") == one_lang).count()
+    assert q.count() == expected
