@@ -861,8 +861,72 @@ FROM v
 """
 
 
+def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return flag —
+    computed from EXACT integer moment sums, not ``F.corr``.
+
+    Native corr/covar are single-pass float accumulations whose result
+    depends on partition/summation order, so they can never hash-match a
+    serial engine. Here the 2-decimal price is scaled to integer cents
+    (correlation is scale-invariant, the factor cancels), all five moment
+    sums are exact integers (decimal(38,0) on Spark, HUGEINT on DuckDB —
+    different exact representations of the SAME integers), and the closing
+    float formula runs the identical IEEE op sequence on both engines.
+    Distributed-wise this is ONE map-side-combinable aggregation — exactly
+    what F.corr does internally, minus the order sensitivity.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x") * d("y")).alias("sxy"),
+        F.sum(d("x") * d("x")).alias("sx2"),
+        F.sum(d("y") * d("y")).alias("sy2"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(num / (F.sqrt(varx) * F.sqrt(vary)), 6).alias("qty_price_corr"),
+    ).orderBy("l_returnflag")
+
+
+STATS_CORR_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sx2,
+         SUM(CAST(y AS HUGEINT) * y) AS sy2
+  FROM s GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 6) AS qty_price_corr
+FROM m
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "array_hof_funcs": array_hof_funcs,
+    "stats_corr": stats_corr,
     "window_distribution": window_distribution,
     "merge_upsert_orders": merge_upsert_orders,
     "percentile_stats": percentile_stats,
@@ -900,6 +964,7 @@ QUERIES = {
 
 ORACLES = {
     "array_hof_funcs": ARRAY_HOF_SQL,
+    "stats_corr": STATS_CORR_SQL,
     "window_distribution": WINDOW_DISTRIBUTION_SQL,
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "percentile_stats": PERCENTILE_SQL,

@@ -68,6 +68,28 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
     assert abs(approx - exact) / exact < 0.06  # 3x the 2% rsd
 
 
+def test_native_corr_matches_exact_formulation(spark, sf_dir):
+    # F.corr (float single-pass, order-dependent) must agree with the
+    # exact-integer-moments corr of plans/relational.py:stats_corr to float
+    # precision — guards the exact formulation against algebra mistakes
+    from big_data_assignment2_2025_spark.plans.relational import stats_corr
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    native = {
+        r["l_returnflag"]: r["c"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.corr("l_quantity", "l_extendedprice").alias("c"))
+        .collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["qty_price_corr"]
+        for r in stats_corr(spark, sf_dir.replace("file:", "")).collect()
+    }
+    assert set(native) == set(exact)
+    for flag in native:
+        assert abs(native[flag] - exact[flag]) < 1e-6
+
+
 def test_approx_percentile_within_accuracy(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     row = li.agg(
