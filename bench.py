@@ -46,6 +46,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "asof_last_purchase",
     "percentile_stats",
+    "pipeline_clean_corpus",
+    "stats_corr",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

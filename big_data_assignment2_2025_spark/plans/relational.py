@@ -924,8 +924,46 @@ ORDER BY l_returnflag
 """
 
 
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution shape: candidate pairs via a blocking key (nation),
+    verified by edit distance — the classic fuzzy-dedup plan. The equi-join
+    on the block key is what makes this scale (never an unblocked N²
+    cross-product; same principle as the LSH band join in operators/dedup);
+    levenshtein runs only inside blocks."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_name"
+    )
+    a = sup.select(
+        F.col("s_suppkey").alias("k1"),
+        F.col("s_nationkey").alias("nation"),
+        F.col("s_name").alias("n1"),
+    )
+    b = sup.select(
+        F.col("s_suppkey").alias("k2"),
+        F.col("s_nationkey").alias("nation"),
+        F.col("s_name").alias("n2"),
+    )
+    return (
+        a.join(b, "nation")
+        .where(F.col("k1") < F.col("k2"))
+        .withColumn("edit_dist", F.levenshtein("n1", "n2"))
+        .where(F.col("edit_dist") <= 2)
+        .select("nation", "k1", "k2", "edit_dist")
+    )
+
+
+FUZZY_NAME_SQL = """
+SELECT a.s_nationkey AS nation, a.s_suppkey AS k1, b.s_suppkey AS k2,
+       levenshtein(a.s_name, b.s_name) AS edit_dist
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+"""
+
+
 QUERIES = {
     "array_hof_funcs": array_hof_funcs,
+    "fuzzy_name_match": fuzzy_name_match,
     "stats_corr": stats_corr,
     "window_distribution": window_distribution,
     "merge_upsert_orders": merge_upsert_orders,
@@ -964,6 +1002,7 @@ QUERIES = {
 
 ORACLES = {
     "array_hof_funcs": ARRAY_HOF_SQL,
+    "fuzzy_name_match": FUZZY_NAME_SQL,
     "stats_corr": STATS_CORR_SQL,
     "window_distribution": WINDOW_DISTRIBUTION_SQL,
     "merge_upsert_orders": MERGE_UPSERT_SQL,

@@ -243,8 +243,93 @@ FROM c WHERE cum_tokens <= 10000
 """
 
 
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data preparation flow as ONE declarative plan:
+    quality-filter -> exact-dedup (keep lowest doc_id per text digest) ->
+    deterministic train/test split -> per-(lang, split) rollup.
+
+    Composes the individually-gated pieces (quality_score, md5 digest dedup,
+    portable hash split) so the gate also proves they compose. Plan shape:
+    scan -> project (quality, digest, split all computed in one pass) ->
+    window on digest (dedup) -> final aggregation. Two shuffles total; no
+    intermediate materialization — Catalyst pipelines the whole flow, which
+    is the point of expressing a pipeline as a plan instead of stages with
+    writes in between.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.round(quality_score("text"), 6).alias("quality"),
+        whitespace_token_count("text").alias("ws_tokens"),
+        F.md5("text").alias("digest"),
+    ).where(F.col("quality") >= 0.4)
+    w = Window.partitionBy("digest").orderBy(F.col("doc_id").asc())
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd", "train"
+    ).otherwise("test")
+    return (
+        deduped.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+PIPELINE_CLEAN_SQL = f"""
+WITH {_TOKS_CTE},
+m AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+         CAST(len(list_filter(toks,
+              t -> t IN ('the','and','of','to','is','a','in'))) AS DOUBLE) AS stop_hits,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+         md5(text) AS digest
+  FROM t),
+s AS (
+  SELECT doc_id, lang, ws_tokens, digest,
+         round(
+           (CASE WHEN n >= 100 AND n <= 20000 THEN 1.0
+                 WHEN n > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+           + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) * 0.3
+           + (CASE WHEN n_tok > 0 THEN LEAST(1.0, stop_hits * 10.0 / n_tok)
+                   ELSE 0.0 END) * 0.3,
+           6) AS quality
+  FROM m),
+f AS (SELECT * FROM s WHERE quality >= 0.4),
+d AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id ASC) AS rn
+  FROM f),
+k AS (
+  SELECT doc_id, lang, ws_tokens, quality,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+              THEN 'train' ELSE 'test' END AS split
+  FROM d WHERE rn = 1)
+SELECT lang, split, COUNT(*) AS n_docs, SUM(ws_tokens) AS total_tokens,
+       round(AVG(quality), 6) AS avg_quality
+FROM k
+GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+
 QUERIES = {
     "split_train_test": split_train_test,
+    "pipeline_clean_corpus": pipeline_clean_corpus,
     "token_budget_pack": token_budget_pack,
     "text_language_id": text_language_id,
     "text_quality_scores": text_quality_scores,
@@ -255,6 +340,7 @@ QUERIES = {
 
 ORACLES = {
     "split_train_test": SPLIT_TRAIN_TEST_SQL,
+    "pipeline_clean_corpus": PIPELINE_CLEAN_SQL,
     "token_budget_pack": TOKEN_BUDGET_PACK_SQL,
     "text_language_id": TEXT_LANGUAGE_ID_SQL,
     "text_quality_scores": TEXT_QUALITY_SQL,
