@@ -336,7 +336,85 @@ FROM z WHERE n >= 2 AND var > 0.0
 """
 
 
+def events_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/scale per event_type: median and MAD (median absolute
+    deviation) — outlier-resistant profiling. Two aggregation passes with a
+    broadcast of the 5-row medians between them; exact interpolated
+    percentile (Spark ``percentile`` == DuckDB ``quantile_cont``) keeps it
+    cross-engine deterministic where mean/stddev would drift."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.round(
+                F.expr("percentile(abs(value - med), 0.5)"), 4
+            ).alias("mad_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("median_value"),
+            "mad_value",
+            "n_events",
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_ROBUST_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       round(m.med, 4) AS median_value,
+       round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad_value,
+       COUNT(*) AS n_events
+FROM events e JOIN med m ON e.event_type = m.event_type
+GROUP BY e.event_type, m.med
+ORDER BY e.event_type
+"""
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of event values — the profiling primitive
+    behind every data-quality dashboard. Bin edges derive from the global
+    min/max (one tiny aggregate, broadcast back); bin assignment is a pure
+    projection, so the whole thing is two map-side-combinable aggregations.
+    The bin formula runs the identical IEEE sequence on both engines."""
+    ev = load_table(spark, sf_dir, "events").select("value")
+    rng = ev.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vmin")) * 20.0
+                / (F.col("vmax") - F.col("vmin"))
+            ),
+            F.lit(19),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count("*").alias("n_events")).orderBy("bin")
+
+
+EVENTS_HISTOGRAM_SQL = """
+WITH rng AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events)
+SELECT CAST(LEAST(FLOOR((value - vmin) * 20.0 / (vmax - vmin)), 19) AS BIGINT) AS bin,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN rng
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
+    "events_robust_stats": events_robust_stats,
+    "events_value_histogram": events_value_histogram,
     "events_stratified_sample": events_stratified_sample,
     "events_user_zscore": events_user_zscore,
     "events_sliding_window": events_sliding_window,
@@ -348,6 +426,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_robust_stats": EVENTS_ROBUST_SQL,
+    "events_value_histogram": EVENTS_HISTOGRAM_SQL,
     "events_stratified_sample": EVENTS_STRATIFIED_SAMPLE_SQL,
     "events_user_zscore": EVENTS_USER_ZSCORE_SQL,
     "events_sliding_window": EVENTS_SLIDING_SQL,

@@ -961,9 +961,65 @@ WHERE levenshtein(a.s_name, b.s_name) <= 2
 """
 
 
+def gini_balance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of positive account balances per
+    market segment — the inequality metric of a numeric distribution, via
+    the sorted-rank formula G = (2*Σ(i*x_i) - (n+1)*Σx) / (n*Σx).
+
+    Portability: balances are 2-decimal -> exact integer cents; ranks come
+    from a total-order window; numerator and denominator are computed fully
+    in int64 (no overflow: rank*cents <= 3e10 per row) so the ONLY float
+    operation is the final division — bit-identical everywhere. One window
+    shuffle + one aggregation on the same key."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cents").asc(), F.col("c_custkey").asc()
+    )
+    ranked = cust.select(
+        "c_mktsegment", "c_custkey", cents.alias("cents")
+    ).withColumn("i", F.row_number().over(w).cast("long"))
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s0"),
+        F.sum(F.col("i") * F.col("cents")).alias("s1"),
+    )
+    num = 2 * F.col("s1") - (F.col("n") + 1) * F.col("s0")
+    den = F.col("n") * F.col("s0")
+    return agg.select(
+        "c_mktsegment",
+        F.col("n").alias("n_customers"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini"),
+    ).orderBy("c_mktsegment")
+
+
+GINI_SQL = """
+WITH c AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer WHERE c_acctbal > 0),
+r AS (
+  SELECT c_mktsegment, cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY cents ASC, c_custkey ASC) AS BIGINT) AS i
+  FROM c),
+a AS (
+  SELECT c_mktsegment, COUNT(*) AS n, SUM(cents) AS s0, SUM(i * cents) AS s1
+  FROM r GROUP BY c_mktsegment)
+SELECT c_mktsegment, n AS n_customers,
+       round(CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
+             / CAST(n * s0 AS DOUBLE), 6) AS gini
+FROM a
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "array_hof_funcs": array_hof_funcs,
     "fuzzy_name_match": fuzzy_name_match,
+    "gini_balance_by_segment": gini_balance_by_segment,
     "stats_corr": stats_corr,
     "window_distribution": window_distribution,
     "merge_upsert_orders": merge_upsert_orders,
@@ -1003,6 +1059,7 @@ QUERIES = {
 ORACLES = {
     "array_hof_funcs": ARRAY_HOF_SQL,
     "fuzzy_name_match": FUZZY_NAME_SQL,
+    "gini_balance_by_segment": GINI_SQL,
     "stats_corr": STATS_CORR_SQL,
     "window_distribution": WINDOW_DISTRIBUTION_SQL,
     "merge_upsert_orders": MERGE_UPSERT_SQL,
