@@ -130,6 +130,62 @@ def q_bm25_search_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-semantics retrieval: only documents containing EVERY query term
+    rank (the reference's sum-of-scores is OR-semantics — a doc matching one
+    term still scores). Same one-shuffle plan with a countDistinct(term)
+    alongside the score sum; no second pass over the index."""
+    terms = parse_query(FLAGSHIP_QUERY)
+    index = build_index(read_documents(spark, sf_dir))
+    scored = bm25_scores(index, terms)
+    ranked = (
+        scored.groupBy("doc_id", "doc_title")
+        .agg(
+            F.sum("bm25").alias("rank_raw"),
+            F.countDistinct("term").alias("nt"),
+        )
+        .where(F.col("nt") == len(terms))
+    )
+    return (
+        ranked.orderBy(F.col("rank_raw").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select(
+            F.col("doc_id").cast("int").alias("doc_id"),
+            "doc_title",
+            F.round(F.col("rank_raw"), 6).alias("doc_rank"),
+        )
+    )
+
+
+def _bm25_conjunctive_oracle(query: str, k: int = 10) -> str:
+    terms = parse_query(query)
+    values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH {_TOKENS_CTE},
+q(term) AS (VALUES {values}),
+scored AS (
+  SELECT tf.doc_id, tf.doc_title, tf.term,
+         ln(CAST(ci.doc_n AS DOUBLE) / CAST(v.doc_frequency AS DOUBLE))
+           * (2.0 * CAST(tf.term_frequency AS DOUBLE))
+           / (1.0 * (0.25 + 0.75 * CAST(di.doc_length AS DOUBLE)
+                        / (CAST(ci.total_doc_length AS DOUBLE) / CAST(ci.doc_n AS DOUBLE)))
+              + CAST(tf.term_frequency AS DOUBLE)) AS bm25
+  FROM tf
+  JOIN q USING (term)
+  JOIN vocab v USING (term, corpus_name)
+  JOIN doc_info di USING (doc_id, doc_title)
+  CROSS JOIN corpus_info ci
+)
+SELECT CAST(doc_id AS INTEGER) AS doc_id, doc_title,
+       round(sum(bm25), 6) AS doc_rank
+FROM scored
+GROUP BY doc_id, doc_title
+HAVING COUNT(DISTINCT term) = {len(terms)}
+ORDER BY sum(bm25) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def q_bm25_single_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _search_rounded(spark, sf_dir, "spark")
 
@@ -167,6 +223,7 @@ def q_index_corpus_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "bm25_search": q_bm25_search,
+    "bm25_search_conjunctive": q_bm25_conjunctive,
     "bm25_single_term": q_bm25_single_term,
     "bm25_empty_result": q_bm25_empty,
     "index_term_doc_freq": q_index_term_doc_freq,
@@ -179,6 +236,7 @@ QUERIES = {
 ORACLES = {
     "bm25_search": _bm25_oracle(FLAGSHIP_QUERY),
     "bm25_search_materialized": _bm25_oracle(FLAGSHIP_QUERY),
+    "bm25_search_conjunctive": _bm25_conjunctive_oracle(FLAGSHIP_QUERY),
     "bm25_single_term": _bm25_oracle("spark"),
     "bm25_empty_result": _bm25_oracle("zzzunseen"),
     "index_term_doc_freq": f"WITH {_TOKENS_CTE} SELECT term, corpus_name, doc_frequency FROM vocab",
