@@ -32,14 +32,20 @@ def asof_join(
     time_col: str,
     right_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.time <= left.time`` within the same ``on`` key (backward as-of,
-    inclusive). Left rows with no prior right row keep NULLs.
+    inclusive; the kdb/pandas `merge_asof` default). ``direction="forward"``
+    instead attaches the EARLIEST right row with ``right.time >=
+    left.time`` — same single-shuffle carry-forward plan run over
+    descending time. Left rows with no match keep NULLs.
 
     ``right`` must be unique per (on, time_col) or the match among equal
     times is unspecified — pre-aggregate the right side if needed.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = [c for c in left.columns if c not in (on, time_col)]
     l_tagged = left.select(
         F.col(on),
@@ -55,10 +61,14 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
     )
-    # right rows sort before left rows at equal timestamps => inclusive match
+    # right rows sort before left rows at equal timestamps => inclusive
+    # match; forward scans time descending so "last seen right" = next right
+    t_order = (
+        F.col(time_col).asc() if direction == "backward" else F.col(time_col).desc()
+    )
     w = (
         W.partitionBy(on)
-        .orderBy(time_col, "_is_left")
+        .orderBy(t_order, F.col("_is_left").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged)

@@ -336,6 +336,102 @@ FROM z WHERE n >= 2 AND var > 0.0
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view -> click (after the first view) -> purchase
+    (after that click), per user; output is the user count surviving each
+    step. The step dependency (each stage's window starts at the previous
+    stage's first qualifying event) is expressed as a chain of conditional
+    min-aggregations; every join key is user_id, so the three stages reuse
+    one hash partitioning — at scale this is 1 logical shuffle profile, not
+    3 independent ones. Timestamps compare as exact epoch-µs integers."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts"))).alias("us"),
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(us) AS t2
+      FROM e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.us > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(us) AS t3
+      FROM e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.us > c.t2 GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+"""
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted in
+    each subsequent activity week (offset in weeks). Two aggregations on
+    user_id + one on the small (cohort, offset) key; all integer epoch-week
+    arithmetic, the canonical product-analytics rollup."""
+    # `div`, not `/`: Spark's / is float division and a double quotient can
+    # truncate to week-1 vs DuckDB's exact integer //
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(floor(CAST(ts AS DOUBLE)) AS BIGINT) div 604800").alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+  FROM events),
+f AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, week FROM e)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
 def events_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust location/scale per event_type: median and MAD (median absolute
     deviation) — outlier-resistant profiling. Two aggregation passes with a
@@ -413,6 +509,8 @@ GROUP BY 1 ORDER BY 1
 
 
 QUERIES = {
+    "events_funnel": events_funnel,
+    "events_retention_cohorts": events_retention_cohorts,
     "events_robust_stats": events_robust_stats,
     "events_value_histogram": events_value_histogram,
     "events_stratified_sample": events_stratified_sample,
@@ -426,6 +524,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_retention_cohorts": EVENTS_RETENTION_SQL,
     "events_robust_stats": EVENTS_ROBUST_SQL,
     "events_value_histogram": EVENTS_HISTOGRAM_SQL,
     "events_stratified_sample": EVENTS_STRATIFIED_SAMPLE_SQL,

@@ -70,6 +70,50 @@ ASOF LEFT JOIN purch p
 """
 
 
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every click, the time of the user's NEXT purchase
+    at or after the click (NULL when none follows). Same one-shuffle
+    carry-forward plan as the backward variant, scanned over descending
+    time. Oracle via DuckDB ASOF JOIN with a <= condition."""
+    ev = _events_sec(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "sec", "event_id"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "sec")
+        .distinct()
+        .withColumn("purchase_sec", F.col("sec"))
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", time_col="sec",
+        right_cols=["purchase_sec"], direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("sec").alias("click_sec"),
+        F.col("purchase_sec_asof").alias("next_purchase_sec"),
+    )
+
+
+ASOF_FORWARD_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+clicks AS (SELECT user_id, sec, event_id FROM e WHERE event_type = 'click'),
+purch AS (
+  SELECT DISTINCT user_id, sec, sec AS purchase_sec
+  FROM e WHERE event_type = 'purchase')
+SELECT c.user_id, c.event_id, c.sec AS click_sec,
+       p.purchase_sec AS next_purchase_sec
+FROM clicks c
+ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.sec <= p.sec
+"""
+
+
 def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(error, click) pairs for the same user with the click 0-600 s after
     the error — the banded equi-join form of an interval theta-join."""
@@ -107,10 +151,12 @@ FROM e a JOIN e b
 
 QUERIES = {
     "asof_last_purchase": asof_last_purchase,
+    "asof_next_purchase": asof_next_purchase,
     "range_join_error_clicks": range_join_error_clicks,
 }
 
 ORACLES = {
     "asof_last_purchase": ASOF_SQL,
+    "asof_next_purchase": ASOF_FORWARD_SQL,
     "range_join_error_clicks": RANGE_JOIN_SQL,
 }

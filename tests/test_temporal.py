@@ -74,3 +74,31 @@ def test_range_join_negative_lower(spark):
         ).collect()
     }
     assert got == {0, 1}
+
+
+def test_asof_forward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (1, 400, "c"), (2, 100, "d")],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 300, 30.0), (2, 99, 9.0)], ["k", "t", "v"]
+    )
+    out = {
+        r.tag: r.v_asof
+        for r in asof_join(
+            left, right, on="k", time_col="t", right_cols=["v"],
+            direction="forward",
+        ).collect()
+    }
+    # a: right at same t=100 matches (inclusive); b: next is 300; c: none
+    # after 400 -> NULL; d (k=2): right at 99 is BEFORE -> NULL
+    assert out == {"a": 10.0, "b": 30.0, "c": None, "d": None}
+
+
+def test_asof_bad_direction_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1, 1.0)], ["k", "t", "v"])
+    with pytest.raises(ValueError):
+        asof_join(df, df, on="k", time_col="t", right_cols=["v"], direction="nearest")
