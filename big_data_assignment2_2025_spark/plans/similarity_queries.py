@@ -180,7 +180,74 @@ WHERE {_COSINE_EXPR} >= 0.4
 """
 
 
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding space: each query vector takes
+    the majority label of its 5 nearest (exact cosine) labeled neighbors;
+    vote ties break to the smallest label. The expensive part IS the ANN
+    top-k (reused unchanged); classification adds a broadcast label join
+    plus a per-query vote — negligible against the similarity scan, which
+    is how k-NN inference composes at scale (swap brute force for the IVF
+    path when the corpus outgrows a cross join)."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    topk = brute_force_topk(emb, queries, k=5)
+    labeled = topk.join(
+        F.broadcast(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+        ),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("predicted_label"),
+            "n_votes",
+        )
+        .orderBy("query_id")
+    )
+
+
+KNN_CLASSIFY_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, label, {_COSINE_EXPR} AS cosine
+  FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT query_id, label, COUNT(*) AS n_votes
+  FROM ranked WHERE rank <= 5
+  GROUP BY query_id, label
+),
+best AS (
+  SELECT query_id, label, n_votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label ASC) AS r
+  FROM votes)
+SELECT query_id, label AS predicted_label, n_votes
+FROM best WHERE r = 1
+ORDER BY query_id
+"""
+
+
 QUERIES = {
+    "knn_classify": knn_classify,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
@@ -188,6 +255,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "knn_classify": KNN_CLASSIFY_SQL,
     "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
     "ann_lsh_bucketed": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
