@@ -186,6 +186,69 @@ LIMIT {k}
 """
 
 
+def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF ranked retrieval over the same inverted index — the second
+    scoring function an IR engine offers beside BM25. score(d) =
+    Σ_t tf(t,d) * ln(N/df(t)); identical one-shuffle plan, only the score
+    expression changes (no length normalization → no doc_info join)."""
+    terms = parse_query(FLAGSHIP_QUERY)
+    index = build_index(read_documents(spark, sf_dir))
+    tf = index.term_freq.where(
+        (F.col("corpus_name") == "whole_corpus") & F.col("term").isin(terms)
+    )
+    vocab = index.term_doc_freq.where(
+        (F.col("corpus_name") == "whole_corpus") & F.col("term").isin(terms)
+    )
+    stats = index.corpus_info.select("doc_n")
+    scored = (
+        tf.join(F.broadcast(vocab), ["term", "corpus_name"])
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.col("term_frequency").cast("double")
+            * F.log(
+                F.col("doc_n").cast("double")
+                / F.col("doc_frequency").cast("double")
+            ),
+        )
+    )
+    ranked = scored.groupBy("doc_id", "doc_title").agg(
+        F.sum("w").alias("rank_raw")
+    )
+    return (
+        ranked.orderBy(F.col("rank_raw").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select(
+            F.col("doc_id").cast("int").alias("doc_id"),
+            "doc_title",
+            F.round("rank_raw", 6).alias("doc_rank"),
+        )
+    )
+
+
+def _tfidf_oracle(query: str, k: int = 10) -> str:
+    values = ", ".join(f"('{t}')" for t in parse_query(query))
+    return f"""
+WITH {_TOKENS_CTE},
+q(term) AS (VALUES {values}),
+scored AS (
+  SELECT tf.doc_id, tf.doc_title,
+         CAST(tf.term_frequency AS DOUBLE)
+           * ln(CAST(ci.doc_n AS DOUBLE) / CAST(v.doc_frequency AS DOUBLE)) AS w
+  FROM tf
+  JOIN q USING (term)
+  JOIN vocab v USING (term, corpus_name)
+  CROSS JOIN corpus_info ci
+)
+SELECT CAST(doc_id AS INTEGER) AS doc_id, doc_title,
+       round(sum(w), 6) AS doc_rank
+FROM scored
+GROUP BY doc_id, doc_title
+ORDER BY sum(w) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def q_bm25_single_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _search_rounded(spark, sf_dir, "spark")
 
@@ -224,6 +287,7 @@ def q_index_corpus_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "bm25_search": q_bm25_search,
     "bm25_search_conjunctive": q_bm25_conjunctive,
+    "tfidf_search": q_tfidf_search,
     "bm25_single_term": q_bm25_single_term,
     "bm25_empty_result": q_bm25_empty,
     "index_term_doc_freq": q_index_term_doc_freq,
@@ -237,6 +301,7 @@ ORACLES = {
     "bm25_search": _bm25_oracle(FLAGSHIP_QUERY),
     "bm25_search_materialized": _bm25_oracle(FLAGSHIP_QUERY),
     "bm25_search_conjunctive": _bm25_conjunctive_oracle(FLAGSHIP_QUERY),
+    "tfidf_search": _tfidf_oracle(FLAGSHIP_QUERY),
     "bm25_single_term": _bm25_oracle("spark"),
     "bm25_empty_result": _bm25_oracle("zzzunseen"),
     "index_term_doc_freq": f"WITH {_TOKENS_CTE} SELECT term, corpus_name, doc_frequency FROM vocab",
