@@ -432,6 +432,39 @@ ORDER BY cohort_week, week_offset
 """
 
 
+def events_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per user, build a map event_type -> count
+    (map_from_entries over collected structs — key set is unique per group,
+    so the map is deterministic), then extract scalars with element_at /
+    size. The ORACLE computes the same RESULT relationally (filtered counts,
+    NULLIF to mirror element_at's missing-key NULL) — mechanism differs,
+    results must not. Final output is all-scalar so the gate's value hash
+    never sees engine-specific map renderings."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("type_counts")
+    )
+    return m.select(
+        "user_id",
+        F.element_at("type_counts", "click").alias("n_clicks"),
+        F.element_at("type_counts", "purchase").alias("n_purchases"),
+        F.size("type_counts").alias("n_types"),
+    )
+
+
+EVENTS_MAP_SQL = """
+SELECT user_id,
+       NULLIF(COUNT(*) FILTER (WHERE event_type = 'click'), 0) AS n_clicks,
+       NULLIF(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS n_purchases,
+       CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types
+FROM events
+GROUP BY user_id
+"""
+
+
 def events_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust location/scale per event_type: median and MAD (median absolute
     deviation) — outlier-resistant profiling. Two aggregation passes with a
@@ -510,6 +543,7 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES = {
     "events_funnel": events_funnel,
+    "events_map_funcs": events_map_funcs,
     "events_retention_cohorts": events_retention_cohorts,
     "events_robust_stats": events_robust_stats,
     "events_value_histogram": events_value_histogram,
@@ -525,6 +559,7 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_map_funcs": EVENTS_MAP_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
     "events_robust_stats": EVENTS_ROBUST_SQL,
     "events_value_histogram": EVENTS_HISTOGRAM_SQL,
