@@ -18,6 +18,7 @@ from . import (
     relational,
     search_queries,
     similarity_queries,
+    sql_queries,
     streaming_queries,
     temporal_queries,
     text_queries,
@@ -34,6 +35,7 @@ _MODULES = [
     multimodal_queries,
     temporal_queries,
     parity_queries,
+    sql_queries,
 ]
 
 QUERIES = {}
