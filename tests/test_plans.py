@@ -90,3 +90,35 @@ def test_whole_stage_codegen_on_hot_path(spark):
 def test_similarity_broadcasts_small_side(spark, name):
     plan = _plan(spark, name)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_fuzzy_match_is_blocked_equi_join(spark):
+    # the levenshtein filter must ride an equi-join on the blocking key,
+    # never a cartesian pair space
+    plan = _plan(spark, "fuzzy_name_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan.lower()
+
+
+def test_stats_corr_single_aggregation_exchange(spark):
+    # all five moment sums ride ONE partial/final aggregate pair: exactly
+    # one exchange in the plan tree (formatted output names each node once
+    # in the tree and once in details => count == 2)
+    plan = _plan(spark, "stats_corr")
+    assert plan.count("Exchange") == 2, plan[:1500]
+
+
+def test_funnel_no_cartesian(spark):
+    # stage joins are all keyed on user_id; the final 3-way combine of
+    # 1-row aggregates may nested-loop (deliberate, 1x1x1 rows)
+    plan = _plan(spark, "events_funnel")
+    assert "CartesianProduct" not in plan
+
+
+def test_sliding_window_no_join(spark):
+    # window(ts, 1h, 15m) must expand memberships in the projection, not
+    # via a self-join or explode-join
+    plan = _plan(spark, "events_sliding_window")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 4  # one agg exchange (+ sort for orderBy)
