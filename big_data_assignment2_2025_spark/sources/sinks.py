@@ -50,6 +50,27 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, within-partition-sorted parquet layout.
+
+    ``repartitionByRange`` gives files DISJOINT value ranges on the sort
+    key and ``sortWithinPartitions`` orders rows inside each file, so every
+    row group's min/max statistics become tight: a reader filtering on the
+    sort column skips whole files/row groups at the footer level. This is
+    the poor-man's clustering key — at 100 TB, sorting event data by
+    (event_type, ts) at write time is routinely a 10-100x scan reduction
+    for time-ranged queries, for one extra shuffle at ingest."""
+    parts = df.repartitionByRange(num_partitions, *sort_cols) if num_partitions \
+        else df.repartitionByRange(*sort_cols)
+    parts.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
 def dump_documents(df: DataFrame, out_dir: str) -> None:
     """One sanitized-named ``.txt`` file per document (reference
     ``app/prepare_data.py:20-26``). Executor-side side-effect write; not part

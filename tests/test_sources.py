@@ -43,3 +43,39 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200]
     expected = docs.where(F.col("lang") == one_lang).count()
     assert q.count() == expected
+
+
+def test_range_sorted_write_has_disjoint_tight_stats(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    from big_data_assignment2_2025_spark.sources.sinks import write_range_sorted
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    path = str(tmp_path / "events_by_id")
+    write_range_sorted(ev, path, ["event_id"], num_partitions=4)
+
+    # collect per-file (min, max) of event_id from parquet footers
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+            "event_id"
+        ]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    # disjoint file ranges => footer-level pruning works for id filters
+    for (lo1, hi1), (lo2, hi2) in zip(sorted(ranges), sorted(ranges)[1:]):
+        assert hi1 < lo2
+
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
