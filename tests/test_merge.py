@@ -50,3 +50,27 @@ def test_merge_missing_key_raises(spark):
     df = spark.createDataFrame([(1, 1.0)], "k int, v double")
     with pytest.raises(ValueError, match="merge key"):
         merge_upsert(df, df.select("v"), on=["k"])
+
+
+def test_merge_idempotent(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "name", "v"]
+    )
+    staging = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], ["k", "name", "v"]
+    )
+    once = merge_upsert(target, staging, on=["k"]).drop("merge_action")
+    twice = merge_upsert(once, staging, on=["k"]).drop("merge_action")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_merge_result_invariant_to_partitioning(spark):
+    target = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], ["k", "v"]
+    )
+    staging = spark.createDataFrame(
+        [(i, float(-i)) for i in range(25, 75)], ["k", "v"]
+    )
+    a = merge_upsert(target, staging, on=["k"])
+    b = merge_upsert(target.repartition(7), staging.repartition(3), on=["k"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
