@@ -249,6 +249,85 @@ LIMIT {k}
 """
 
 
+def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-doc TF-IDF cosine over the RARE-term subspace (df <= 20), pairs
+    with cosine >= 0.2.
+
+    The df cap is the scale discipline: an uncapped shared-term self-join is
+    quadratic in hot-term document frequency (every doc shares 'the'), while
+    capping df bounds per-term fan-out to df_cap^2 — the same
+    candidate-bounding principle as the LSH band join and the fuzzy-match
+    blocking key. Both the dot product AND the norms are computed over the
+    capped vocabulary, so the result is a proper cosine in that subspace.
+    """
+    df_cap, threshold = 20, 0.2
+    index = build_index(read_documents(spark, sf_dir))
+    rare = index.term_doc_freq.where(
+        (F.col("corpus_name") == "whole_corpus")
+        & (F.col("doc_frequency") <= df_cap)
+    ).select("term", "doc_frequency")
+    n_docs = index.corpus_info.select("doc_n")
+    w = (
+        index.term_freq.join(rare, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "doc_id",
+            (
+                F.col("term_frequency").cast("double")
+                * F.log(
+                    F.col("doc_n").cast("double")
+                    / F.col("doc_frequency").cast("double")
+                )
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    a = w.select(F.col("doc_id").alias("doc1"), "term", F.col("w").alias("w1"))
+    b = w.select(F.col("doc_id").alias("doc2"), "term", F.col("w").alias("w2"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("doc_id").alias("doc1"), F.col("norm").alias("n1")), "doc1")
+        .join(norms.select(F.col("doc_id").alias("doc2"), F.col("norm").alias("n2")), "doc2")
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("n1") * F.col("n2")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("doc1").cast("int").alias("doc1"),
+            F.col("doc2").cast("int").alias("doc2"),
+            "cosine",
+        )
+    )
+
+
+TFIDF_DOC_SIM_SQL = f"""
+WITH {_TOKENS_CTE},
+rare AS (SELECT term, doc_frequency FROM vocab WHERE doc_frequency <= 20),
+w AS (
+  SELECT tf.term, tf.doc_id,
+         CAST(tf.term_frequency AS DOUBLE)
+           * ln(CAST(ci.doc_n AS DOUBLE) / CAST(r.doc_frequency AS DOUBLE)) AS w
+  FROM tf JOIN rare r USING (term) CROSS JOIN corpus_info ci),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS norm FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT CAST(doc1 AS INTEGER) AS doc1, CAST(doc2 AS INTEGER) AS doc2,
+       round(dot / (n1.norm * n2.norm), 6) AS cosine
+FROM dots
+JOIN norms n1 ON n1.doc_id = doc1
+JOIN norms n2 ON n2.doc_id = doc2
+WHERE round(dot / (n1.norm * n2.norm), 6) >= 0.2
+"""
+
+
 def q_bm25_single_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _search_rounded(spark, sf_dir, "spark")
 
@@ -288,6 +367,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "bm25_search_conjunctive": q_bm25_conjunctive,
     "tfidf_search": q_tfidf_search,
+    "tfidf_doc_similarity": q_tfidf_doc_similarity,
     "bm25_single_term": q_bm25_single_term,
     "bm25_empty_result": q_bm25_empty,
     "index_term_doc_freq": q_index_term_doc_freq,
@@ -302,6 +382,7 @@ ORACLES = {
     "bm25_search_materialized": _bm25_oracle(FLAGSHIP_QUERY),
     "bm25_search_conjunctive": _bm25_conjunctive_oracle(FLAGSHIP_QUERY),
     "tfidf_search": _tfidf_oracle(FLAGSHIP_QUERY),
+    "tfidf_doc_similarity": TFIDF_DOC_SIM_SQL,
     "bm25_single_term": _bm25_oracle("spark"),
     "bm25_empty_result": _bm25_oracle("zzzunseen"),
     "index_term_doc_freq": f"WITH {_TOKENS_CTE} SELECT term, corpus_name, doc_frequency FROM vocab",

@@ -20,11 +20,12 @@ from ..streaming import (
     run_streaming_dedup,
     run_streaming_hourly,
     run_streaming_sessions,
+    run_streaming_sliding_window,
     run_streaming_stateful_counter,
     run_streaming_static_join,
     run_streaming_stream_join,
 )
-from .events_queries import EVENTS_HOURLY_SQL
+from .events_queries import EVENTS_HOURLY_SQL, EVENTS_SLIDING_SQL
 
 
 def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,6 +50,10 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_static_join(spark, sf_dir)
+
+
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_sliding_window(spark, sf_dir)
 
 
 # Batch twin: plain inner join + aggregate. The streaming side is stateless
@@ -127,11 +132,14 @@ QUERIES = {
     "streaming_stateful_counter": streaming_stateful_counter,
     "streaming_stream_join": streaming_stream_join,
     "streaming_static_join": streaming_static_join,
+    "streaming_sliding_window": streaming_sliding_window,
 }
 
 ORACLES = {
     "streaming_stream_join": STREAMING_STREAM_JOIN_SQL,
     "streaming_static_join": STREAMING_STATIC_JOIN_SQL,
+    # identical final state to the batch sliding-window aggregation
+    "streaming_sliding_window": EVENTS_SLIDING_SQL,
     # identical final state to the batch tumbling-window aggregation
     "streaming_hourly_window": EVENTS_HOURLY_SQL,
     "streaming_dedup_events": STREAMING_DEDUP_SQL,

@@ -3,6 +3,7 @@ from .stream import (  # noqa: F401
     run_streaming_dedup,
     run_streaming_hourly,
     run_streaming_sessions,
+    run_streaming_sliding_window,
     run_streaming_stateful_counter,
     run_streaming_static_join,
     run_streaming_stream_join,

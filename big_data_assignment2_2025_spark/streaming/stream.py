@@ -304,6 +304,28 @@ def run_streaming_tws_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+def run_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (1 h window, 15 min slide) with a 2 h
+    watermark — each event updates 4 open windows; the watermark bounds how
+    long each window's state lives (closed windows evict). Final state after
+    an availableNow full replay equals the batch sliding-window aggregation
+    (events_queries.events_sliding_window / EVENTS_SLIDING_SQL)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain_to_memory(agg, spark)
+
+
 def run_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the event stream joined to the static
     customer dimension (user_id = c_custkey), aggregated per market segment.
