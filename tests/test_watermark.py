@@ -68,6 +68,14 @@ def test_late_event_dropped_by_watermark(spark):
             .start()
         )
         q.awaitTermination()
+        # observability: the drop is visible in the progress metrics — this
+        # is the counter a production job alerts on (late-data health)
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        assert dropped >= 1, [p.get("stateOperators") for p in q.recentProgress]
     emitted = {r.h: (r.n, r.total) for r in spark.table(name).collect()}
 
     h8 = 1704096000  # 2024-01-01 08:00 UTC
