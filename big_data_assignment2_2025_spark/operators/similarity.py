@@ -220,6 +220,66 @@ def ivf_topk(
     )
 
 
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with TRAINED centroids (MLlib KMeans) — the production variant of
+    ``ivf_topk``: learned cells track the data distribution, so recall at
+    the same n_probe is higher than the deterministic lowest-id quantizer.
+
+    Not oracle-checkable (a trained model isn't SQL-replayable); verified
+    instead by a recall bound against brute force in
+    tests/test_ivf_kmeans.py — the same discipline as the MLlib MinHashLSH
+    cross-validation. Train cost is one pass over a sample; assignment and
+    search reuse the exact ``ivf_topk`` plan shape with the learned
+    centroid table swapped in."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = corpus.select(
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    cents_rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = corpus.sparkSession.createDataFrame(
+        cents_rows, ["cell", "cent_vec"]
+    ).select("cell", F.col("cent_vec").cast(f"array<double>").alias("cent_vec"))
+
+    c = _assign_cells(fan_out(corpus), cents, 1, "neighbor_id", id_col, vec_col)
+    q = _assign_cells(queries, cents, n_probe, "query_id", id_col, vec_col)
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("query_id_vec"), F.col("neighbor_id_vec")), 6
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
