@@ -1018,10 +1018,95 @@ ORDER BY c_mktsegment
 """
 
 
+def division_full_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("for all"): suppliers who supply EVERY size-1
+    part of Brand#1. Expressed as count-matching — distinct supplied target
+    parts per supplier == total target parts — which is one broadcast of a
+    single scalar plus one aggregation, instead of the textbook double
+    NOT EXISTS (two correlated anti-joins)."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") == 1)
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    total = part.agg(F.count("*").alias("n_target"))
+    covered = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").alias("n_supplied"))
+    )
+    return (
+        covered.crossJoin(F.broadcast(total))
+        .where(F.col("n_supplied") == F.col("n_target"))
+        .select(F.col("l_suppkey").alias("s_suppkey"), "n_supplied")
+    )
+
+
+DIVISION_SQL = """
+WITH target AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#1' AND p_size = 1),
+covered AS (
+  SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_supplied
+  FROM lineitem JOIN target ON l_partkey = p_partkey
+  GROUP BY l_suppkey)
+SELECT l_suppkey AS s_suppkey, n_supplied
+FROM covered
+WHERE n_supplied = (SELECT COUNT(*) FROM target)
+"""
+
+
+def revenue_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly sums in exact integer cents,
+    lag window over months, growth ratio as the single float op. The window
+    runs over an already-aggregated ~tens-of-rows frame — the shuffle heavy
+    lifting happened in the month rollup."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+        .select(
+            "month",
+            "rev_cents",
+            F.round(
+                F.col("rev_cents").cast("double")
+                / F.col("prev_cents").cast("double")
+                - 1.0,
+                6,
+            ).alias("growth"),
+        )
+        .orderBy("month")
+    )
+
+
+REVENUE_GROWTH_SQL = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1)
+SELECT month, rev_cents,
+       round(CAST(rev_cents AS DOUBLE)
+             / CAST(LAG(rev_cents) OVER (ORDER BY month) AS DOUBLE) - 1.0,
+             6) AS growth
+FROM m
+ORDER BY month
+"""
+
+
 QUERIES = {
     "array_hof_funcs": array_hof_funcs,
+    "division_full_coverage": division_full_coverage,
     "fuzzy_name_match": fuzzy_name_match,
     "gini_balance_by_segment": gini_balance_by_segment,
+    "revenue_growth_mom": revenue_growth_mom,
     "stats_corr": stats_corr,
     "window_distribution": window_distribution,
     "merge_upsert_orders": merge_upsert_orders,
@@ -1060,8 +1145,10 @@ QUERIES = {
 
 ORACLES = {
     "array_hof_funcs": ARRAY_HOF_SQL,
+    "division_full_coverage": DIVISION_SQL,
     "fuzzy_name_match": FUZZY_NAME_SQL,
     "gini_balance_by_segment": GINI_SQL,
+    "revenue_growth_mom": REVENUE_GROWTH_SQL,
     "stats_corr": STATS_CORR_SQL,
     "window_distribution": WINDOW_DISTRIBUTION_SQL,
     "merge_upsert_orders": MERGE_UPSERT_SQL,
