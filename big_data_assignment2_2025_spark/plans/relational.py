@@ -1101,9 +1101,95 @@ ORDER BY month
 """
 
 
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-occurring in the same order,
+    kept when seen in >= 3 orders, top-25 by support. The self-join key is
+    the order — pair fan-out is bounded by order size squared (TPC-H orders
+    hold <= 7 lineitems), so the join is linear in orders, never parts²."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part2"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("part1") < F.col("part2"))
+        .groupBy("part1", "part2")
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= 3)
+        .orderBy(F.col("n_orders").desc(), F.col("part1").asc(), F.col("part2").asc())
+        .limit(25)
+    )
+
+
+BASKET_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part1, b.l_partkey AS part2, COUNT(*) AS n_orders
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+ORDER BY n_orders DESC, part1 ASC, part2 ASC
+LIMIT 25
+"""
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring: recency (days since last order), frequency
+    (order count), monetary (exact cent sum), each cut into quartiles by
+    ntile over a TOTAL order (custkey tiebreak) — the standard marketing
+    segmentation rollup.
+
+    Scale note: an unpartitioned ntile window funnels the customer
+    DIMENSION (not the fact table) through one sort — fine to ~1e8
+    customers. Past that, swap ntile for approx_percentile quartile
+    boundaries broadcast-joined back (approximate cut, no global sort);
+    kept exact here because exactness is what the oracle can check."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    r_w = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    m_w = Window.orderBy(
+        F.col("monetary_cents").desc(), F.col("o_custkey").asc()
+    )
+    return per_cust.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )
+
+
+RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey AS c_custkey, frequency, monetary_cents,
+       NTILE(4) OVER (ORDER BY last_order DESC, o_custkey ASC) AS r_score,
+       NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+       NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS m_score
+FROM per_cust
+"""
+
+
 QUERIES = {
     "array_hof_funcs": array_hof_funcs,
+    "basket_part_pairs": basket_part_pairs,
     "division_full_coverage": division_full_coverage,
+    "rfm_segmentation": rfm_segmentation,
     "fuzzy_name_match": fuzzy_name_match,
     "gini_balance_by_segment": gini_balance_by_segment,
     "revenue_growth_mom": revenue_growth_mom,
@@ -1145,7 +1231,9 @@ QUERIES = {
 
 ORACLES = {
     "array_hof_funcs": ARRAY_HOF_SQL,
+    "basket_part_pairs": BASKET_SQL,
     "division_full_coverage": DIVISION_SQL,
+    "rfm_segmentation": RFM_SQL,
     "fuzzy_name_match": FUZZY_NAME_SQL,
     "gini_balance_by_segment": GINI_SQL,
     "revenue_growth_mom": REVENUE_GROWTH_SQL,

@@ -327,9 +327,41 @@ ORDER BY lang, split
 """
 
 
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams by document frequency — corpus phrase profiling (the
+    n-gram census a data-quality pass runs to spot boilerplate). Reuses the
+    dedup shingler at n=2 (distinct per doc -> counting gives document
+    frequency, robust against one spammy doc); one aggregation + top-k."""
+    from ..operators.dedup import shingles_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        shingles_df(docs, n=2)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("shingle").asc())
+        .limit(20)
+    )
+
+
+TEXT_BIGRAM_SQL = """
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS toks
+           FROM documents WHERE text IS NOT NULL),
+tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM t),
+sh0 AS (SELECT doc_id, term || ' ' || LEAD(term, 1) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)
+SELECT shingle, COUNT(*) AS doc_freq
+FROM sh GROUP BY shingle
+ORDER BY doc_freq DESC, shingle ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "split_train_test": split_train_test,
     "pipeline_clean_corpus": pipeline_clean_corpus,
+    "text_bigram_topk": text_bigram_topk,
     "token_budget_pack": token_budget_pack,
     "text_language_id": text_language_id,
     "text_quality_scores": text_quality_scores,
@@ -341,6 +373,7 @@ QUERIES = {
 ORACLES = {
     "split_train_test": SPLIT_TRAIN_TEST_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_SQL,
+    "text_bigram_topk": TEXT_BIGRAM_SQL,
     "token_budget_pack": TOKEN_BUDGET_PACK_SQL,
     "text_language_id": TEXT_LANGUAGE_ID_SQL,
     "text_quality_scores": TEXT_QUALITY_SQL,
