@@ -102,3 +102,53 @@ def test_asof_bad_direction_raises(spark):
     df = spark.createDataFrame([(1, 1, 1.0)], ["k", "t", "v"])
     with pytest.raises(ValueError):
         asof_join(df, df, on="k", time_col="t", right_cols=["v"], direction="nearest")
+
+
+def test_asof_differential_random(spark):
+    """Differential test: random (key, time) data vs a pure-python reference
+    for both directions, including duplicate left times and empty sides."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    pair = st.tuples(
+        st.integers(min_value=0, max_value=2),   # key
+        st.integers(min_value=0, max_value=40),  # time
+    )
+    lefts = st.lists(pair, min_size=1, max_size=12)
+    rights = st.lists(pair, min_size=0, max_size=12)
+
+    @given(lefts=lefts, rights=rights, direction=st.sampled_from(["backward", "forward"]))
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    def run(lefts, rights, direction):
+        # right side must be unique per (key, time): dedupe keeping max payload
+        rmap = {}
+        for k, t in rights:
+            rmap[(k, t)] = max(rmap.get((k, t), -1), t * 10 + k)
+        left_df = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(lefts)], ["lid", "k", "t"]
+        )
+        right_df = spark.createDataFrame(
+            [(k, t, v) for (k, t), v in rmap.items()] or [(99, -1, -1)],
+            ["k", "t", "payload"],
+        )
+        got = {
+            r["lid"]: r["payload_asof"]
+            for r in asof_join(
+                left_df, right_df, on="k", time_col="t",
+                right_cols=["payload"], direction=direction,
+            ).collect()
+        }
+        for i, (k, t) in enumerate(lefts):
+            if direction == "backward":
+                cands = [(rt, v) for (rk, rt), v in rmap.items() if rk == k and rt <= t]
+                want = max(cands)[1] if cands else None
+            else:
+                cands = [(rt, v) for (rk, rt), v in rmap.items() if rk == k and rt >= t]
+                want = min(cands)[1] if cands else None
+            if not rmap:
+                want = None
+            assert got[i] == want, (direction, i, k, t, got[i], want)
+
+    run()
