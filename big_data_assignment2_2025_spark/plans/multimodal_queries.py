@@ -131,7 +131,52 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def multimodal_chunk_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob sharding: split each payload into fixed 256-byte chunks with a
+    per-chunk digest — the step that turns oversized media blobs into
+    storable/parallelizable units (object-store part uploads, per-chunk
+    dedup). Pure projection + explode: no shuffle, scales linearly; chunk
+    count derives from length, so the plan never materializes the blob
+    twice. Corpus is ASCII (FIXTURES.md) so char offsets == byte offsets
+    and DuckDB replays the chunking exactly."""
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    chunked = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.length("text") - 1) / 256).cast("int"),
+            )
+        ).alias("chunk_idx"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.length(F.expr("substring(text, chunk_idx * 256 + 1, 256)")).alias(
+            "chunk_len"
+        ),
+        F.md5(F.expr("substring(text, chunk_idx * 256 + 1, 256)")).alias(
+            "chunk_md5"
+        ),
+    )
+
+
+MULTIMODAL_CHUNK_SQL = """
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       CAST(length(substring(text, CAST(i AS INTEGER) * 256 + 1, 256)) AS INTEGER)
+         AS chunk_len,
+       md5(substring(text, CAST(i AS INTEGER) * 256 + 1, 256)) AS chunk_md5
+FROM documents
+CROSS JOIN LATERAL (
+  SELECT unnest(range((length(text) - 1) // 256 + 1)) AS i)
+WHERE length(text) > 0
+"""
+
+
 QUERIES = {
+    "multimodal_chunk_payloads": multimodal_chunk_payloads,
     "pandas_udf_quantile_bucket": pandas_udf_quantile_bucket,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_feature_stats": multimodal_feature_stats,
@@ -139,6 +184,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_chunk_payloads": MULTIMODAL_CHUNK_SQL,
     "pandas_udf_quantile_bucket": PANDAS_UDF_SQL,
     "multimodal_decode_features": MULTIMODAL_DECODE_SQL,
     "multimodal_feature_stats": MULTIMODAL_STATS_SQL,
