@@ -76,6 +76,19 @@ COMMENTARY = {
         "exchange on the 3-value group key — the same shuffle profile as a "
         "plain groupBy count, regardless of how many moments ride along."
     ),
+    "tfidf_doc_similarity": (
+        "Doc-doc cosine with the df<=20 rare-term cap: the weight table is "
+        "built once and feeds both the norm aggregation and the shared-term "
+        "self-join; the cap bounds per-term join fan-out to df_cap^2, which "
+        "is what keeps an all-pairs text-similarity computation linear in "
+        "corpus size instead of quadratic in hot-term document frequency."
+    ),
+    "events_funnel": (
+        "Ordered funnel as chained conditional min-aggregations: every join "
+        "and every groupBy keys on user_id, so the three stages share one "
+        "hash partitioning; the closing 3-way combine joins single-row "
+        "aggregates (a deliberate 1x1x1 nested loop)."
+    ),
 }
 
 
