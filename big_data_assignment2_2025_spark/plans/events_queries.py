@@ -465,6 +465,51 @@ GROUP BY user_id
 """
 
 
+def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction via min_by/max_by: the first and latest value per
+    (user, event_type) in ONE aggregation — the \"upsert log -> current
+    state\" collapse, without the window+filter two-step (no second pass,
+    map-side combinable, the shape that compacts a CDC stream at scale).
+
+    The ordering key packs (second, event_id) into one bigint so first/last
+    are total-ordered and engine-independent; 1.7e9 * 1e7 stays well under
+    int64."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    ord_key = sec * F.lit(10_000_000).cast("long") + F.col("event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            ord_key.alias("ord"),
+            sec.alias("sec"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("min_by(value, ord)").alias("first_value"),
+            F.expr("max_by(value, ord)").alias("last_value"),
+            F.max("sec").alias("last_sec"),
+        )
+    )
+
+
+EVENTS_LATEST_STATE_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, round(value, 4) AS value,
+         CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id AS ord,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events)
+SELECT user_id, event_type, COUNT(*) AS n_events,
+       min_by(value, ord) AS first_value,
+       max_by(value, ord) AS last_value,
+       MAX(sec) AS last_sec
+FROM e
+GROUP BY user_id, event_type
+"""
+
+
 def events_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust location/scale per event_type: median and MAD (median absolute
     deviation) — outlier-resistant profiling. Two aggregation passes with a
@@ -543,6 +588,7 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES = {
     "events_funnel": events_funnel,
+    "events_latest_state": events_latest_state,
     "events_map_funcs": events_map_funcs,
     "events_retention_cohorts": events_retention_cohorts,
     "events_robust_stats": events_robust_stats,
@@ -559,6 +605,7 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_latest_state": EVENTS_LATEST_STATE_SQL,
     "events_map_funcs": EVENTS_MAP_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
     "events_robust_stats": EVENTS_ROBUST_SQL,
