@@ -350,12 +350,14 @@ def simhash_pairs(
     ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
     a = chunked.select(F.col(id_col).alias("doc1"), F.col("simhash").alias("h1"), "chunk", "ckey")
     b = chunked.select(F.col(id_col).alias("doc2"), F.col("simhash").alias("h2"), "chunk", "ckey")
+    # hamming filter BEFORE the distinct: bit_count is a per-row codegen op,
+    # so filtering first shrinks the dedup shuffle from every chunk-collision
+    # candidate down to actual near-dup pairs (orders of magnitude at scale)
     return (
         a.join(b, ["chunk", "ckey"])
         .where(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2", "h1", "h2")
-        .distinct()
         .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
         .where(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
+        .distinct()
     )
