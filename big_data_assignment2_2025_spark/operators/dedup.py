@@ -276,10 +276,20 @@ def minhash_dedup(
     # intersection row and cannot pass the threshold, so restricting the
     # exact-Jaccard computation to candidates changes nothing semantically)
     exact = jaccard_for_pairs(sh, cands, id_col=id_col)
-    return (
+    result = (
         exact.where(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+        .persist()
     )
+    # Materialize now so the corpus-scale intermediates (shingles, candidate
+    # pairs) can be unpersisted before returning — a long-lived session (the
+    # 105-query gate run) must not accumulate one cached shingle set per call.
+    # The caller is left holding only the near-dup pairs, orders of magnitude
+    # smaller than the corpus, and may unpersist the returned frame when done.
+    result.count()
+    sh.unpersist()
+    cands.unpersist()
+    return result
 
 
 # ---------------------------------------------------------------------------

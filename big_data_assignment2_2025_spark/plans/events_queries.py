@@ -42,7 +42,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
        MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
@@ -159,8 +159,8 @@ flagged AS (
                  THEN 1 ELSE 0 END AS new_sess
   FROM lagged),
 sess AS (
-  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged)
 SELECT user_id, session_id,
        MIN(sec) AS session_start, MAX(sec) AS session_end,

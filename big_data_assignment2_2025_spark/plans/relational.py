@@ -1090,7 +1090,7 @@ def revenue_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
 REVENUE_GROWTH_SQL = """
 WITH m AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
   FROM orders GROUP BY 1)
 SELECT month, rev_cents,
        round(CAST(rev_cents AS DOUBLE)
@@ -1175,7 +1175,7 @@ WITH per_cust AS (
   SELECT o_custkey,
          MAX(CAST(o_orderdate AS DATE)) AS last_order,
          COUNT(*) AS frequency,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
   FROM orders GROUP BY o_custkey)
 SELECT o_custkey AS c_custkey, frequency, monetary_cents,
        NTILE(4) OVER (ORDER BY last_order DESC, o_custkey ASC) AS r_score,

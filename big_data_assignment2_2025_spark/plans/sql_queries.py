@@ -28,7 +28,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 # One text, two engines: runs verbatim under Spark SQL AND DuckDB.
 SQL_REGION_ROLLUP = """
 SELECT r_name, n_name, COUNT(*) AS n_customers,
-       SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey

@@ -144,9 +144,10 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXT_CORPUS_STATS_SQL = """
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        round(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
-       SUM(len(string_split_regex(lower(text), '[^a-z0-9_'']+'))) AS approx_tokens
+       CAST(SUM(len(string_split_regex(lower(text), '[^a-z0-9_'']+'))) AS BIGINT) AS approx_tokens
 FROM documents
 GROUP BY lang, source
 ORDER BY lang, source
@@ -235,8 +236,9 @@ s AS (
   FROM m),
 c AS (
   SELECT doc_id, lang, quality, bpe_tokens,
-         SUM(bpe_tokens) OVER (PARTITION BY lang
-                               ORDER BY quality DESC, doc_id ASC) AS cum_tokens
+         CAST(SUM(bpe_tokens) OVER (PARTITION BY lang
+                               ORDER BY quality DESC, doc_id ASC)
+              AS BIGINT) AS cum_tokens
   FROM s)
 SELECT doc_id, lang, quality, bpe_tokens, cum_tokens
 FROM c WHERE cum_tokens <= 10000
@@ -319,7 +321,8 @@ k AS (
          CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
               THEN 'train' ELSE 'test' END AS split
   FROM d WHERE rn = 1)
-SELECT lang, split, COUNT(*) AS n_docs, SUM(ws_tokens) AS total_tokens,
+SELECT lang, split, COUNT(*) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens,
        round(AVG(quality), 6) AS avg_quality
 FROM k
 GROUP BY lang, split

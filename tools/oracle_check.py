@@ -28,10 +28,16 @@ TABLES = (
 
 
 def _norm_cell(v):
+    import decimal
     import math
 
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        # DuckDB HUGEINT/DECIMAL results reach the driver as floats (Arrow
+        # decimal128 -> pandas float64), so mimic that here: an un-cast
+        # SUM(BIGINT) must FAIL locally exactly like it fails the driver gate.
+        return repr(float(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -89,15 +95,24 @@ def main():
             print(f"SKIP  {name}: no oracle (rows-only check: {len(srows)} rows) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(sql)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            tbl = con.execute(sql).arrow()
+            ocols = tbl.schema.names
+            orows = [tuple(d[c] for c in ocols) for d in tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
 
         problems = []
+        import pyarrow as pa
+
+        for field in tbl.schema:
+            if pa.types.is_decimal(field.type):
+                problems.append(
+                    f"oracle column '{field.name}' is {field.type} (DuckDB "
+                    "HUGEINT/DECIMAL -> driver normalizes as float); wrap it "
+                    "in CAST(... AS BIGINT/DOUBLE) in the oracle SQL"
+                )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):
