@@ -15,7 +15,9 @@ from . import (
     events_queries,
     multimodal_queries,
     parity_queries,
+    pipeline_queries,
     relational,
+    relational2,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -27,12 +29,14 @@ from . import (
 _MODULES = [
     search_queries,
     relational,
+    relational2,
     dedup_queries,
     similarity_queries,
     text_queries,
     events_queries,
     streaming_queries,
     multimodal_queries,
+    pipeline_queries,
     temporal_queries,
     parity_queries,
     sql_queries,

@@ -83,6 +83,24 @@ COMMENTARY = {
         "is what keeps an all-pairs text-similarity computation linear in "
         "corpus size instead of quadratic in hot-term document frequency."
     ),
+    "q4_late_order_priority": (
+        "EXISTS decorrelated to a LeftSemi hash join: the quarter filter is in "
+        "`PushedFilters` on the orders scan (partition pruning on a "
+        "date-partitioned warehouse), the shipdate comparison stays as a join "
+        "residual, and each matching order is emitted at most once — no "
+        "fact×fact row multiplication before the aggregate, which is what "
+        "makes EXISTS safe at 100 TB where a rewrite through JOIN+DISTINCT "
+        "would shuffle the multiplied rows."
+    ),
+    "contamination_check": (
+        "Train/test 5-gram overlap. Shingling is a scan-side projection "
+        "(transform/slice over the token array — no UDF, no shuffle); the "
+        "only shuffles are the shingle equi-join and the per-test-doc "
+        "aggregate; the top-50 is `TakeOrderedAndProject`. At 100 TB the "
+        "shingle join is the LSH-band-join shape again: bounded fanout per "
+        "key, plus (in production) a document-frequency cap on shingles to "
+        "keep stop-phrase keys from skewing the join."
+    ),
     "events_funnel": (
         "Ordered funnel as chained conditional min-aggregations: every join "
         "and every groupBy keys on user_id, so the three stages share one "
