@@ -134,3 +134,16 @@ def ingest_text_file(spark: SparkSession, path: str) -> DataFrame:
         F.element_at(F.split(F.col("fname"), "/"), -1).alias("doc_title"),
         F.regexp_replace(F.col("text"), "\n", " ").alias("text"),
     )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — native vectorized reader; pushdown/pruning contract
+    identical to parquet (stripe-level min/max stats)."""
+    return spark.read.orc(path)
+
+
+def read_csv_with_schema(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV source with an EXPLICIT schema (never inferSchema: that is a
+    second full scan at 100 TB and silently type-guesses). header=true
+    tolerated and ignored via the schema's column names."""
+    return spark.read.schema(schema).option("header", "true").csv(path)

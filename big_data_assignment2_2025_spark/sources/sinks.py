@@ -92,3 +92,21 @@ def dump_documents(df: DataFrame, out_dir: str) -> None:
             fh.write(row["text"] or "")
 
     named.foreach(_write)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar interchange format Spark ships a
+    native vectorized reader/writer for. Same predicate-pushdown and
+    column-pruning contract as parquet (ORC keeps min/max stream stats per
+    stripe), so interchange with Hive-era warehouses costs no plan quality."""
+    df.write.mode(mode).orc(path)
+
+
+def write_csv_with_header(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """CSV sink with header — lossy (stringly) interchange; kept for the
+    export surface only. Schema must be re-imposed on read (see
+    readers.read_csv_with_schema) — inferSchema is a full extra pass at
+    100 TB and type-guesses, so it is never used."""
+    df.write.mode(mode).option("header", "true").csv(path)

@@ -79,3 +79,41 @@ def test_range_sorted_write_has_disjoint_tight_stats(spark, sf_dir, tmp_path):
 
     back = spark.read.parquet(path)
     assert back.count() == ev.count()
+
+
+def test_orc_roundtrip_preserves_values_and_pushdown(spark, sf_dir, tmp_path):
+    from big_data_assignment2_2025_spark.sources.readers import load_table, read_orc
+    from big_data_assignment2_2025_spark.sources.sinks import write_orc
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    a = sorted(map(tuple, orders.select("o_orderkey", "o_totalprice").collect()))
+    b = sorted(map(tuple, back.select("o_orderkey", "o_totalprice").collect()))
+    assert a == b
+    # predicate pushdown reaches the ORC scan like parquet
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = (
+        back.where(F.col("o_orderkey") == 42)
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    assert "PushedFilters:" in plan and "EqualTo(o_orderkey,42)" in plan
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
+    from big_data_assignment2_2025_spark.sources.readers import (
+        load_table,
+        read_csv_with_schema,
+    )
+    from big_data_assignment2_2025_spark.sources.sinks import write_csv_with_header
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    write_csv_with_header(nation, path)
+    back = read_csv_with_schema(spark, path, nation.schema)
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
