@@ -18,6 +18,7 @@ from . import (
     pipeline_queries,
     relational,
     relational2,
+    relational3,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -30,6 +31,7 @@ _MODULES = [
     search_queries,
     relational,
     relational2,
+    relational3,
     dedup_queries,
     similarity_queries,
     text_queries,
