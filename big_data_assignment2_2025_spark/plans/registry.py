@@ -15,6 +15,7 @@ from . import (
     events_queries,
     multimodal_queries,
     parity_queries,
+    pipeline2_queries,
     pipeline_queries,
     relational,
     relational2,
@@ -39,6 +40,7 @@ _MODULES = [
     streaming_queries,
     multimodal_queries,
     pipeline_queries,
+    pipeline2_queries,
     temporal_queries,
     parity_queries,
     sql_queries,
