@@ -107,6 +107,37 @@ COMMENTARY = {
         "hash partitioning; the closing 3-way combine joins single-row "
         "aggregates (a deliberate 1x1x1 nested loop)."
     ),
+    "q21_waiting_suppliers": (
+        "The EXISTS + NOT EXISTS double self-join (TPC-H Q21 shape). Both "
+        "the LeftSemi (another supplier on the order) and the LeftAnti "
+        "(another LATE supplier) key on l_orderkey, so the late-lines view "
+        "is hash-partitioned once and both self-joins co-locate on it — at "
+        "1000 executors there is exactly one fact-scale exchange, not three. "
+        "The supplier dimension broadcasts into the final count."
+    ),
+    "q8_market_share": (
+        "Six-way star with a conditional-sum ratio. Every dimension "
+        "(part, supplier, both nation roles, region) shows as "
+        "BroadcastHashJoin; the only shuffled join is lineitem⋈orders on "
+        "the orderkey, and the year-grouped aggregate is partial+final. "
+        "Numerator and denominator come out of ONE aggregate pass — no "
+        "second scan for the CASE-gated sum."
+    ),
+    "doc_chunk_overlap": (
+        "LLM chunking with zero shuffles: split → sequence → explode → "
+        "slice are all partition-local projections inside one "
+        "WholeStageCodegen span. Output bytes grow only by the overlap "
+        "ratio (window/stride), and the md5 chunk hash gives downstream "
+        "chunk-dedup a uniformly-distributed, skew-free shuffle key."
+    ),
+    "embedding_outliers": (
+        "Fully-relational embedding QA: posexplode to (vec, dim, value), "
+        "centroids as a (label, dim) aggregate — a tiny table that "
+        "BROADCASTS back into the per-vector distance sum, so the only "
+        "large exchange keys on unique vec_ids (skew-free). Distances are "
+        "exact BIGINT sums of squared micro-deltas: deterministic at any "
+        "parallelism, no float accumulation-order drift."
+    ),
 }
 
 
