@@ -20,6 +20,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..operators.dedup import hash64
 from ..operators.index import build_index, incremental_reindex
@@ -86,14 +87,90 @@ WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1
 """
 
 
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise / integer scalar-function parity: and/or/xor, shifts,
+    popcount, factorial, and hex formatting — all native JVM expressions
+    inside one WholeStageCodegen projection (no shuffle, no UDF)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.expr("p_partkey & 255").alias("and_255"),
+        F.expr("p_partkey | 4096").alias("or_4096"),
+        F.expr("p_partkey ^ 1023").alias("xor_1023"),
+        F.shiftleft(F.col("p_size"), 3).alias("size_shl3"),
+        F.shiftright(F.col("p_partkey"), 4).alias("key_shr4"),
+        F.bit_count(F.col("p_partkey")).alias("key_popcount"),
+        F.factorial(F.col("p_size") % 10).alias("size_fact"),
+        F.lower(F.conv(F.col("p_partkey").cast("string"), 10, 16)).alias(
+            "key_hex"
+        ),
+    )
+
+
+BITWISE_SQL = """
+SELECT p_partkey,
+       p_partkey & 255 AS and_255,
+       p_partkey | 4096 AS or_4096,
+       xor(p_partkey, 1023) AS xor_1023,
+       p_size << 3 AS size_shl3,
+       p_partkey >> 4 AS key_shr4,
+       bit_count(p_partkey) AS key_popcount,
+       CAST(factorial(CAST(p_size % 10 AS INTEGER)) AS BIGINT) AS size_fact,
+       printf('%x', p_partkey) AS key_hex
+FROM part
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE window frame (vs the ROWS frames elsewhere): for every
+    event, how many events of the same type fall within the 1000-cent value
+    band below it, and their cent sum. RANGE frames include peers by VALUE,
+    so ties contribute identically on both engines regardless of physical
+    row order — the frame is a pure function of the cents column."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("cents")
+        .rangeBetween(-1000, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.count("*").over(w).alias("n_in_band"),
+        F.sum("cents").over(w).alias("band_cents"),
+    )
+
+
+WINDOW_RANGE_SQL = """
+SELECT event_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS cents,
+       COUNT(*) OVER w AS n_in_band,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS band_cents
+FROM events
+WINDOW w AS (PARTITION BY event_type
+             ORDER BY CAST(round(value * 100) AS BIGINT)
+             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "index_incremental_accumulate": index_incremental_accumulate,
     "tsv_roundtrip": tsv_roundtrip,
     "corpus_hash_sample": corpus_hash_sample,
+    "bitwise_funcs": bitwise_funcs,
+    "window_range_frame": window_range_frame,
 }
 
 ORACLES = {
     "index_incremental_accumulate": INDEX_INCREMENTAL_SQL,
     "tsv_roundtrip": TSV_ROUNDTRIP_SQL,
     "corpus_hash_sample": CORPUS_SAMPLE_SQL,
+    "bitwise_funcs": BITWISE_SQL,
+    "window_range_frame": WINDOW_RANGE_SQL,
 }

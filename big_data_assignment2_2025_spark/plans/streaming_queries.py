@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming import (
     run_streaming_dedup,
+    run_streaming_foreachbatch_upsert,
     run_streaming_hourly,
     run_streaming_sessions,
     run_streaming_sliding_window,
@@ -106,7 +107,7 @@ FROM events GROUP BY event_type
 STREAMING_SESSIONS_SQL = """
 WITH e AS (
   SELECT user_id, value,
-         CAST(floor(epoch_ns(ts) / 1000) AS BIGINT) AS us
+         CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
   FROM events),
 lagged AS (
   SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us FROM e),
@@ -125,7 +126,33 @@ GROUP BY user_id, sid
 """
 
 
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_foreachbatch_upsert(spark, sf_dir)
+
+
+# Batch twin of the foreachBatch latest-row-per-key upsert: last event per
+# user by (event time, event_id) — exact integer µs and cents, so the
+# streamed state table matches the batch window query bit-for-bit.
+STREAMING_FOREACHBATCH_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         -- integer division: epoch_ns/1000 through DOUBLE loses µs at 1e18
+         CAST(epoch_ns(ts) // 1000 AS BIGINT) AS us
+  FROM events WHERE event_id IS NOT NULL),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY us DESC, event_id DESC) AS rn
+  FROM e)
+SELECT user_id, us AS last_ts_us, event_type AS last_event_type,
+       value_cents AS last_value_cents
+FROM r WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "streaming_foreachbatch_upsert": streaming_foreachbatch_upsert,
     "streaming_hourly_window": streaming_hourly_window,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_session_windows": streaming_session_windows,
@@ -136,6 +163,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_foreachbatch_upsert": STREAMING_FOREACHBATCH_SQL,
     "streaming_stream_join": STREAMING_STREAM_JOIN_SQL,
     "streaming_static_join": STREAMING_STATIC_JOIN_SQL,
     # identical final state to the batch sliding-window aggregation

@@ -275,6 +275,72 @@ def _make_running_counter():
     return RunningCounter()
 
 
+def run_streaming_foreachbatch_upsert(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
+    """Streaming upsert into a keyed state table via ``foreachBatch`` — the
+    standard pattern for maintaining a "latest row per key" serving table
+    from a change stream when the sink has no native MERGE (plain parquet
+    here; the same callback body works against Delta/Iceberg MERGE INTO).
+
+    Each micro-batch unions the incoming rows with the previous table
+    version and keeps the newest row per user (max event time, event_id
+    tie-break), writing a NEW versioned directory — an atomic-swap
+    overwrite that never reads and writes the same files in one job. State
+    size is bounded by the key cardinality (one row per user), not the
+    stream length.
+
+    Scale: the per-batch merge is one shuffle on user_id (row_number
+    window); at warehouse scale the same pattern shards by key range and
+    merges only touched partitions (partition-pruned MERGE). The fixture
+    replays as a single availableNow batch; multi-batch behavior is
+    exercised in tests/test_streaming_merge.py by splitting the fixture
+    into several files (``source`` injects that stream).
+    """
+    ev = source if source is not None else read_events_stream(spark, sf_dir)
+    updates = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value") * 100).cast("long").alias("last_value_cents"),
+    )
+    root = tempfile.mkdtemp(prefix="upsert_state_")
+    state: dict[str, str | None] = {"cur": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        merged = batch_df
+        if state["cur"] is not None:
+            merged = batch_df.unionByName(sess.read.parquet(state["cur"]))
+        w = W.partitionBy("user_id").orderBy(
+            F.desc("last_ts_us"), F.desc("event_id")
+        )
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        new_dir = os.path.join(root, f"v{batch_id}")
+        latest.write.mode("overwrite").parquet(new_dir)
+        state["cur"] = new_dir
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            updates.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    assert state["cur"] is not None
+    return (
+        spark.read.parquet(state["cur"])
+        .select("user_id", "last_ts_us", "last_event_type", "last_value_cents")
+        .orderBy("user_id")
+    )
+
+
 def run_streaming_tws_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running event counter via ``transformWithStateInPandas`` —
     Spark 4's arbitrary-state API (typed state variables, timers, TTL),

@@ -56,3 +56,50 @@ def test_streaming_foreachbatch_merge(spark, sf_dir):
     }
     want = {r["event_id"]: (r["user_id"], r["value"]) for r in base.collect()}
     assert got == want  # every zeroed row updated, every missing row inserted
+
+
+def test_foreachbatch_upsert_multibatch(spark, sf_dir, tmp_path):
+    """run_streaming_foreachbatch_upsert over a THREE-file stream (three
+    micro-batches with maxFilesPerTrigger=1) must converge to the same
+    latest-row-per-user table as the batch window query over all events."""
+    from pyspark.sql import Window as W
+
+    from big_data_assignment2_2025_spark.streaming.stream import (
+        run_streaming_foreachbatch_upsert,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("event_id").isNotNull()
+    )
+    # three files -> three micro-batches
+    src_dir = str(tmp_path / "split_events")
+    ev.withColumn("part", (F.col("event_id") % 3).cast("int")).repartition(
+        3, "part"
+    ).drop("part").write.mode("overwrite").parquet(src_dir)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .where(F.col("event_id").isNotNull())
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    got = run_streaming_foreachbatch_upsert(spark, sf_dir, source=stream)
+
+    w = W.partitionBy("user_id").orderBy(
+        F.desc("last_ts_us"), F.desc("event_id")
+    )
+    want = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.expr("ts div 1000").alias("last_ts_us"),
+            F.col("event_type").alias("last_event_type"),
+            F.round(F.col("value") * 100).cast("long").alias("last_value_cents"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "last_ts_us", "last_event_type", "last_value_cents")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
