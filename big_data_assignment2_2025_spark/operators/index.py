@@ -54,6 +54,11 @@ class InvertedIndex:
         self.corpus_info.cache()
         return self
 
+    def unpersist(self) -> "InvertedIndex":
+        for df in (self.term_freq, self.term_doc_freq, self.doc_info, self.corpus_info):
+            df.unpersist()
+        return self
+
 
 def _valid_docs(corpus: DataFrame) -> DataFrame:
     # blank-text / malformed guard, reference mapper1.py:7-13
@@ -64,11 +69,30 @@ def _valid_docs(corpus: DataFrame) -> DataFrame:
     )
 
 
-def build_index(corpus: DataFrame, corpus_name: str = WHOLE_CORPUS) -> InvertedIndex:
+def build_index(
+    corpus: DataFrame,
+    corpus_name: str = WHOLE_CORPUS,
+    share_term_freq: bool = True,
+) -> InvertedIndex:
     """corpus(doc_id, doc_title, text) -> the four index tables.
 
     One shuffle (the term_freq groupBy); everything else derives from
     term_freq without touching the raw text again.
+
+    ``share_term_freq`` persists the term_freq relation (MEMORY_AND_DISK):
+    a consumer that references several index tables in ONE plan (e.g. the
+    ad-hoc BM25 search joins tf + vocab + doc_info + corpus stats) would
+    otherwise re-run the tokenize+shuffle subtree once PER TABLE — the
+    per-branch pushed filters make the four exchanges non-identical, so
+    Catalyst's ReuseExchange cannot dedup them (verified: 4x ``Generate
+    explode`` in the unshared physical plan). With the persist, the corpus
+    is tokenized exactly once. Spark's CacheManager keys on the
+    canonicalized plan, so repeated ``build_index`` calls over the same
+    source share one cache entry instead of accumulating copies; callers
+    that are done with an ad-hoc index can release it via
+    ``index.unpersist()``. At 100 TB the cached relation is the aggregated
+    index (far smaller than the corpus) and spills to disk — still
+    strictly cheaper than four corpus-scale tokenize passes.
     """
     # fan_out: the tokenize+explode projection is the CPU-heavy stage; make
     # sure it isn't pinned to an under-split scan (no-op on well-split input)
@@ -80,6 +104,10 @@ def build_index(corpus: DataFrame, corpus_name: str = WHOLE_CORPUS) -> InvertedI
         .withColumn("corpus_name", F.lit(corpus_name))
         .select("term", "corpus_name", "doc_id", "doc_title", "term_frequency")
     )
+    if share_term_freq:
+        from pyspark import StorageLevel
+
+        term_freq = term_freq.persist(StorageLevel.MEMORY_AND_DISK)
 
     # term_freq is unique per (term, doc) => row count per term == #docs
     # containing the term (the mapper1.py:20 per-doc dedup, for free).
