@@ -159,12 +159,72 @@ WINDOW w AS (PARTITION BY event_type
 """
 
 
+def revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total via FULL-PARTITION window frames (no ORDER BY): each
+    nation's share of its region's revenue and of global revenue, computed
+    from ONE aggregate + two unordered window sums — the ratio-to-report
+    pattern. Sums are exact integer cents so the division is deterministic;
+    the windows ride the tiny per-nation aggregate, never the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    per_nation = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    by_region = W.partitionBy("r_name")
+    overall = W.partitionBy()
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "rev_cents",
+        F.round(
+            F.col("rev_cents") / F.sum("rev_cents").over(by_region), 6
+        ).alias("region_share"),
+        F.round(
+            F.col("rev_cents") / F.sum("rev_cents").over(overall), 6
+        ).alias("global_share"),
+    ).orderBy("r_name", "n_name")
+
+
+REVENUE_SHARE_SQL = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT r_name, n_name, rev_cents,
+       round(rev_cents / CAST(SUM(rev_cents) OVER (PARTITION BY r_name)
+                              AS BIGINT), 6) AS region_share,
+       round(rev_cents / CAST(SUM(rev_cents) OVER () AS BIGINT), 6)
+         AS global_share
+FROM per_nation
+ORDER BY r_name, n_name
+"""
+
+
 QUERIES = {
     "index_incremental_accumulate": index_incremental_accumulate,
     "tsv_roundtrip": tsv_roundtrip,
     "corpus_hash_sample": corpus_hash_sample,
     "bitwise_funcs": bitwise_funcs,
     "window_range_frame": window_range_frame,
+    "revenue_share_window": revenue_share_window,
 }
 
 ORACLES = {
@@ -173,4 +233,5 @@ ORACLES = {
     "corpus_hash_sample": CORPUS_SAMPLE_SQL,
     "bitwise_funcs": BITWISE_SQL,
     "window_range_frame": WINDOW_RANGE_SQL,
+    "revenue_share_window": REVENUE_SHARE_SQL,
 }

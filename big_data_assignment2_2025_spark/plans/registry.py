@@ -13,6 +13,7 @@ from __future__ import annotations
 from . import (
     dedup_queries,
     events_queries,
+    graph_queries,
     multimodal_queries,
     parity_queries,
     pipeline2_queries,
@@ -34,6 +35,7 @@ _MODULES = [
     relational2,
     relational3,
     dedup_queries,
+    graph_queries,
     similarity_queries,
     text_queries,
     events_queries,
