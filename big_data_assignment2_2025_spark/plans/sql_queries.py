@@ -42,10 +42,82 @@ def sql_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_REGION_ROLLUP)
 
 
+# One text, two engines: a correlated LATERAL subquery (top-2 orders per
+# customer) — the SQL-level form of the per-group top-k that
+# window_topk_per_group expresses in the DataFrame API. Spark decorrelates
+# the LATERAL into a ranked join; DuckDB runs it natively; the shared text
+# carries full tie-break keys so both engines emit identical rows.
+SQL_LATERAL_TOPK = """
+SELECT c_mktsegment, c_custkey, o_orderkey, o_totalprice
+FROM customer, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_LATERAL_TOPK)
+
+
+def udtf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4): a user-defined TABLE function expanding
+    each document into its top-3 terms (count desc, term asc) via a LATERAL
+    call — the sanctioned modern form of the reference's hand-rolled
+    mapper-as-UDTF pipeline (app/mapreduce/mapper1.py:22-23, SURVEY.md
+    §2.9). Python UDTFs are the *slow path* by policy (SCALING.md §1);
+    this query exists for API parity, and its oracle is the equivalent
+    relational explode + count + row_number, proving the UDTF output is
+    reproducible by native operators."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term: string, cnt: int, rnk: int")
+    class TopTerms:
+        def eval(self, text: str):
+            from collections import Counter
+
+            toks = [t for t in (text or "").split(" ") if t]
+            best = sorted(
+                Counter(toks).items(), key=lambda kv: (-kv[1], kv[0])
+            )[:3]
+            for i, (term, cnt) in enumerate(best, 1):
+                yield term, cnt, i
+
+    spark.udtf.register("top_terms", TopTerms)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT doc_id, t.term, t.cnt, t.rnk "
+        "FROM documents, LATERAL top_terms(text) t "
+        "ORDER BY doc_id, rnk"
+    )
+
+
+UDTF_TOP_TERMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+cnt AS (
+  SELECT doc_id, tok AS term, CAST(COUNT(*) AS INTEGER) AS cnt
+  FROM tok WHERE tok <> '' GROUP BY doc_id, tok),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY cnt DESC, term) AS INTEGER)
+              AS rnk
+  FROM cnt)
+SELECT doc_id, term, cnt, rnk FROM r WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
 QUERIES = {
     "sql_region_rollup": sql_region_rollup,
+    "sql_lateral_topk": sql_lateral_topk,
+    "udtf_top_terms": udtf_top_terms,
 }
 
 ORACLES = {
     "sql_region_rollup": SQL_REGION_ROLLUP,
+    "sql_lateral_topk": SQL_LATERAL_TOPK,
+    "udtf_top_terms": UDTF_TOP_TERMS_SQL,
 }
