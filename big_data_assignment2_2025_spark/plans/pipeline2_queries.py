@@ -351,7 +351,125 @@ ORDER BY label, vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC-style table compare)
+# ---------------------------------------------------------------------------
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff of two table snapshots — the reconciliation step of
+    every replication/backfill pipeline. Old and new snapshots are derived
+    deterministically from the orders fixture (disjoint key-suffix deletes
+    and inserts, a price bump on every 5th key), then FULL OUTER joined on
+    the key and classified insert / delete / update; unchanged rows are
+    dropped BEFORE the sort so the output scales with the churn, not the
+    table. One co-partitioned shuffle on the key at any scale."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    old = orders.where(F.col("o_orderkey") % 10 != 3)
+    new = orders.where(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("cents") + 100
+        ).otherwise(F.col("cents")).alias("cents"),
+    )
+    o = old.select(
+        F.col("o_orderkey").alias("k"), F.col("cents").alias("old_cents")
+    )
+    n = new.select(
+        F.col("o_orderkey").alias("k"), F.col("cents").alias("new_cents")
+    )
+    diff = o.join(n, "k", "full_outer").select(
+        F.col("k").alias("o_orderkey"),
+        F.when(F.col("old_cents").isNull(), F.lit("insert"))
+        .when(F.col("new_cents").isNull(), F.lit("delete"))
+        .when(F.col("old_cents") != F.col("new_cents"), F.lit("update"))
+        .otherwise(F.lit("same"))
+        .alias("action"),
+        "old_cents",
+        "new_cents",
+    )
+    return diff.where(F.col("action") != "same").orderBy("o_orderkey")
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH base AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+old AS (SELECT * FROM base WHERE o_orderkey % 10 <> 3),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN cents + 100 ELSE cents END AS cents
+  FROM base WHERE o_orderkey % 10 <> 7),
+diff AS (
+  SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+         CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+              WHEN new.o_orderkey IS NULL THEN 'delete'
+              WHEN old.cents <> new.cents THEN 'update'
+              ELSE 'same' END AS action,
+         old.cents AS old_cents, new.cents AS new_cents
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey)
+SELECT o_orderkey, action, old_cents, new_cents
+FROM diff WHERE action <> 'same'
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate refresh (materialized-view maintenance)
+# ---------------------------------------------------------------------------
+
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refresh a materialized monthly-revenue aggregate with a delta batch
+    WITHOUT rescanning history: new_agg = re-aggregate(old_agg ∪ agg(delta)).
+    The 'old' materialization covers orders before 2001; the delta is the
+    2001+ tail. Because SUM and COUNT are decomposable, unioning the small
+    aggregate with the aggregated delta and re-summing per group is exact —
+    the oracle recomputes from ALL rows and must hash-match. This is the
+    generic form of the index builder's incremental_reindex (SURVEY.md A5):
+    at 100 TB the refresh touches only the delta partition plus the tiny
+    aggregate table."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cut = F.lit("2001-01-01").cast("date")
+    base_agg = (
+        orders.where(F.col("month") < cut)
+        .groupBy("month")
+        .agg(F.sum("cents").alias("rev_cents"), F.count("*").alias("n_orders"))
+    )
+    delta_agg = (
+        orders.where(F.col("month") >= cut)
+        .groupBy("month")
+        .agg(F.sum("cents").alias("rev_cents"), F.count("*").alias("n_orders"))
+    )
+    return (
+        base_agg.unionByName(delta_agg)
+        .groupBy("month")
+        .agg(
+            F.sum("rev_cents").alias("rev_cents"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
+INCREMENTAL_AGG_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_cents,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY month
+ORDER BY month
+"""
+
+
 QUERIES = {
+    "snapshot_diff": snapshot_diff,
+    "incremental_agg_refresh": incremental_agg_refresh,
     "doc_chunk_overlap": doc_chunk_overlap,
     "text_repetition_stats": text_repetition_stats,
     "embedding_outliers": embedding_outliers,
@@ -361,6 +479,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "incremental_agg_refresh": INCREMENTAL_AGG_SQL,
     "doc_chunk_overlap": DOC_CHUNK_SQL,
     "text_repetition_stats": TEXT_REPETITION_SQL,
     "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
