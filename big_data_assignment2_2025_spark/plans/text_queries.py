@@ -361,7 +361,78 @@ LIMIT 20
 """
 
 
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM plausibility scoring — the shape of perplexity-based
+    quality filtering: train bigram statistics ON the corpus, score every
+    document by its bigrams' conditional probabilities P(w2|w1) =
+    count(w1 w2) / count(w1), summed per document.
+
+    Determinism: probabilities are ratios of exact BIGINT counts; IEEE
+    division and multiplication are correctly rounded (identical on both
+    engines, unlike transcendental log whose libm vs JVM last-ulp can
+    differ), so each bigram's micro-probability rounds identically and the
+    per-doc BIGINT sum commutes. Scale: bigram stats shuffle once on the
+    bigram key; the scoring join keys on the same bigram — at 100 TB the
+    stats table is Zipf-small relative to the corpus and the join sides
+    co-partition."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).where(F.col("tok") != "").persist()  # feeds both uni and the bigrams
+    by_doc = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("w2", F.lead("tok").over(by_doc))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+        .persist()  # feeds both the stats aggregation and the scoring join
+    )
+    bg_counts = big.groupBy("w1", "w2").agg(F.count("*").alias("n_bg"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("n_uni"))
+    prob_micros = F.round(
+        F.lit(1e6)
+        * (F.col("n_bg").cast("double") / F.col("n_uni").cast("double"))
+    ).cast("long")
+    scored = (
+        big.join(bg_counts, ["w1", "w2"])
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(prob_micros).alias("score_micros"),
+        )
+    )
+    return scored.orderBy("doc_id")
+
+
+TEXT_BIGRAM_LM_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+toks AS (SELECT doc_id, tok, pos FROM raw WHERE tok <> ''),
+big AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, tok AS w1,
+           LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks) t
+  WHERE w2 IS NOT NULL),
+bg AS (SELECT w1, w2, COUNT(*) AS n_bg FROM big GROUP BY w1, w2),
+uni AS (SELECT tok AS w1, COUNT(*) AS n_uni FROM toks GROUP BY tok)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(CAST(round(1e6 * (CAST(n_bg AS DOUBLE)
+                                  / CAST(n_uni AS DOUBLE))) AS BIGINT))
+            AS BIGINT) AS score_micros
+FROM big JOIN bg USING (w1, w2) JOIN uni USING (w1)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_bigram_lm_score": text_bigram_lm_score,
     "split_train_test": split_train_test,
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "text_bigram_topk": text_bigram_topk,
@@ -374,6 +445,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bigram_lm_score": TEXT_BIGRAM_LM_SQL,
     "split_train_test": SPLIT_TRAIN_TEST_SQL,
     "pipeline_clean_corpus": PIPELINE_CLEAN_SQL,
     "text_bigram_topk": TEXT_BIGRAM_SQL,

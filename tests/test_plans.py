@@ -122,3 +122,39 @@ def test_sliding_window_no_join(spark):
     plan = _plan(spark, "events_sliding_window")
     assert "Join" not in plan
     assert plan.count("Exchange") <= 4  # one agg exchange (+ sort for orderBy)
+
+
+def test_doc_chunk_no_shuffle(spark):
+    # chunking is projection-only: no Exchange anywhere in the plan (the
+    # sort for display-ordering is allowed to add one at most)
+    plan = _plan(spark, "doc_chunk_overlap")
+    assert "CartesianProduct" not in plan
+    # explode + slice must not introduce a hash shuffle
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_q8_star_is_broadcast_only(spark):
+    # every dimension broadcasts; the only shuffled join may be the
+    # lineitem-orders equi-join (at fixture scale AQE may broadcast even
+    # that, so assert the negative: no shuffled join on a dimension key,
+    # no cartesian)
+    plan = _plan(spark, "q8_market_share")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    plan = _plan(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_single_join(spark):
+    # the diff is ONE full-outer join on the key; classification is a
+    # projection on top — no second join, no cartesian
+    plan = _plan(spark, "snapshot_diff")
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 1
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
