@@ -138,6 +138,22 @@ COMMENTARY = {
         "exact BIGINT sums of squared micro-deltas: deterministic at any "
         "parallelism, no float accumulation-order drift."
     ),
+    "snapshot_diff": (
+        "CDC reconciliation as ONE full-outer join on the key with the "
+        "insert/delete/update classification as a projection above it — "
+        "no second join, no cartesian. The action filter drops unchanged "
+        "rows before the output sort, so the result scales with churn "
+        "rather than table size; at warehouse scale both snapshots "
+        "co-partition on the join key."
+    ),
+    "text_bigram_lm_score": (
+        "Perplexity-filter shape: bigram stats trained on the corpus and "
+        "joined back to score every document. The token and bigram views "
+        "are persisted (InMemoryTableScan) so the stats aggregation and "
+        "the scoring join share one tokenize+window pass; probabilities "
+        "are IEEE ratios of BIGINT counts — correctly-rounded division, "
+        "no transcendental whose last ulp differs across engines."
+    ),
 }
 
 
