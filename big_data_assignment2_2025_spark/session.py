@@ -31,8 +31,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet stores TIMESTAMP(NANOS); Spark 4 only reads it via
-        # the ns-as-long escape hatch (sources/readers.py rebuilds the column)
+        # harmless unless events.parquet stores TIMESTAMP(NANOS), in which
+        # case Spark 4 can only read it via the ns-as-long escape hatch
+        # (sources/readers.py normalize_event_ts rebuilds the column)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -40,20 +40,41 @@ CORPUS_SCHEMA = T.StructType(
 )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TimestampType (µs) across fixture vintages.
+
+    The driver has shipped the events fixture with three different physical
+    types for ``ts`` over time: TIMESTAMP(NANOS) (readable only as raw long
+    via ``nanosAsLong``), TIMESTAMP(MICROS) isAdjustedToUTC=false (which
+    Spark 4 reads as TIMESTAMP_NTZ), and plain TIMESTAMP. Dispatch on the
+    observed type instead of assuming one, so the engine works against any
+    regeneration of the testdata. The session timezone is pinned to UTC by
+    the caller, making the NTZ→TZ cast wall-clock-preserving and keeping
+    epoch arithmetic (unix_micros, window bounds) identical to the DuckDB
+    oracle's naive-UTC reading.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":  # nanos-as-long vintage
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Vectorized parquet scan of one synthetic table (TESTDATA.md).
 
-    The ``events`` fixture carries a nanosecond-precision timestamp, which
-    Spark 4 refuses outright (PARQUET_TYPE_ILLEGAL). We read it as raw ns
-    (``nanosAsLong``) and rebuild a proper TimestampType column truncated to
-    microseconds — the same truncation Spark 3.x applied implicitly. The
-    conf is set at runtime (it is a session conf) so this works under ANY
-    caller-built SparkSession, including the grading driver's.
+    For ``events`` the ``ts`` column is normalized to a µs TimestampType
+    regardless of the fixture's physical parquet type (see
+    ``normalize_event_ts``). Confs are set at runtime (they are session
+    confs) so this works under ANY caller-built SparkSession, including the
+    grading driver's.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

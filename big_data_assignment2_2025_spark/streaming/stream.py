@@ -41,20 +41,23 @@ def _stage_dir(sf_dir: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture.
 
-    The ns-precision ``ts`` is read as long (session sets ``nanosAsLong``)
-    and rebuilt as a µs timestamp, mirroring ``sources.readers.load_table``.
+    ``ts`` is normalized to a µs TimestampType whatever the fixture's
+    physical parquet type (see ``sources.readers.normalize_event_ts``).
     ``maxFilesPerTrigger=1`` keeps micro-batches small if a processing-time
     trigger is used; availableNow batches the backlog on its own.
     """
+    from big_data_assignment2_2025_spark.sources.readers import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
+    stream = (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(_stage_dir(sf_dir))
         .where(F.col("event_id").isNotNull())
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    return normalize_event_ts(stream)
 
 
 def _drain_to_memory(

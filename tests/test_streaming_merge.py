@@ -10,6 +10,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from big_data_assignment2_2025_spark.operators.merge import merge_upsert
+from big_data_assignment2_2025_spark.sources.readers import normalize_event_ts
 from big_data_assignment2_2025_spark.streaming.stream import read_events_stream
 
 
@@ -68,8 +69,10 @@ def test_foreachbatch_upsert_multibatch(spark, sf_dir, tmp_path):
         run_streaming_foreachbatch_upsert,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
-        F.col("event_id").isNotNull()
+    ev = normalize_event_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet").where(
+            F.col("event_id").isNotNull()
+        )
     )
     # three files -> three micro-batches
     src_dir = str(tmp_path / "split_events")
@@ -78,12 +81,11 @@ def test_foreachbatch_upsert_multibatch(spark, sf_dir, tmp_path):
     ).drop("part").write.mode("overwrite").parquet(src_dir)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
+    stream = normalize_event_ts(
         spark.readStream.schema(spark.read.parquet(src_dir).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
         .where(F.col("event_id").isNotNull())
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     got = run_streaming_foreachbatch_upsert(spark, sf_dir, source=stream)
 
@@ -94,7 +96,7 @@ def test_foreachbatch_upsert_multibatch(spark, sf_dir, tmp_path):
         ev.select(
             "user_id",
             "event_id",
-            F.expr("ts div 1000").alias("last_ts_us"),
+            F.unix_micros("ts").alias("last_ts_us"),
             F.col("event_type").alias("last_event_type"),
             F.round(F.col("value") * 100).cast("long").alias("last_value_cents"),
         )
