@@ -21,6 +21,7 @@ from . import (
     relational,
     relational2,
     relational3,
+    round3_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -46,6 +47,7 @@ _MODULES = [
     temporal_queries,
     parity_queries,
     sql_queries,
+    round3_queries,
 ]
 
 QUERIES = {}
