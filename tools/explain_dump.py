@@ -154,6 +154,41 @@ COMMENTARY = {
         "are IEEE ratios of BIGINT counts — correctly-rounded division, "
         "no transcendental whose last ulp differs across engines."
     ),
+    "skyline_parts": (
+        "Pareto frontier WITHOUT the quadratic self-join: one hash "
+        "aggregate collapses the fact table to the size domain (tens of "
+        "rows), a window computes the suffix-min over that domain, and a "
+        "`BroadcastHashJoin` carries the thresholds back to the facts. "
+        "Nothing O(n^2) ever touches the big table — the NOT-EXISTS "
+        "formulation (what the DuckDB oracle runs) would be a "
+        "BroadcastNestedLoopJoin and is exactly what this plan avoids."
+    ),
+    "dedup_simhash": (
+        "SimHash near-dup. Signature build: tokens -> one (doc, term) "
+        "combine-heavy shuffle -> per-row 48-wide ±tf array folded "
+        "element-wise in ONE aggregate (48 separate sum() buffers measured "
+        "3× slower). The one-row-per-doc signature relation is persisted "
+        "(InMemoryTableScan on both join branches) because the banded "
+        "self-join reads it twice and ReuseExchange cannot dedup the "
+        "differing chunk projections. Pair generation is an equi-join on "
+        "(chunk, chunk-key) — pigeonhole-exact for hamming<=3, never N^2."
+    ),
+    "graph_pagerank_topk": (
+        "Iterative algorithm as a fixed unrolled dataflow: three "
+        "join+aggregate rounds over the persisted adjacency list "
+        "(InMemoryTableScan per round). Integer fixed-point arithmetic "
+        "(floor divisions) makes the result bit-exact at any parallelism — "
+        "float PageRank cannot be hash-gated because the contribution sum "
+        "is order-dependent. At 1000 executors each round is one shuffle "
+        "on node id; degree skew is the known hazard (power-law hubs) and "
+        "AQE skew-join handles the join side."
+    ),
+    "interval_merge_coverage": (
+        "Interval union per user: running-max-of-end + flag-cumsum + two "
+        "aggregations, ALL riding a single `Exchange "
+        "hashpartitioning(user_id)` — the windows and both groupBys share "
+        "one shuffle and one sort. Pure integer µs arithmetic end to end."
+    ),
 }
 
 
