@@ -782,6 +782,207 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+# ---------------------------------------------------------------------------
+# Native session_window in batch
+# ---------------------------------------------------------------------------
+
+
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions via Spark's NATIVE ``session_window`` (30-min gap)
+    run in batch mode — the same operator the streaming path uses
+    (streaming/stream.py:run_streaming_sessions), gated here against a
+    windowed gap-island oracle. Semantics pinned cross-engine: a session
+    extends while the next event lands strictly inside [last_event,
+    last_event + gap); window end = last event + gap, so duration =
+    (max_ts − min_ts) + gap. One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        (F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start"))).alias(
+            "duration_us"
+        ),
+        "n_events",
+        "cents",
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+flagged AS (
+  SELECT user_id, us, cents,
+         CASE WHEN us - lag(us) OVER w >= 1800000000
+                OR lag(us) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+g AS (
+  SELECT user_id, us, cents,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess
+  FROM flagged)
+SELECT user_id,
+       CAST(MIN(us) AS BIGINT) AS session_start_us,
+       CAST(MAX(us) - MIN(us) + 1800000000 AS BIGINT) AS duration_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM g GROUP BY user_id, sess
+"""
+
+
+# ---------------------------------------------------------------------------
+# Association rules (confidence / lift)
+# ---------------------------------------------------------------------------
+
+
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 2-item association rules a→b over order baskets with
+    support ≥ 2: confidence = P(b|a), lift = confidence / P(b) — the rule
+    mining step after basket_part_pairs' co-occurrence counts. All counts
+    are integers; the two ratios are single correctly-rounded divisions.
+    Shape: one bounded basket self-join for pair supports + one per-item
+    aggregate broadcast back (items ≪ baskets at any scale)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    item = li.groupBy(F.col("l_partkey").alias("a")).agg(
+        F.count("*").alias("a_orders")
+    )
+    x = li.select("l_orderkey", F.col("l_partkey").alias("a"))
+    y = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    pairs = (
+        x.join(y, "l_orderkey")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    b_item = item.select(
+        F.col("a").alias("b"), F.col("a_orders").alias("b_orders")
+    )
+    return (
+        pairs.join(F.broadcast(item), "a")
+        .join(F.broadcast(b_item), "b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            "support",
+            F.round(F.col("support") / F.col("a_orders"), 6).alias("confidence"),
+            F.round(
+                (F.col("support") / F.col("a_orders"))
+                / (F.col("b_orders") / F.col("n_orders")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+ASSOCIATION_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+item AS (SELECT l_partkey AS a, COUNT(*) AS a_orders FROM li GROUP BY 1),
+pairs AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS support
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT p.a, p.b, CAST(p.support AS BIGINT) AS support,
+       round(p.support / ia.a_orders, 6) AS confidence,
+       round((p.support / ia.a_orders) / (ib.a_orders / n.n_orders), 6)
+         AS lift
+FROM pairs p
+JOIN item ia ON ia.a = p.a
+JOIN item ib ON ib.a = p.b
+CROSS JOIN n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration (80/20)
+# ---------------------------------------------------------------------------
+
+
+def customer_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: how many top customers cover ≥80% of total
+    order revenue, and the share of the customer base they represent. A
+    cumulative-sum window over the per-customer AGGREGATE (never the fact
+    table), then one scalar readout — the Pareto/ABC analysis shape.
+    Deterministic: cents cumsum is exact, ordering tie-broken by custkey,
+    and the two output ratios are single rounded divisions."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = W.orderBy(F.desc("cents"), "o_custkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    ranked = per_cust.select(
+        "o_custkey",
+        "cents",
+        F.sum("cents").over(w).alias("cum_cents"),
+        F.row_number().over(W.orderBy(F.desc("cents"), "o_custkey")).alias("rn"),
+    )
+    totals = per_cust.agg(
+        F.sum("cents").alias("total_cents"), F.count("*").alias("n_cust")
+    )
+    hit = (
+        ranked.crossJoin(F.broadcast(totals))
+        .where(5 * F.col("cum_cents") >= 4 * F.col("total_cents"))
+        .agg(
+            F.min("rn").alias("n_top_customers"),
+            F.max("n_cust").alias("n_customers"),
+        )
+    )
+    return hit.select(
+        "n_top_customers",
+        "n_customers",
+        F.round(F.col("n_top_customers") / F.col("n_customers"), 6).alias(
+            "top_frac"
+        ),
+    )
+
+
+PARETO_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT o_custkey, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cents,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn
+  FROM per_cust),
+totals AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS total_cents, COUNT(*) AS n_cust
+  FROM per_cust)
+SELECT CAST(MIN(rn) AS BIGINT) AS n_top_customers,
+       CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+       round(MIN(rn) / MAX(n_cust), 6) AS top_frac
+FROM ranked CROSS JOIN totals
+WHERE 5 * cum_cents >= 4 * total_cents
+"""
+
+
 QUERIES = {
     "skyline_parts": skyline_parts,
     "islands_active_days": islands_active_days,
@@ -797,6 +998,9 @@ QUERIES = {
     "events_dow_hour_heatmap": events_dow_hour_heatmap,
     "orders_daily_gapfill": orders_daily_gapfill,
     "decimal_exact_agg": decimal_exact_agg,
+    "events_session_window_native": events_session_window_native,
+    "association_rules": association_rules,
+    "customer_pareto_8020": customer_pareto_8020,
 }
 
 ORACLES = {
@@ -814,4 +1018,7 @@ ORACLES = {
     "events_dow_hour_heatmap": DOW_HEATMAP_SQL,
     "orders_daily_gapfill": GAPFILL_SQL,
     "decimal_exact_agg": DECIMAL_AGG_SQL,
+    "events_session_window_native": SESSION_WINDOW_SQL,
+    "association_rules": ASSOCIATION_SQL,
+    "customer_pareto_8020": PARETO_SQL,
 }
