@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming import (
     run_streaming_dedup,
+    run_streaming_dedup_window_chain,
     run_streaming_foreachbatch_upsert,
     run_streaming_hourly,
     run_streaming_sessions,
@@ -35,6 +36,12 @@ def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_dedup(spark, sf_dir)
+
+
+def streaming_dedup_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful ops (watermarked dedup -> windowed agg) over an
+    at-least-once (self-unioned) replay; equals the batch hourly answer."""
+    return run_streaming_dedup_window_chain(spark, sf_dir)
 
 
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,6 +162,7 @@ QUERIES = {
     "streaming_foreachbatch_upsert": streaming_foreachbatch_upsert,
     "streaming_hourly_window": streaming_hourly_window,
     "streaming_dedup_events": streaming_dedup_events,
+    "streaming_dedup_window_chain": streaming_dedup_window_chain,
     "streaming_session_windows": streaming_session_windows,
     "streaming_stateful_counter": streaming_stateful_counter,
     "streaming_stream_join": streaming_stream_join,
@@ -171,6 +179,9 @@ ORACLES = {
     # identical final state to the batch tumbling-window aggregation
     "streaming_hourly_window": EVENTS_HOURLY_SQL,
     "streaming_dedup_events": STREAMING_DEDUP_SQL,
+    # dedup collapses the duplicated replay back to the original events, so
+    # the final state equals the plain batch hourly aggregation
+    "streaming_dedup_window_chain": EVENTS_HOURLY_SQL,
     "streaming_session_windows": STREAMING_SESSIONS_SQL,
     "streaming_stateful_counter": STREAMING_STATEFUL_SQL,
 }

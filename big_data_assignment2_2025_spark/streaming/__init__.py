@@ -1,6 +1,7 @@
 from .stream import (  # noqa: F401
     read_events_stream,
     run_streaming_dedup,
+    run_streaming_dedup_window_chain,
     run_streaming_foreachbatch_upsert,
     run_streaming_hourly,
     run_streaming_sessions,

@@ -434,6 +434,40 @@ def run_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(agg, spark)
 
 
+def run_streaming_dedup_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 3.5+
+    multi-stateful support): watermarked dedup feeding a windowed
+    aggregation. The input is deliberately duplicated (self-union of the
+    file stream — the at-least-once delivery a real broker exhibits), so
+    the dedup stage is load-bearing: without it every count/sum doubles.
+    Final state after an availableNow replay must equal the batch hourly
+    aggregation over the ORIGINAL events — which is exactly the oracle of
+    the plain hourly query (EVENTS_HOURLY_SQL).
+
+    State bounds at scale: dedup state is keyed on event_id and evicted
+    once the watermark passes each event's time; window state closes 2 h
+    behind the max event time. Two stateful stages share one shuffle on the
+    (window, event_type) grouping after the dedup exchange."""
+    ev = read_events_stream(spark, sf_dir)
+    duplicated = ev.unionAll(ev)
+    agg = (
+        duplicated.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain_to_memory(agg, spark)
+
+
 def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time session windows (30-min gap) per user via Spark's native
     ``session_window`` — the streaming counterpart of the batch lag/cumsum
