@@ -983,6 +983,86 @@ WHERE 5 * cum_cents >= 4 * total_cents
 """
 
 
+# ---------------------------------------------------------------------------
+# Spark 4 VARIANT type
+# ---------------------------------------------------------------------------
+
+
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: ``parse_json``
+    once into a variant value, then typed ``variant_get`` paths — the
+    engine-native answer to schemaless columns (vs per-access string
+    re-parsing with get_json_object, gated by events_json_extract). At scale
+    a VARIANT column parses each blob once and stores a binary-encoded tree;
+    repeated path extractions are then O(path), not O(re-parse)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.col("k") % 2).alias("n_odd_weighted"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VARIANT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT) % 2) AS BIGINT)
+         AS n_odd_weighted,
+       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource API (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+def python_datasource_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A table from a USER-DEFINED Python data source (Spark 4's
+    ``pyspark.sql.datasource`` API): a generated calendar dimension,
+    partitioned one-split-per-month so the read parallelizes like any other
+    source. Exercises the full custom-source contract — name/schema/reader/
+    partitions — the extension point for reading systems Spark has no
+    built-in connector for. The query rolls the dimension up per month;
+    the oracle regenerates the same calendar with generate_series."""
+    from ..sources.pyds import CalendarDataSource
+
+    spark.dataSource.register(CalendarDataSource)
+    cal = spark.read.format("calendar").option("year", "1995").load()
+    return (
+        cal.groupBy("month")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.col("is_weekend").cast("long")).alias("n_weekend"),
+            F.min("day").alias("first_day"),
+        )
+        .orderBy("month")
+    )
+
+
+PY_DATASOURCE_SQL = """
+WITH cal AS (
+  SELECT CAST(d AS DATE) AS day,
+         month(CAST(d AS DATE)) AS month,
+         isodow(CAST(d AS DATE)) >= 6 AS is_weekend
+  FROM generate_series(DATE '1995-01-01', DATE '1995-12-31', INTERVAL 1 DAY)
+       gs(d))
+SELECT CAST(month AS INTEGER) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CAST(is_weekend AS BIGINT)) AS BIGINT) AS n_weekend,
+       MIN(day) AS first_day
+FROM cal GROUP BY month ORDER BY month
+"""
+
+
 QUERIES = {
     "skyline_parts": skyline_parts,
     "islands_active_days": islands_active_days,
@@ -1001,6 +1081,8 @@ QUERIES = {
     "events_session_window_native": events_session_window_native,
     "association_rules": association_rules,
     "customer_pareto_8020": customer_pareto_8020,
+    "events_variant_extract": events_variant_extract,
+    "python_datasource_calendar": python_datasource_calendar,
 }
 
 ORACLES = {
@@ -1021,4 +1103,6 @@ ORACLES = {
     "events_session_window_native": SESSION_WINDOW_SQL,
     "association_rules": ASSOCIATION_SQL,
     "customer_pareto_8020": PARETO_SQL,
+    "events_variant_extract": VARIANT_SQL,
+    "python_datasource_calendar": PY_DATASOURCE_SQL,
 }
