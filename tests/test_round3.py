@@ -206,3 +206,15 @@ def test_weighted_median_golden(spark, monkeypatch):
     )
     row = r3.weighted_median_price(spark, "ignored").collect()[0]
     assert (row.weighted_median_cents, row.total_weight) == (200, 4)
+
+
+def test_python_datasource_calendar(spark):
+    from big_data_assignment2_2025_spark.sources.pyds import CalendarDataSource
+
+    spark.dataSource.register(CalendarDataSource)
+    cal = spark.read.format("calendar").option("year", "1996").load()
+    rows = cal.collect()
+    assert len(rows) == 366  # 1996 is a leap year
+    feb = [r for r in rows if r.month == 2]
+    assert len(feb) == 29
+    assert all(r.is_weekend == (r.isodow >= 6) for r in rows)
