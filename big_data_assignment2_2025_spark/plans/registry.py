@@ -22,6 +22,7 @@ from . import (
     relational2,
     relational3,
     round3_queries,
+    round3b_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -48,6 +49,7 @@ _MODULES = [
     parity_queries,
     sql_queries,
     round3_queries,
+    round3b_queries,
 ]
 
 QUERIES = {}
