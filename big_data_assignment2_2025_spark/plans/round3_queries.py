@@ -925,7 +925,10 @@ def customer_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative-sum window over the per-customer AGGREGATE (never the fact
     table), then one scalar readout — the Pareto/ABC analysis shape.
     Deterministic: cents cumsum is exact, ordering tie-broken by custkey,
-    and the two output ratios are single rounded divisions."""
+    and the two output ratios are single rounded divisions. Scale note:
+    the global cumsum sorts #customers rows in one partition; at warehouse
+    scale it becomes a two-phase range-partitioned prefix sum (per-range
+    partial totals broadcast as offsets). The gate keeps the direct form."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")

@@ -93,7 +93,11 @@ def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     deciles (purchase cents, ntile over a fully tie-broken order), then
     per-decile totals — the monetization report shape. ntile is
     deterministic here because the ORDER BY is a total order (cents desc,
-    user_id); the window runs over the per-user aggregate."""
+    user_id); the window runs over the per-user aggregate. Scale note: a
+    global ntile is a single-partition sort of #users rows; at warehouse
+    scale compute the 9 decile boundaries first (percentile over the
+    aggregate) and broadcast-join them back — same buckets, no global
+    sort. The gate keeps the exact-ntile form."""
     ev = load_table(spark, sf_dir, "events")
     per_user = (
         ev.where(F.col("event_type") == "purchase")
