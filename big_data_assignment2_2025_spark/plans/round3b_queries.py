@@ -138,13 +138,39 @@ FROM deciled GROUP BY decile ORDER BY decile
 """
 
 
+def orders_page_two(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless pagination: page 2 of the order book (rows 11-20 by price
+    desc) via ORDER BY + OFFSET + LIMIT — deterministic because the sort is
+    a total order (price cents desc, key). Spark plans offset+limit as a
+    single TakeOrdered of offset+limit rows, so the cost is the page
+    horizon, not the table. (Real pagination at depth uses keyset
+    predicates — `WHERE (cents, key) < last_seen` — which this total order
+    makes possible; OFFSET is the operator-parity shape.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).orderBy(F.desc("cents"), "o_orderkey")
+    return ranked.offset(10).limit(10)
+
+
+PAGE_TWO_SQL = """
+SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders
+ORDER BY cents DESC, o_orderkey
+LIMIT 10 OFFSET 10
+"""
+
+
 QUERIES = {
+    "orders_page_two": orders_page_two,
     "orders_quarter_rollup": orders_quarter_rollup,
     "top_terms_per_lang": top_terms_per_lang,
     "user_ltv_deciles": user_ltv_deciles,
 }
 
 ORACLES = {
+    "orders_page_two": PAGE_TWO_SQL,
     "orders_quarter_rollup": QUARTER_ROLLUP_SQL,
     "top_terms_per_lang": TOP_TERMS_SQL,
     "user_ltv_deciles": LTV_DECILES_SQL,

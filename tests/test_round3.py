@@ -218,3 +218,30 @@ def test_python_datasource_calendar(spark):
     feb = [r for r in rows if r.month == 2]
     assert len(feb) == 29
     assert all(r.is_weekend == (r.isodow >= 6) for r in rows)
+
+
+def test_observe_metrics_match_aggregate(spark, sf_dir):
+    """df.observe(): accumulator-style metrics collected DURING an action
+    (no second pass over the data) must equal a separate aggregation —
+    the production pattern for row-count/quality counters on 100 TB runs
+    where a dedicated metrics scan would double the cost."""
+    from pyspark.sql import Observation
+
+    from big_data_assignment2_2025_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("li_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    want = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("c"),
+    ).first()
+    assert obs.get["n_rows"] == want["n"]
+    assert obs.get["cents"] == want["c"]
