@@ -105,14 +105,17 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .groupBy("doc1", "doc2")
         .agg(F.count("*").alias("inter"))
     )
+    # One row per document: NEVER force-broadcast this frame (at corpus
+    # scale it is the whole doc set -> guaranteed OOM). AQE sizes the join:
+    # broadcast when genuinely small, shuffle hash/SMJ on doc id otherwise.
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     return (
         inter.join(
-            F.broadcast(sizes.select(F.col(id_col).alias("doc1"), F.col("n_shingles").alias("n1"))),
+            sizes.select(F.col(id_col).alias("doc1"), F.col("n_shingles").alias("n1")),
             "doc1",
         )
         .join(
-            F.broadcast(sizes.select(F.col(id_col).alias("doc2"), F.col("n_shingles").alias("n2"))),
+            sizes.select(F.col(id_col).alias("doc2"), F.col("n_shingles").alias("n2")),
             "doc2",
         )
         .withColumn(
@@ -138,13 +141,16 @@ def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -
     Sizes join is left to AQE (it will broadcast when small); the candidate
     doc set is bounded by the near-dup population, not the corpus.
     """
+    # Candidate doc sets are bounded by the near-dup population, not the
+    # corpus — usually small, but not guaranteed, so no forced broadcast:
+    # AQE promotes the semi-joins to broadcast when the sets really are small.
     d1 = pairs.select("doc1").distinct()
     d2 = pairs.select("doc2").distinct()
     sh1 = sh.select(F.col(id_col).alias("doc1"), "shingle").join(
-        F.broadcast(d1), "doc1", "left_semi"
+        d1, "doc1", "left_semi"
     )
     sh2 = sh.select(F.col(id_col).alias("doc2"), "shingle").join(
-        F.broadcast(d2), "doc2", "left_semi"
+        d2, "doc2", "left_semi"
     )
     inter = (
         pairs.join(sh1, "doc1")
@@ -361,7 +367,11 @@ def simhash_pairs(
     and without the persist each side re-runs the whole tokenize+aggregate
     signature subtree (the per-branch chunk projections differ, so
     ReuseExchange cannot dedup them). The cached relation is one (id, long)
-    row per document — negligible at any corpus size.
+    row per document — negligible at any corpus size. Lifecycle: the result
+    is materialized before returning so ``sigs`` can be unpersisted here —
+    a long registry run must not accumulate one cached signature relation
+    per invocation. The caller holds only the (small) near-dup pair set and
+    may unpersist it when done.
     """
     sigs = sigs.persist()
     n_chunks = max_hamming + 1
@@ -383,11 +393,15 @@ def simhash_pairs(
     # hamming filter BEFORE the distinct: bit_count is a per-row codegen op,
     # so filtering first shrinks the dedup shuffle from every chunk-collision
     # candidate down to actual near-dup pairs (orders of magnitude at scale)
-    return (
+    result = (
         a.join(b, ["chunk", "ckey"])
         .where(F.col("doc1") < F.col("doc2"))
         .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
         .where(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
         .distinct()
+        .persist()
     )
+    result.count()
+    sigs.unpersist()
+    return result

@@ -1136,16 +1136,19 @@ LIMIT 25
 
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer scoring: recency (days since last order), frequency
-    (order count), monetary (exact cent sum), each cut into quartiles by
-    ntile over a TOTAL order (custkey tiebreak) — the standard marketing
-    segmentation rollup.
+    (order count), monetary (exact cent sum), each cut into quartiles over
+    a TOTAL order (custkey tiebreak) — the standard marketing segmentation
+    rollup.
 
-    Scale note: an unpartitioned ntile window funnels the customer
-    DIMENSION (not the fact table) through one sort — fine to ~1e8
-    customers. Past that, swap ntile for approx_percentile quartile
-    boundaries broadcast-joined back (approximate cut, no global sort);
-    kept exact here because exactness is what the oracle can check."""
-    from pyspark.sql import Window
+    Scale shape: the quartiles are positional-NTILE-exact but computed via
+    ``operators.ranking.with_global_ntiles`` — range-bucket boundaries from
+    ``percentile_approx`` embedded as literals, per-bucket counts folded
+    into literal rank offsets, ``row_number`` over windows PARTITIONED by
+    bucket. No unpartitioned window anywhere, so the customer dimension is
+    never funneled through a single sort; the oracle keeps plain NTILE and
+    the results are bit-identical (the positional tile rule is engine-
+    independent given the total order)."""
+    from ..operators.ranking import NtileSpec, with_global_ntiles
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -1155,18 +1158,34 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents"
         ),
     )
-    r_w = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey").asc())
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
-    m_w = Window.orderBy(
-        F.col("monetary_cents").desc(), F.col("o_custkey").asc()
+    scored = with_global_ntiles(
+        per_cust,
+        [
+            NtileSpec(
+                "r_score",
+                -F.unix_date("last_order"),
+                [F.col("last_order").desc(), F.col("o_custkey").asc()],
+            ),
+            NtileSpec(
+                "f_score",
+                -F.col("frequency"),
+                [F.col("frequency").desc(), F.col("o_custkey").asc()],
+            ),
+            NtileSpec(
+                "m_score",
+                -F.col("monetary_cents"),
+                [F.col("monetary_cents").desc(), F.col("o_custkey").asc()],
+            ),
+        ],
+        n_tiles=4,
     )
-    return per_cust.select(
+    return scored.select(
         F.col("o_custkey").alias("c_custkey"),
         "frequency",
         "monetary_cents",
-        F.ntile(4).over(r_w).alias("r_score"),
-        F.ntile(4).over(f_w).alias("f_score"),
-        F.ntile(4).over(m_w).alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 

@@ -495,11 +495,18 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("pr"),
         )
-    return (
+    # materialize the 20-row result so the symmetrized adjacency cache can be
+    # released here — a long registry run must not leak one cached edge list
+    # per invocation (the caller holds only the tiny top-k frame)
+    result = (
         r.select("node", "pr")
         .orderBy(F.desc("pr"), "node")
         .limit(20)
+        .persist()
     )
+    result.count()
+    adj.unpersist()
+    return result
 
 
 PAGERANK_SQL = """

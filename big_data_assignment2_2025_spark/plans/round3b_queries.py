@@ -90,14 +90,17 @@ FROM ranked WHERE rnk <= 5
 
 def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lifetime-value decile segmentation: users bucketed into 10 spend
-    deciles (purchase cents, ntile over a fully tie-broken order), then
-    per-decile totals — the monetization report shape. ntile is
-    deterministic here because the ORDER BY is a total order (cents desc,
-    user_id); the window runs over the per-user aggregate. Scale note: a
-    global ntile is a single-partition sort of #users rows; at warehouse
-    scale compute the 9 decile boundaries first (percentile over the
-    aggregate) and broadcast-join them back — same buckets, no global
-    sort. The gate keeps the exact-ntile form."""
+    deciles (purchase cents, positional deciles over a fully tie-broken
+    order), then per-decile totals — the monetization report shape. The
+    decile is deterministic because the ORDER BY is a total order (cents
+    desc, user_id) over the per-user aggregate.
+
+    Scale shape: NTILE-exact deciles WITHOUT the global single-partition
+    sort, via ``operators.ranking.with_global_ntiles`` (literal range-bucket
+    boundaries -> partitioned row_number + literal offsets -> positional
+    tile formula). The oracle keeps plain NTILE; results are bit-identical."""
+    from ..operators.ranking import NtileSpec, with_global_ntiles
+
     ev = load_table(spark, sf_dir, "events")
     per_user = (
         ev.where(F.col("event_type") == "purchase")
@@ -106,8 +109,17 @@ def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
         )
     )
-    w = W.orderBy(F.desc("cents"), "user_id")
-    deciled = per_user.withColumn("decile", F.ntile(10).over(w))
+    deciled = with_global_ntiles(
+        per_user,
+        [
+            NtileSpec(
+                "decile",
+                -F.col("cents"),
+                [F.desc("cents"), F.col("user_id").asc()],
+            )
+        ],
+        n_tiles=10,
+    )
     return (
         deciled.groupBy("decile")
         .agg(

@@ -1,0 +1,134 @@
+"""Distributed-NTILE operator: bit-parity with a global ntile window, and
+plan audits proving no unpartitioned window / no forced broadcast survives
+in the quantile-segmentation queries (the round-3 scale-killers)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_assignment2_2025_spark.operators.ranking import (
+    NtileSpec,
+    with_global_ntiles,
+)
+from big_data_assignment2_2025_spark.plans import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def _unpartitioned_windows(df):
+    """Logical-plan walk collecting Window nodes with an empty
+    partitionSpec — each one is a single-partition global sort at scale."""
+
+    def walk(node):
+        yield node
+        cs = node.children()
+        for i in range(cs.size()):
+            yield from walk(cs.apply(i))
+
+    plan = df._jdf.queryExecution().optimizedPlan()
+    return [
+        n.toString().splitlines()[0]
+        for n in walk(plan)
+        if n.nodeName() == "Window" and n.partitionSpec().size() == 0
+    ]
+
+
+def _tied_df(spark, n: int):
+    # heavy ties (7 distinct metric values) exercise tie groups that span
+    # range-bucket boundaries — the case a value-cut quantile would get wrong
+    return spark.range(n).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+
+
+@pytest.mark.parametrize("n,tiles", [(137, 4), (137, 10), (5, 10), (40, 40)])
+def test_matches_global_ntile_bitwise(spark, n, tiles):
+    df = _tied_df(spark, n)
+    got = with_global_ntiles(
+        df,
+        [NtileSpec("t", -F.col("v"), [F.desc("v"), F.col("id").asc()])],
+        n_tiles=tiles,
+        n_buckets=8,
+    )
+    w = Window.orderBy(F.desc("v"), F.col("id").asc())
+    want = df.withColumn("t", F.ntile(tiles).over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_multiple_specs_and_empty_input(spark):
+    df = _tied_df(spark, 60)
+    got = with_global_ntiles(
+        df,
+        [
+            NtileSpec("a", F.col("v"), [F.col("v").asc(), F.col("id").asc()]),
+            NtileSpec("b", -F.col("id"), [F.col("id").desc()]),
+        ],
+        n_tiles=4,
+    )
+    wa = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    wb = Window.orderBy(F.col("id").desc())
+    want = df.withColumn("a", F.ntile(4).over(wa)).withColumn(
+        "b", F.ntile(4).over(wb)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    empty = _tied_df(spark, 60).where(F.lit(False))
+    got_empty = with_global_ntiles(
+        empty, [NtileSpec("a", F.col("v"), [F.col("v").asc()])], n_tiles=4
+    )
+    assert got_empty.collect() == []
+
+
+def test_operator_plan_has_no_unpartitioned_window(spark):
+    df = with_global_ntiles(
+        _tied_df(spark, 100),
+        [NtileSpec("t", -F.col("v"), [F.desc("v"), F.col("id").asc()])],
+        n_tiles=4,
+    )
+    assert _unpartitioned_windows(df) == []
+
+
+@pytest.mark.parametrize("name", ["rfm_segmentation", "user_ltv_deciles"])
+def test_quantile_queries_have_no_global_sort_window(spark, name):
+    bad = _unpartitioned_windows(QUERIES[name](spark, SF_SMALL))
+    assert bad == [], f"unpartitioned Window in {name}: {bad}"
+
+
+def test_jaccard_sizes_join_not_forced_broadcast(spark):
+    """With every auto-broadcast threshold disabled, NO BroadcastHashJoin
+    may remain in the jaccard plans: one would mean a F.broadcast() hint is
+    forcing the per-document sizes frame (or any other side) past the size
+    check — the guaranteed-OOM pattern at corpus scale."""
+    from big_data_assignment2_2025_spark.operators.dedup import (
+        jaccard_for_pairs,
+        jaccard_pairs,
+        shingles_df,
+    )
+    from big_data_assignment2_2025_spark.sources.readers import load_table
+
+    sh = shingles_df(load_table(spark, SF_SMALL, "documents"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        for df in (
+            jaccard_pairs(sh),
+            jaccard_for_pairs(
+                sh,
+                sh.select(F.col("doc_id").alias("doc1")).limit(3).crossJoin(
+                    sh.select(F.col("doc_id").alias("doc2")).limit(3)
+                ),
+            ),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
+            )

@@ -186,7 +186,8 @@ def test_gapfill_calendar_broadcasts(spark, sf_dir):
     )
     # the generated 90-row calendar must be on a broadcast join, and the
     # orders aggregate must not be re-shuffled into a sort-merge join
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_weighted_median_golden(spark, monkeypatch):
