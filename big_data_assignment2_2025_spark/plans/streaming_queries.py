@@ -107,8 +107,27 @@ FROM events GROUP BY user_id
 """
 
 STREAMING_DEDUP_SQL = """
-SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
-FROM events GROUP BY event_type
+WITH dedup AS (
+  SELECT event_id, MIN(event_type) AS event_type
+  FROM events WHERE event_id IS NOT NULL GROUP BY event_id)
+SELECT event_type, COUNT(*) AS n_unique
+FROM dedup GROUP BY event_type
+"""
+
+# Dedup-aware twin of EVENTS_HOURLY_SQL: one representative row per
+# event_id (MIN of each field — exact-copy duplicates make MIN the value
+# itself), NULL ids dropped like the stream does. On a fixture with unique
+# non-null event_ids this is identical to the plain hourly aggregation, but
+# it stays correct if a regenerated fixture ships broker-style duplicates.
+STREAM_DEDUP_CHAIN_SQL = """
+WITH dedup AS (
+  SELECT event_id, MIN(ts) AS ts, MIN(event_type) AS event_type,
+         MIN(value) AS value
+  FROM events WHERE event_id IS NOT NULL GROUP BY event_id)
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+       event_type, COUNT(*) AS n_events,
+       round(SUM(value), 4) AS sum_value
+FROM dedup GROUP BY 1, 2
 """
 
 STREAMING_SESSIONS_SQL = """
@@ -179,9 +198,9 @@ ORACLES = {
     # identical final state to the batch tumbling-window aggregation
     "streaming_hourly_window": EVENTS_HOURLY_SQL,
     "streaming_dedup_events": STREAMING_DEDUP_SQL,
-    # dedup collapses the duplicated replay back to the original events, so
-    # the final state equals the plain batch hourly aggregation
-    "streaming_dedup_window_chain": EVENTS_HOURLY_SQL,
+    # dedup collapses the duplicated replay to one row per event_id, so the
+    # final state equals the dedup-aware batch hourly aggregation
+    "streaming_dedup_window_chain": STREAM_DEDUP_CHAIN_SQL,
     "streaming_session_windows": STREAMING_SESSIONS_SQL,
     "streaming_stateful_counter": STREAMING_STATEFUL_SQL,
 }

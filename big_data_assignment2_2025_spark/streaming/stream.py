@@ -113,8 +113,12 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 2h watermark delay are suppressed; a duplicate arriving later than
     that may survive — acceptable for at-least-once dedup at 100 TB scale,
     and identical to global dedup on the fixture streams (event_id is unique
-    there, verified in tests)."""
-    ev = read_events_stream(spark, sf_dir)
+    there, verified in tests).
+
+    NULL event_ids are filtered explicitly (a NULL dedup key is meaningless;
+    making the drop explicit keeps the oracle equivalence independent of how
+    the stateful operator treats NULL keys)."""
+    ev = read_events_stream(spark, sf_dir).where(F.col("event_id").isNotNull())
     deduped = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
@@ -440,15 +444,17 @@ def run_streaming_dedup_window_chain(spark: SparkSession, sf_dir: str) -> DataFr
     aggregation. The input is deliberately duplicated (self-union of the
     file stream — the at-least-once delivery a real broker exhibits), so
     the dedup stage is load-bearing: without it every count/sum doubles.
-    Final state after an availableNow replay must equal the batch hourly
-    aggregation over the ORIGINAL events — which is exactly the oracle of
-    the plain hourly query (EVENTS_HOURLY_SQL).
+    Final state after an availableNow replay equals the batch hourly
+    aggregation over one representative row per event_id (NULL ids filtered
+    symmetrically on both sides) — the dedup-aware STREAM_DEDUP_CHAIN_SQL
+    oracle, so the equivalence does not depend on the fixture happening to
+    have unique non-null event_ids.
 
     State bounds at scale: dedup state is keyed on event_id and evicted
     once the watermark passes each event's time; window state closes 2 h
     behind the max event time. Two stateful stages share one shuffle on the
     (window, event_type) grouping after the dedup exchange."""
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream(spark, sf_dir).where(F.col("event_id").isNotNull())
     duplicated = ev.unionAll(ev)
     agg = (
         duplicated.withWatermark("ts", "2 hours")
