@@ -48,6 +48,13 @@ HEADLINE = [
     "percentile_stats",
     "pipeline_clean_corpus",
     "stats_corr",
+    # round-3 composites — the newest, least-profiled tranche
+    "skyline_parts",
+    "graph_pagerank_topk",
+    "events_session_window_native",
+    "association_rules",
+    "user_ltv_deciles",
+    "rfm_segmentation",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

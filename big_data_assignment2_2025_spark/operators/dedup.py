@@ -16,9 +16,13 @@ shuffles, and each has a documented scale story:
   any engine) -> per-doc signature -> banded bucket keys -> candidate pairs
   from bucket collisions only -> exact-Jaccard verification. At 100 TB the
   candidate set is ~linear in data size for reasonable band geometry.
-- **SimHash**: 48-bit signatures; pairs via 4-chunk blocking (pigeonhole:
-  hamming distance <= 3 guarantees one identical 12-bit chunk), so the join
-  is an equi-join on chunk value, never a cross product.
+- **SimHash**: 60-bit signatures; pairs via 4-chunk blocking (pigeonhole:
+  hamming distance <= 3 guarantees one identical 15-bit chunk), so the join
+  is an equi-join on chunk value, never a cross product. 60 bits (not 48):
+  the 10x scale probe measured 12-bit chunk keyspaces (4096 values)
+  saturating by birthday collisions — superlinear candidate growth; 15-bit
+  chunks (32768 values) divide accidental collisions by ~8x while staying
+  inside a signed long and DuckDB-replayable (15 md5 hex chars).
 - **embedding cosine**: exact cosine >= tau within blocking keys (label);
   the ANN path for unblocked data lives in operators/similarity.py.
 
@@ -302,26 +306,26 @@ def minhash_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 48
+SIMHASH_BITS = 60
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """48-bit SimHash per document from term-frequency-weighted token hashes.
+    """60-bit SimHash per document from term-frequency-weighted token hashes.
 
-    Shape: tokens -> groupBy(doc, term) -> per-row 48-wide ±cnt array ->
+    Shape: tokens -> groupBy(doc, term) -> per-row 60-wide ±cnt array ->
     ONE groupBy(doc) folding the arrays element-wise (collect_list +
     ``aggregate``/``zip_with``) -> sign bits packed in a final projection.
-    Compared with the textbook explode-48-rows-per-term formulation this
-    removes a 48× row blow-up and two extra shuffles — the per-bit
+    Compared with the textbook explode-60-rows-per-term formulation this
+    removes a 60× row blow-up and two extra shuffles — the per-bit
     "columns instead of rows" trick is what keeps SimHash viable on a
     100 TB corpus.
 
     Two measured alternatives, kept out deliberately:
-    - 48 separate conditional-sum aggregates (one column per bit): ~3×
-      slower — 48 independent agg buffers defeat the hash-agg fast path.
+    - 60 separate conditional-sum aggregates (one column per bit): ~3×
+      slower — independent agg buffers defeat the hash-agg fast path.
       Its one advantage is O(1) state per group, so it is the fallback if
       a corpus has pathological per-doc vocabularies (collect_list state
-      here is |distinct terms per doc| × 48 longs, bounded for real docs).
+      here is |distinct terms per doc| × 60 longs, bounded for real docs).
     - hashing every occurrence (skip the tf stage; integer-identical since
       the weighted sum is linear in cnt): slower — md5 runs per occurrence
       instead of per distinct (doc, term), and tf's shuffle is small after

@@ -128,7 +128,7 @@ WHERE j.jaccard >= 0.5
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """48-bit SimHash near-dup pairs at Hamming distance <= 3 (found via
+    """60-bit SimHash near-dup pairs at Hamming distance <= 3 (found via
     exact 4-chunk blocking, verified by bit_count)."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs)
@@ -140,8 +140,8 @@ WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tok
            FROM documents WHERE text IS NOT NULL),
 tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
 tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
-th AS (SELECT doc_id, cnt, CAST('0x' || substring(md5(term), 1, 12) AS BIGINT) AS h FROM tf),
-bitidx AS (SELECT unnest(range(48)) AS bitpos),
+th AS (SELECT doc_id, cnt, CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) AS h FROM tf),
+bitidx AS (SELECT unnest(range(60)) AS bitpos),
 bits AS (
   SELECT doc_id, bitpos,
          SUM(CASE WHEN (h >> CAST(bitpos AS INTEGER)) & 1 = 1 THEN cnt ELSE -cnt END) AS w

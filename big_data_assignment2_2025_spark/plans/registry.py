@@ -23,6 +23,7 @@ from . import (
     relational3,
     round3_queries,
     round3b_queries,
+    round4_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -50,6 +51,7 @@ _MODULES = [
     sql_queries,
     round3_queries,
     round3b_queries,
+    round4_queries,
 ]
 
 QUERIES = {}

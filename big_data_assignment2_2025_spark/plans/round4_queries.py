@@ -1,0 +1,176 @@
+"""Round-4 queries: the distributed-ranking operator generalized beyond RFM,
+and an end-to-end training-data mix pipeline (quality gate -> exact-dedup
+keeper -> deterministic stratified sampling) — the composite shape a
+100 TB pretraining-corpus build actually runs.
+
+No counterpart in the reference (its pipeline is index+query only); these
+are LLM-data-pipeline extensions per SURVEY.md §7.6, each hash-gated
+against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import quality_score, whitespace_token_count
+from ..operators.dedup import hash64
+from ..operators.ranking import NtileSpec, with_global_ntiles
+from ..sources.readers import load_table
+
+# per-document quality in [0,1], identical to TEXT_QUALITY_SQL's formula
+# (text_queries.py) — fixed operation order keeps it bit-equal cross-engine
+_QUALITY_CTE = """
+t AS (SELECT doc_id, lang, source,
+             regexp_extract_all(lower(text), '[a-z0-9_'']+') AS toks, text
+      FROM documents WHERE text IS NOT NULL),
+m AS (
+  SELECT doc_id, lang, source, text,
+         round(
+           (CASE WHEN CAST(length(text) AS DOUBLE) >= 100
+                  AND CAST(length(text) AS DOUBLE) <= 20000 THEN 1.0
+                 WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END) * 0.4
+           + (CASE WHEN length(text) > 0
+                   THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                        / CAST(length(text) AS DOUBLE)
+                   ELSE 0.0 END) * 0.3
+           + (CASE WHEN len(toks) > 0
+                   THEN LEAST(1.0, CAST(len(list_filter(toks,
+                        x -> x IN ('the','and','of','to','is','a','in'))) AS DOUBLE)
+                        * 10.0 / CAST(len(toks) AS DOUBLE))
+                   ELSE 0.0 END) * 0.3,
+           6) AS quality
+  FROM t)
+"""
+
+
+def doc_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-quartile corpus quality profile: documents cut into 4 positional
+    quality quartiles (best = 1), then per-quartile doc counts and quality
+    bounds — the readout that decides curriculum/sampling weights.
+
+    Exercises ``operators.ranking.with_global_ntiles`` on a DOUBLE metric:
+    the ascending long key is the negated micro-unit quality (quality is
+    rounded to 6 decimals, so ``round(q*1e6)`` is an exact integer and the
+    key is strictly monotone with the quality order). No unpartitioned
+    window; the oracle uses plain NTILE."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    scored = docs.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+    tiled = with_global_ntiles(
+        scored,
+        [
+            NtileSpec(
+                "quartile",
+                -F.round(F.col("quality") * 1e6),
+                [F.col("quality").desc(), F.col("doc_id").asc()],
+            )
+        ],
+        n_tiles=4,
+    )
+    return (
+        tiled.groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+        .orderBy("quartile")
+    )
+
+
+DOC_QUALITY_QUARTILES_SQL = f"""
+WITH {_QUALITY_CTE},
+d AS (
+  SELECT doc_id, quality,
+         NTILE(4) OVER (ORDER BY quality DESC, doc_id ASC) AS quartile
+  FROM m)
+SELECT CAST(quartile AS INTEGER) AS quartile,
+       COUNT(*) AS n_docs,
+       MIN(quality) AS min_quality,
+       MAX(quality) AS max_quality
+FROM d GROUP BY quartile ORDER BY quartile
+"""
+
+
+def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-mix construction, the composite every pretraining
+    corpus build runs: (1) quality gate (score >= 0.5), (2) exact-dedup
+    keeper (min doc_id per text digest — ONE row_number window partitioned
+    by the digest, no join back), (3) deterministic stratified sampling by
+    language (en 80%, es/de/fr 50%, otherwise 25%) via a portable md5-hash
+    predicate — reproducible on any engine, unlike seeded RNG sampling.
+    Output: per (lang, source) sampled doc counts and whitespace-token
+    budget, the numbers a mix planner feeds back into sampling weights.
+
+    Scale shape: one digest-partitioned window (high-cardinality key, no
+    skew), every filter is a scan-level projection/predicate, final rollup
+    is one small aggregation — three narrow shuffles of the doc DIMENSION
+    (digest window, groupBy, output sort), never the text payload twice."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.round(quality_score("text"), 6).alias("quality"),
+    ).where(F.col("quality") >= 0.5)
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    keepers = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(80))
+        .when(F.col("lang").isin("es", "de", "fr"), F.lit(50))
+        .otherwise(F.lit(25))
+    )
+    sampled = keepers.where(
+        hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100
+        < rate
+    )
+    return (
+        sampled.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(whitespace_token_count("text").cast("long")).alias(
+                "sum_ws_tokens"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+TRAINING_MIX_SQL = f"""
+WITH {_QUALITY_CTE},
+gated AS (SELECT * FROM m WHERE quality >= 0.5),
+keeper AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                               ORDER BY doc_id ASC) AS rn
+  FROM gated),
+samp AS (
+  SELECT lang, source, text FROM keeper
+  WHERE rn = 1
+    AND CAST('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+        < (CASE WHEN lang = 'en' THEN 80
+                WHEN lang IN ('es','de','fr') THEN 50
+                ELSE 25 END))
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT)
+         AS sum_ws_tokens
+FROM samp GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+QUERIES = {
+    "doc_quality_quartiles": doc_quality_quartiles,
+    "training_mix_sample": training_mix_sample,
+}
+
+ORACLES = {
+    "doc_quality_quartiles": DOC_QUALITY_QUARTILES_SQL,
+    "training_mix_sample": TRAINING_MIX_SQL,
+}

@@ -67,7 +67,9 @@ def test_simhash_identical_docs_distance_zero(docs):
     sigs = simhash_signatures(docs)
     by_id = {r.doc_id: r.simhash for r in sigs.collect()}
     assert by_id[1] == by_id[2]
-    assert 0 <= by_id[1] < (1 << 48)
+    from big_data_assignment2_2025_spark.operators.dedup import SIMHASH_BITS
+
+    assert 0 <= by_id[1] < (1 << SIMHASH_BITS)
     pairs = {(r.doc1, r.doc2): r.hamming for r in simhash_pairs(sigs, max_hamming=3).collect()}
     assert pairs[(1, 2)] == 0
 

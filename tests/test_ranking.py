@@ -89,7 +89,15 @@ def test_operator_plan_has_no_unpartitioned_window(spark):
     assert _unpartitioned_windows(df) == []
 
 
-@pytest.mark.parametrize("name", ["rfm_segmentation", "user_ltv_deciles"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rfm_segmentation",
+        "user_ltv_deciles",
+        "doc_quality_quartiles",
+        "training_mix_sample",
+    ],
+)
 def test_quantile_queries_have_no_global_sort_window(spark, name):
     bad = _unpartitioned_windows(QUERIES[name](spark, SF_SMALL))
     assert bad == [], f"unpartitioned Window in {name}: {bad}"

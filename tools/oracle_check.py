@@ -6,7 +6,12 @@ an order-insensitive value hash. Floats are compared exactly AND with a
 report of the max abs diff so we can see whether a mismatch is real or an
 ulp/rounding artifact.
 
-Usage:  python tools/oracle_check.py [sf_dir] [query ...]
+Usage:  python tools/oracle_check.py [--json=PATH] [sf_dir] [query ...]
+
+With ``--json=PATH`` a machine-readable artifact is written with the same
+per-query fields as the driver's CORRECTNESS_r{N}.json (rows/schema/hash
+match, row counts, err) — committed per round as ORACLE_LOCAL_r{N}.json to
+make the full-registry check auditable beyond the driver's sampled subset.
 """
 
 from __future__ import annotations
@@ -58,8 +63,14 @@ def _hash_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    for a in list(args):
+        if a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark(app_name="oracle_check")
     con = duckdb.connect()
@@ -76,30 +87,45 @@ def main():
         sys.exit(2)
 
     failures = []
+    records: dict[str, dict] = {}
     ran = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
         ran += 1
         t0 = time.time()
+        rec = records[name] = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            rec["err"] = f"spark: {e}"
             failures.append(name)
             continue
         sql = ORACLES.get(name)
         if sql is None:
             print(f"SKIP  {name}: no oracle (rows-only check: {len(srows)} rows) [{time.time()-t0:.1f}s]")
+            rec.update(rows_match=True, schema_match=True, hash_match=True,
+                       err="no-oracle: rows-only check")
             continue
         try:
             tbl = con.execute(sql).arrow()
             ocols = tbl.schema.names
             orows = [tuple(d[c] for c in ocols) for d in tbl.to_pylist()]
+            rec["oracle_rows"] = len(orows)
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            rec["err"] = f"duckdb: {e}"
             failures.append(name)
             continue
 
@@ -132,6 +158,11 @@ def main():
                         problems.append(f"  duckdb: {b[:200]}")
                         break
         status = "OK  " if not problems else "FAIL"
+        rec["rows_match"] = len(srows) == len(orows)
+        rec["schema_match"] = sorted(scols) == sorted(ocols)
+        rec["hash_match"] = not problems
+        if problems:
+            rec["err"] = "; ".join(p for p in problems if not p.startswith("  "))
         print(f"{status}  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
         for p in problems:
             print(f"      {p}")
@@ -140,6 +171,22 @@ def main():
 
     print()
     print(f"{ran - len(failures)}/{ran} queries match; failures: {failures}")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "ran": ran,
+                    "passed": ran - len(failures),
+                    "failures": failures,
+                    "queries": records,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_path}")
     sys.exit(1 if failures else 0)
 
 

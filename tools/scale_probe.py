@@ -5,14 +5,24 @@ sizes (SURVEY.md §9's "needs the next SF up" item).
 
 The probe derives a LOCAL THROWAWAY dataset under /tmp from sf0.1 (read-only
 testdata is never touched): fact tables (lineitem, orders, events,
-documents) are unioned 10x with key shifts that preserve join integrity
-(order keys shift identically in lineitem and orders; dimension keys are
-left alone — dims grow slower than facts in any real warehouse, and keeping
-them fixed preserves the broadcast-side sizes). Written as multiple parquet
-files so scans split properly.
+documents, embeddings) are unioned 10x with key shifts that preserve join
+integrity (order keys shift identically in lineitem and orders; dimension
+keys are left alone — dims grow slower than facts in any real warehouse, and
+keeping them fixed preserves the broadcast-side sizes). Written as multiple
+parquet files so scans split properly.
+
+Experimental design for the dedup/ANN families: a naive 10x copy of
+documents would make every row a 10-way exact duplicate — candidate pairs
+would grow as copies^2 BY CONSTRUCTION and tell us nothing about the
+algorithm. Instead each copy's tokens get a per-copy prefix (``c{i}_``) and
+each embedding copy is cyclically rotated, so the scaled corpus has the SAME
+near-dup density as the original and candidate growth measures the
+ALGORITHM: LSH banding / chunk blocking / cell pruning should grow ~linearly
+in corpus size. The ``pair_growth`` section reports candidates at 1x vs Nx
+and the growth ratio normalized by copies (≈1.0 = linear).
 
 Usage: python tools/scale_probe.py [copies]     (default 10)
-Prints one JSON line with per-query timings and plan checks.
+Prints one JSON line with per-query timings, plan checks and pair growth.
 """
 
 from __future__ import annotations
@@ -44,16 +54,63 @@ PROBES = [
     "dedup_exact",
     "events_sessionize",
     "window_topk_per_group",
+    # pipeline families (salted corpus — constant dup density, see header)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_threshold",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
 ]
 
+#: bump when the derived-dataset recipe changes so stale /tmp copies rebuild
+BUILD_TAG = "v2-salted"
 
-def _scale(df, copies: int, shifts: dict[str, bool]):
+
+def _salt_text(c, i: int):
+    """Prefix every whitespace token with the copy index: within-copy
+    shingle/term structure is identical to the original, cross-copy equality
+    is impossible — the corpus grows, the dup density does not. Copy 0 keeps
+    the ORIGINAL text so vocabulary-dependent probes (bm25_search) still hit
+    their query terms in the scaled corpus."""
+    if i == 0:
+        return c
+    return c.withColumn(
+        "text",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(F.lit(f"c{i}_"), t),
+            ),
+        ),
+    )
+
+
+def _rotate_embedding(c, i: int):
+    """Cyclic-rotate each copy's vector so copies are directionally distinct
+    (identical copies would share every LSH bucket by construction)."""
+    if i == 0:
+        return c
+    return c.withColumn(
+        "embedding",
+        F.expr(
+            f"concat(slice(embedding, {i * 7} % size(embedding) + 1, size(embedding)),"
+            f" slice(embedding, 1, {i * 7} % size(embedding)))"
+        ),
+    )
+
+
+def _scale(df, copies: int, shifts: dict[str, bool], name: str):
     parts = []
     for i in range(copies):
         c = df
         for col, do in shifts.items():
             if do:
                 c = c.withColumn(col, F.col(col) + F.lit(i * SHIFT))
+        if name == "documents":
+            c = _salt_text(c, i)
+        if name == "embeddings":
+            c = _rotate_embedding(c, i)
         parts.append(c)
     out = parts[0]
     for p in parts[1:]:
@@ -62,7 +119,8 @@ def _scale(df, copies: int, shifts: dict[str, bool]):
 
 
 def build(spark, copies: int) -> None:
-    if os.path.exists(os.path.join(DST, "_DONE")):
+    marker = os.path.join(DST, "_DONE")
+    if os.path.exists(marker) and open(marker).read() == f"{BUILD_TAG}:{copies}":
         return
     shutil.rmtree(DST, ignore_errors=True)
     os.makedirs(DST, exist_ok=True)
@@ -71,6 +129,7 @@ def build(spark, copies: int) -> None:
         "orders": {"o_orderkey": True},
         "events": {"event_id": True},
         "documents": {"doc_id": True},
+        "embeddings": {"vec_id": True},
     }
     for t in (
         "region nation customer supplier part orders lineitem events "
@@ -78,14 +137,82 @@ def build(spark, copies: int) -> None:
     ).split():
         src = spark.read.parquet(f"{SRC}/{t}.parquet")
         if t in plans:
-            scaled = _scale(src, copies, plans[t])
+            scaled = _scale(src, copies, plans[t], t)
             # several files per table => a properly split scan downstream
             scaled.repartition(16).write.mode("overwrite").parquet(
                 f"{DST}/{t}.parquet"
             )
         else:
             src.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
-    open(os.path.join(DST, "_DONE"), "w").write("ok")
+    open(marker, "w").write(f"{BUILD_TAG}:{copies}")
+
+
+def _candidate_counts(spark, sf_dir: str) -> dict[str, int]:
+    """Candidate-pair counts BEFORE verification/re-rank for each bucketed
+    family — the quantity whose growth decides 100 TB viability."""
+    from big_data_assignment2_2025_spark.operators.dedup import (
+        SIMHASH_BITS,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles_df,
+        simhash_signatures,
+    )
+    from big_data_assignment2_2025_spark.operators.similarity import (
+        hyperplane_signature,
+    )
+    from big_data_assignment2_2025_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs)
+    out = {}
+    out["minhash_lsh"] = lsh_candidate_pairs(minhash_signatures(sh)).count()
+    # ngram inverted-index: pairs sharing >= 1 shingle (pre-Jaccard)
+    a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    out["ngram_inverted"] = (
+        a.join(b, "shingle")
+        .where(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+        .count()
+    )
+    # simhash chunk blocking: collisions in any of the 4 chunks (pre-hamming)
+    sigs = simhash_signatures(docs)
+    n_chunks, chunk_bits = 4, SIMHASH_BITS // 4
+    mask = (1 << chunk_bits) - 1
+    chunked = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_chunks - 1}),"
+                f" c -> struct(c AS chunk,"
+                f" (shiftright(simhash, c * {chunk_bits}) & {mask}) AS ckey))"
+            )
+        ).alias("ck"),
+    ).select("doc_id", "ck.chunk", "ck.ckey")
+    ca = chunked.select(F.col("doc_id").alias("doc1"), "chunk", "ckey")
+    cb = chunked.select(F.col("doc_id").alias("doc2"), "chunk", "ckey")
+    out["simhash_chunks"] = (
+        ca.join(cb, ["chunk", "ckey"])
+        .where(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+        .count()
+    )
+    # ANN LSH buckets: corpus rows colliding with the 5 query buckets
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5)
+    sig = lambda df, n: df.select(  # noqa: E731
+        F.col("vec_id").alias(n),
+        hyperplane_signature(F.col("embedding"), 8, 64).alias("bucket"),
+    )
+    out["ann_lsh_buckets"] = (
+        sig(emb, "neighbor_id")
+        .join(sig(qs, "query_id"), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .count()
+    )
+    return out
 
 
 def main() -> None:
@@ -116,6 +243,21 @@ def main() -> None:
         }
         print(f"# {name}: {timings[name]}s rows={n} {checks[name]}", file=sys.stderr)
 
+    base = _candidate_counts(spark, SRC)
+    scaled = _candidate_counts(spark, DST)
+    growth = {
+        k: {
+            "at_1x": base[k],
+            f"at_{copies}x": scaled[k],
+            # ratio / copies: ~1.0 means candidates grow linearly with the
+            # corpus (the 100 TB-viable shape); >> 1 means superlinear blowup
+            "normalized_growth": round(scaled[k] / max(base[k], 1) / copies, 2),
+        }
+        for k in base
+    }
+    for k, g in growth.items():
+        print(f"# pair_growth {k}: {g}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -123,6 +265,7 @@ def main() -> None:
                 "build_sec": build_s,
                 "timings": timings,
                 "checks": checks,
+                "pair_growth": growth,
                 "total_sec": round(sum(timings.values()), 2),
             }
         )
