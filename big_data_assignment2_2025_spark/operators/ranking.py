@@ -105,48 +105,59 @@ def with_global_ntiles(
     for s in specs:
         keyed = keyed.withColumn(f"__k_{s.out_col}", s.asc_key.cast("long"))
 
-    # 2. boundaries for all specs in ONE aggregate job; literals from here on
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    brow = keyed.agg(
-        *[
-            F.percentile_approx(
-                f"__k_{s.out_col}", F.array(*[F.lit(p) for p in probs])
-            ).alias(s.out_col)
-            for s in specs
-        ]
-    ).first()
-    def _bucket_of(key):
-        return lambda acc, b: acc + F.when(key > b, 1).otherwise(0)
+    # The two bounded driver actions below (boundaries, counts) would each
+    # recompute the input subtree; cache it for their duration only —
+    # unpersisted before returning, so a long registry run leaks nothing
+    # and the returned (lazy) frame simply recomputes from source.
+    keyed = keyed.persist()
+    try:
+        # 2. boundaries for all specs in ONE aggregate job; literals from
+        # here on
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        brow = keyed.agg(
+            *[
+                F.percentile_approx(
+                    f"__k_{s.out_col}", F.array(*[F.lit(p) for p in probs])
+                ).alias(s.out_col)
+                for s in specs
+            ]
+        ).first()
+        def _bucket_of(key):
+            return lambda acc, b: acc + F.when(key > b, 1).otherwise(0)
 
-    bucket_exprs = {}
-    for s in specs:
-        bnds = F.array(*[F.lit(int(b)) for b in (brow[s.out_col] or [])])
-        bucket_exprs[s.out_col] = F.aggregate(
-            bnds, F.lit(0), _bucket_of(F.col(f"__k_{s.out_col}"))
-        )
-    bucketed = keyed
-    for s in specs:
-        bucketed = bucketed.withColumn(f"__b_{s.out_col}", bucket_exprs[s.out_col])
+        bucket_exprs = {}
+        for s in specs:
+            bnds = F.array(*[F.lit(int(b)) for b in (brow[s.out_col] or [])])
+            bucket_exprs[s.out_col] = F.aggregate(
+                bnds, F.lit(0), _bucket_of(F.col(f"__k_{s.out_col}"))
+            )
+        bucketed = keyed
+        for s in specs:
+            bucketed = bucketed.withColumn(
+                f"__b_{s.out_col}", bucket_exprs[s.out_col]
+            )
 
-    # 3. per-bucket counts for all specs in ONE job -> literal rank offsets
-    pairs = (
-        bucketed.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s.out_col).alias("m"),
-                            F.col(f"__b_{s.out_col}").alias("b"),
-                        )
-                        for s in specs
-                    ]
-                )
-            ).alias("x")
+        # 3. per-bucket counts for all specs in ONE job -> literal offsets
+        pairs = (
+            bucketed.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(s.out_col).alias("m"),
+                                F.col(f"__b_{s.out_col}").alias("b"),
+                            )
+                            for s in specs
+                        ]
+                    )
+                ).alias("x")
+            )
+            .groupBy("x.m", "x.b")
+            .agg(F.count("*").alias("c"))
+            .collect()
         )
-        .groupBy("x.m", "x.b")
-        .agg(F.count("*").alias("c"))
-        .collect()
-    )
+    finally:
+        keyed.unpersist()
     counts = {s.out_col: {} for s in specs}
     for r in pairs:
         counts[r["m"]][r["b"]] = r["c"]

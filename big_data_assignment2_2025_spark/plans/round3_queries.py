@@ -858,8 +858,11 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     support ≥ 2: confidence = P(b|a), lift = confidence / P(b) — the rule
     mining step after basket_part_pairs' co-occurrence counts. All counts
     are integers; the two ratios are single correctly-rounded divisions.
-    Shape: one bounded basket self-join for pair supports + one per-item
-    aggregate broadcast back (items ≪ baskets at any scale)."""
+    Shape: one bounded basket self-join for pair supports + per-item
+    aggregates joined back. The item frames are NOT hint-broadcast: they are
+    one row per distinct part — a frame that grows with scale factor, so the
+    size decision belongs to AQE (broadcast when small, shuffle join on the
+    part key otherwise); only the 1-row n_orders scalar keeps its hint."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -884,8 +887,8 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("b"), F.col("a_orders").alias("b_orders")
     )
     return (
-        pairs.join(F.broadcast(item), "a")
-        .join(F.broadcast(b_item), "b")
+        pairs.join(item, "a")
+        .join(b_item, "b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "a",

@@ -189,6 +189,27 @@ COMMENTARY = {
         "hashpartitioning(user_id)` — the windows and both groupBys share "
         "one shuffle and one sort. Pure integer µs arithmetic end to end."
     ),
+    "rfm_segmentation": (
+        "Distributed exact NTILE (round 4; operators/ranking.py). Round 3 "
+        "used three unpartitioned ntile windows — three single-partition "
+        "sorts of the customer dimension. Now: literal range-bucket "
+        "boundaries from one `percentile_approx` aggregate, per-bucket "
+        "counts folded into literal rank offsets, and `row_number` over "
+        "windows PARTITIONED by bucket (`Exchange hashpartitioning(__b_*)` "
+        "— no SinglePartition anywhere). Bit-identical to the unchanged "
+        "`NTILE(4) OVER (ORDER BY ...)` DuckDB oracle; the widest sort is "
+        "one bucket (~n_customers / n_buckets). `user_ltv_deciles` and "
+        "`doc_quality_quartiles` reuse the same operator."
+    ),
+    "training_mix_sample": (
+        "End-to-end training-mix pipeline: quality gate (scan-level "
+        "projection), exact-dedup keeper as ONE `row_number` window "
+        "partitioned by the text digest (high-cardinality key, no join "
+        "back), deterministic per-language hash sampling (portable md5 "
+        "predicate — reproducible on any engine, unlike seeded RNG), then "
+        "one small rollup. The text payload is read once; every shuffle "
+        "moves digest/count-sized rows."
+    ),
 }
 
 
