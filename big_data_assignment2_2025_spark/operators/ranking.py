@@ -29,11 +29,14 @@ sort, using the textbook distributed-ranking shape (what Spark's own
    counts — so the output matches ``NTILE(t) OVER (ORDER BY ...)`` from any
    engine, bit for bit, provided the ORDER BY is a total order.
 
-Skew caveat (documented, by design): buckets are cut on the metric alone,
-so rows TIED on the metric share a bucket. For low-cardinality metrics
-(e.g. an order-count with 40 distinct values) a bucket degenerates to the
-tie group — still ≤ n/40 and partitioned, but for adversarial domains cut
-the boundaries on a composite (metric, tiebreak) sample instead.
+Tie handling: by default buckets are cut on the metric alone, so rows TIED
+on the metric share a bucket — fine for near-unique metrics, degenerate for
+low-cardinality ones (an order-count with 40 distinct values puts ~n/40
+rows in one window partition). Setting ``NtileSpec.sub_key`` (the unique
+tiebreak) switches that spec to composite ``(metric, tiebreak)`` boundaries
+drawn from a deterministic hash sample: lexicographic pair comparison makes
+bucketing a strict-total-order range partition, so even an ALL-TIED metric
+splits evenly. Same exactness argument — boundaries only shape balance.
 
 Driver-side state is bounded by ``n_buckets`` (default 32, scale to ~#cores
 or #partitions on a cluster), the same bounded-collect discipline as
@@ -62,11 +65,18 @@ class NtileSpec:
     ``order_cols``: the within-bucket sort — MUST be a total order
     consistent with ``asc_key`` (i.e. start with the same direction on the
     same metric, then unique tiebreaks).
+    ``sub_key``: OPTIONAL long-valued unique tiebreak that sorts ASCENDING
+    in the same position as the final tiebreak of ``order_cols``. When set,
+    bucket boundaries are full ``(asc_key, sub_key)`` pairs taken from a
+    deterministic hash sample, so rows TIED on the metric split across
+    buckets — use for low-cardinality metrics (order counts, dates) where
+    metric-only boundaries would degenerate a bucket into the tie group.
     """
 
     out_col: str
     asc_key: Column
     order_cols: Sequence[Column] = field(default_factory=list)
+    sub_key: Column | None = None
 
 
 def _ceil_div(num: Column, den: int) -> Column:
@@ -104,33 +114,103 @@ def with_global_ntiles(
     keyed = df
     for s in specs:
         keyed = keyed.withColumn(f"__k_{s.out_col}", s.asc_key.cast("long"))
+        if s.sub_key is not None:
+            keyed = keyed.withColumn(f"__t_{s.out_col}", s.sub_key.cast("long"))
 
-    # The two bounded driver actions below (boundaries, counts) would each
-    # recompute the input subtree; cache it for their duration only —
-    # unpersisted before returning, so a long registry run leaks nothing
-    # and the returned (lazy) frame simply recomputes from source.
+    # The bounded driver actions below (boundaries, pair sample, counts)
+    # would each recompute the input subtree; cache it for their duration
+    # only — unpersisted before returning, so a long registry run leaks
+    # nothing and the returned (lazy) frame simply recomputes from source.
     keyed = keyed.persist()
     try:
-        # 2. boundaries for all specs in ONE aggregate job; literals from
-        # here on
+        # 2. metric boundaries for all specs + total count in ONE job;
+        # literals from here on
         probs = [i / n_buckets for i in range(1, n_buckets)]
         brow = keyed.agg(
+            F.count("*").alias("__n"),
             *[
                 F.percentile_approx(
                     f"__k_{s.out_col}", F.array(*[F.lit(p) for p in probs])
                 ).alias(s.out_col)
                 for s in specs
-            ]
+            ],
         ).first()
+        total = brow["__n"]
+
+        # 2b. composite (key, tiebreak) boundaries for sub_key specs: a
+        # deterministic hash sample (~8 pairs per bucket; bounded driver
+        # state), sorted, K-1 evenly spaced pairs kept. Sampling quality
+        # only affects bucket BALANCE — bucketing is a pure monotone
+        # function of the row under lexicographic pair comparison, so
+        # ranks stay exact for any boundary set.
+        sub_specs = [s for s in specs if s.sub_key is not None]
+        pair_bounds: dict[str, list] = {}
+        if sub_specs and total:
+            rate = max(1, total // (n_buckets * 8))
+            sampled = (
+                keyed.select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(s.out_col).alias("m"),
+                                    F.col(f"__k_{s.out_col}").alias("k"),
+                                    F.col(f"__t_{s.out_col}").alias("t"),
+                                )
+                                for s in sub_specs
+                            ]
+                        )
+                    ).alias("x")
+                )
+                .where(F.pmod(F.abs(F.hash("x.m", "x.k", "x.t")), F.lit(rate)) == 0)
+                .select("x.m", "x.k", "x.t")
+                .collect()
+            )
+            for s in sub_specs:
+                pool = sorted(
+                    {(r["k"], r["t"]) for r in sampled if r["m"] == s.out_col}
+                )
+                if len(pool) > n_buckets - 1:
+                    step = len(pool) / n_buckets
+                    pool = [pool[int((i + 1) * step)] for i in range(n_buckets - 1)]
+                pair_bounds[s.out_col] = pool
+
         def _bucket_of(key):
             return lambda acc, b: acc + F.when(key > b, 1).otherwise(0)
 
+        def _pair_bucket_of(key, sub):
+            return lambda acc, b: acc + F.when(
+                (b["k"] < key) | ((b["k"] == key) & (b["t"] <= sub)), 1
+            ).otherwise(0)
+
         bucket_exprs = {}
         for s in specs:
-            bnds = F.array(*[F.lit(int(b)) for b in (brow[s.out_col] or [])])
-            bucket_exprs[s.out_col] = F.aggregate(
-                bnds, F.lit(0), _bucket_of(F.col(f"__k_{s.out_col}"))
-            )
+            if s.sub_key is not None:
+                bp = pair_bounds.get(s.out_col, [])
+                bnds = F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(bk)).alias("k"), F.lit(int(bt)).alias("t")
+                        )
+                        for bk, bt in bp
+                    ]
+                )
+                bucket_exprs[s.out_col] = (
+                    F.aggregate(
+                        bnds,
+                        F.lit(0),
+                        _pair_bucket_of(
+                            F.col(f"__k_{s.out_col}"), F.col(f"__t_{s.out_col}")
+                        ),
+                    )
+                    if bp
+                    else F.lit(0)
+                )
+            else:
+                bnds = F.array(*[F.lit(int(b)) for b in (brow[s.out_col] or [])])
+                bucket_exprs[s.out_col] = F.aggregate(
+                    bnds, F.lit(0), _bucket_of(F.col(f"__k_{s.out_col}"))
+                )
         bucketed = keyed
         for s in specs:
             bucketed = bucketed.withColumn(
@@ -174,5 +254,7 @@ def with_global_ntiles(
         rank = F.element_at(off_arr, F.col(f"__b_{s.out_col}") + 1) + F.row_number().over(w)
         out = out.withColumn(s.out_col, _tile_of_rank(rank, n_rows, n_tiles))
     return out.drop(
-        *[f"__k_{s.out_col}" for s in specs], *[f"__b_{s.out_col}" for s in specs]
+        *[f"__k_{s.out_col}" for s in specs],
+        *[f"__b_{s.out_col}" for s in specs],
+        *[f"__t_{s.out_col}" for s in specs if s.sub_key is not None],
     )

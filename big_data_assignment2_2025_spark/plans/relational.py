@@ -1161,15 +1161,21 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = with_global_ntiles(
         per_cust,
         [
+            # recency (a few thousand distinct dates) and frequency (a few
+            # dozen distinct counts) are tie-heavy -> composite boundaries
+            # via sub_key so tie groups split across buckets; monetary is
+            # near-unique and metric-only boundaries suffice
             NtileSpec(
                 "r_score",
                 -F.unix_date("last_order"),
                 [F.col("last_order").desc(), F.col("o_custkey").asc()],
+                sub_key=F.col("o_custkey"),
             ),
             NtileSpec(
                 "f_score",
                 -F.col("frequency"),
                 [F.col("frequency").desc(), F.col("o_custkey").asc()],
+                sub_key=F.col("o_custkey"),
             ),
             NtileSpec(
                 "m_score",

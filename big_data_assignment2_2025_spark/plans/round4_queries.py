@@ -61,10 +61,13 @@ def doc_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiled = with_global_ntiles(
         scored,
         [
+            # quality clusters on the formula's band steps -> composite
+            # boundaries keep buckets balanced under heavy ties
             NtileSpec(
                 "quartile",
                 -F.round(F.col("quality") * 1e6),
                 [F.col("quality").desc(), F.col("doc_id").asc()],
+                sub_key=F.col("doc_id"),
             )
         ],
         n_tiles=4,
