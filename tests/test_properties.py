@@ -93,3 +93,45 @@ def test_tokenizer_matches_cpython(spark, text):
         tokenize(F.col("t")).alias("toks")
     ).collect()[0].toks
     assert got == re.findall(r"[\w']+", text.lower())
+
+
+_metric_lists = st.lists(
+    st.integers(min_value=-5, max_value=5), min_size=1, max_size=60
+)
+
+
+@given(vals=_metric_lists, tiles=st.integers(min_value=1, max_value=12))
+@_SETTINGS
+def test_distributed_ntile_matches_window_ntile(spark, vals, tiles):
+    """For ANY tie structure and tile count, with_global_ntiles must equal
+    ntile over the same total order — with and without composite sub_key
+    boundaries (both code paths exercised each example)."""
+    from pyspark.sql import Window
+
+    from big_data_assignment2_2025_spark.operators.ranking import (
+        NtileSpec,
+        with_global_ntiles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["id", "v"]
+    )
+    w = Window.orderBy(F.desc("v"), F.col("id").asc())
+    want = sorted(
+        map(tuple, df.withColumn("t", F.ntile(tiles).over(w)).collect())
+    )
+    for sub in (None, F.col("id")):
+        got = with_global_ntiles(
+            df,
+            [
+                NtileSpec(
+                    "t",
+                    -F.col("v"),
+                    [F.desc("v"), F.col("id").asc()],
+                    sub_key=sub,
+                )
+            ],
+            n_tiles=tiles,
+            n_buckets=4,
+        )
+        assert sorted(map(tuple, got.collect())) == want
