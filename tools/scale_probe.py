@@ -60,6 +60,11 @@ PROBES = [
     "dedup_ngram_threshold",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
+    # distributed-ranking + training-mix composites (round 4)
+    "rfm_segmentation",
+    "user_ltv_deciles",
+    "doc_quality_quartiles",
+    "training_mix_sample",
 ]
 
 #: bump when the derived-dataset recipe changes so stale /tmp copies rebuild
