@@ -98,32 +98,38 @@ def _tile_of_rank(rank: Column, n_rows: int, n_tiles: int) -> Column:
     return F.when(rank <= cutoff, big).otherwise(small).cast("int")
 
 
-def with_global_ntiles(
+def _bucketize(
     df: DataFrame,
     specs: Sequence[NtileSpec],
-    n_tiles: int,
-    n_buckets: int = 32,
-) -> DataFrame:
-    """Attach one exact global-NTILE column per spec, scalably.
-
-    Output rows/columns = input plus each ``spec.out_col`` (int, 1-based),
-    identical to ``ntile(n_tiles).over(Window.orderBy(spec.order_cols))``
-    but with every window partitioned by a range bucket.
-    """
-    # 1. canonical ascending long keys, one projection
+    n_buckets: int,
+    value_exprs: dict[str, Column] | None = None,
+):
+    """Shared core: attach a range-bucket id per spec and collect per-bucket
+    stats with THREE bounded driver actions (metric boundaries + count,
+    optional composite-pair sample, per-bucket count/sum). Returns
+    ``(bucketed_df, counts, sums, n_rows)`` where ``bucketed_df`` carries
+    ``__k_/__t_/__b_`` (and ``__v_`` when ``value_exprs``) temp columns and
+    counts/sums map ``out_col -> {bucket: value}``. Bucket assignment is a
+    pure literal-driven function of the row, so the stats jobs and the
+    final (lazy) consumer plan are consistent by construction."""
+    value_exprs = value_exprs or {}
     keyed = df
     for s in specs:
         keyed = keyed.withColumn(f"__k_{s.out_col}", s.asc_key.cast("long"))
         if s.sub_key is not None:
             keyed = keyed.withColumn(f"__t_{s.out_col}", s.sub_key.cast("long"))
+        if s.out_col in value_exprs:
+            keyed = keyed.withColumn(
+                f"__v_{s.out_col}", value_exprs[s.out_col].cast("long")
+            )
 
-    # The bounded driver actions below (boundaries, pair sample, counts)
-    # would each recompute the input subtree; cache it for their duration
-    # only — unpersisted before returning, so a long registry run leaks
-    # nothing and the returned (lazy) frame simply recomputes from source.
+    # The bounded driver actions below would each recompute the input
+    # subtree; cache it for their duration only — unpersisted before
+    # returning, so a long registry run leaks nothing and the returned
+    # (lazy) frame simply recomputes from source.
     keyed = keyed.persist()
     try:
-        # 2. metric boundaries for all specs + total count in ONE job;
+        # 1. metric boundaries for all specs + total count in ONE job;
         # literals from here on
         probs = [i / n_buckets for i in range(1, n_buckets)]
         brow = keyed.agg(
@@ -137,7 +143,7 @@ def with_global_ntiles(
         ).first()
         total = brow["__n"]
 
-        # 2b. composite (key, tiebreak) boundaries for sub_key specs: a
+        # 1b. composite (key, tiebreak) boundaries for sub_key specs: a
         # deterministic hash sample (~8 pairs per bucket; bounded driver
         # state), sorted, K-1 evenly spaced pairs kept. Sampling quality
         # only affects bucket BALANCE — bucketing is a pure monotone
@@ -217,8 +223,8 @@ def with_global_ntiles(
                 f"__b_{s.out_col}", bucket_exprs[s.out_col]
             )
 
-        # 3. per-bucket counts for all specs in ONE job -> literal offsets
-        pairs = (
+        # 2. per-bucket count (and value sum) for all specs in ONE job
+        rows = (
             bucketed.select(
                 F.explode(
                     F.array(
@@ -226,6 +232,11 @@ def with_global_ntiles(
                             F.struct(
                                 F.lit(s.out_col).alias("m"),
                                 F.col(f"__b_{s.out_col}").alias("b"),
+                                (
+                                    F.col(f"__v_{s.out_col}")
+                                    if s.out_col in value_exprs
+                                    else F.lit(0).cast("long")
+                                ).alias("v"),
                             )
                             for s in specs
                         ]
@@ -233,28 +244,88 @@ def with_global_ntiles(
                 ).alias("x")
             )
             .groupBy("x.m", "x.b")
-            .agg(F.count("*").alias("c"))
+            .agg(F.count("*").alias("c"), F.sum("x.v").alias("s"))
             .collect()
         )
     finally:
         keyed.unpersist()
     counts = {s.out_col: {} for s in specs}
-    for r in pairs:
+    sums = {s.out_col: {} for s in specs}
+    for r in rows:
         counts[r["m"]][r["b"]] = r["c"]
+        sums[r["m"]][r["b"]] = r["s"]
     n_rows = sum(counts[specs[0].out_col].values())
+    return bucketed, counts, sums, n_rows
 
+
+def _offsets_array(per_bucket: dict, n_buckets: int) -> Column:
+    offs, acc = [], 0
+    for b in range(n_buckets):
+        offs.append(acc)
+        acc += per_bucket.get(b, 0)
+    return F.array(*[F.lit(int(o)) for o in offs])
+
+
+def _temp_cols(specs: Sequence[NtileSpec], with_values: bool) -> list[str]:
+    cols = [f"__k_{s.out_col}" for s in specs]
+    cols += [f"__b_{s.out_col}" for s in specs]
+    cols += [f"__t_{s.out_col}" for s in specs if s.sub_key is not None]
+    if with_values:
+        cols += [f"__v_{s.out_col}" for s in specs]
+    return cols
+
+
+def with_global_ntiles(
+    df: DataFrame,
+    specs: Sequence[NtileSpec],
+    n_tiles: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Attach one exact global-NTILE column per spec, scalably.
+
+    Output rows/columns = input plus each ``spec.out_col`` (int, 1-based),
+    identical to ``ntile(n_tiles).over(Window.orderBy(spec.order_cols))``
+    but with every window partitioned by a range bucket.
+    """
+    bucketed, counts, _, n_rows = _bucketize(df, specs, n_buckets)
     out = bucketed
     for s in specs:
-        offs, acc = [], 0
-        for b in range(n_buckets):
-            offs.append(acc)
-            acc += counts[s.out_col].get(b, 0)
-        off_arr = F.array(*[F.lit(o) for o in offs])
+        off_arr = _offsets_array(counts[s.out_col], n_buckets)
         w = Window.partitionBy(f"__b_{s.out_col}").orderBy(*s.order_cols)
-        rank = F.element_at(off_arr, F.col(f"__b_{s.out_col}") + 1) + F.row_number().over(w)
+        rank = (
+            F.element_at(off_arr, F.col(f"__b_{s.out_col}") + 1)
+            + F.row_number().over(w)
+        )
         out = out.withColumn(s.out_col, _tile_of_rank(rank, n_rows, n_tiles))
-    return out.drop(
-        *[f"__k_{s.out_col}" for s in specs],
-        *[f"__b_{s.out_col}" for s in specs],
-        *[f"__t_{s.out_col}" for s in specs if s.sub_key is not None],
+    return out.drop(*_temp_cols(specs, with_values=False))
+
+
+def with_global_rank_cumsum(
+    df: DataFrame,
+    spec: NtileSpec,
+    value: Column,
+    rank_col: str = "rn",
+    cumsum_col: str = "cum_value",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact global ``row_number`` AND running sum of ``value`` over the
+    spec's total order — the Pareto/ABC-analysis shape — with no
+    single-partition sort: the per-bucket stats job also sums ``value``, so
+    the running sum is the literal sum-of-previous-buckets offset plus a
+    window cumsum PARTITIONED by bucket. ``value`` must be integer-typed
+    (exact, ordering-independent addition — the same float policy as every
+    gated aggregate)."""
+    bucketed, counts, sums, _ = _bucketize(
+        df, [spec], n_buckets, {spec.out_col: value}
+    )
+    b_col = F.col(f"__b_{spec.out_col}")
+    w = Window.partitionBy(f"__b_{spec.out_col}").orderBy(*spec.order_cols)
+    rank = F.element_at(_offsets_array(counts[spec.out_col], n_buckets), b_col + 1) + F.row_number().over(w)
+    cum = F.element_at(_offsets_array(sums[spec.out_col], n_buckets), b_col + 1) + F.sum(
+        f"__v_{spec.out_col}"
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        bucketed.withColumn(rank_col, rank)
+        .withColumn(cumsum_col, cum)
+        .drop(*_temp_cols([spec], with_values=True))
     )

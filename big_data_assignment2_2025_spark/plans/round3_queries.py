@@ -932,26 +932,35 @@ CROSS JOIN n
 def customer_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration: how many top customers cover ≥80% of total
     order revenue, and the share of the customer base they represent. A
-    cumulative-sum window over the per-customer AGGREGATE (never the fact
+    cumulative-sum prefix over the per-customer AGGREGATE (never the fact
     table), then one scalar readout — the Pareto/ABC analysis shape.
     Deterministic: cents cumsum is exact, ordering tie-broken by custkey,
-    and the two output ratios are single rounded divisions. Scale note:
-    the global cumsum sorts #customers rows in one partition; at warehouse
-    scale it becomes a two-phase range-partitioned prefix sum (per-range
-    partial totals broadcast as offsets). The gate keeps the direct form."""
+    and the two output ratios are single rounded divisions.
+
+    Scale shape (round 4): the global rank + running sum come from
+    ``operators.ranking.with_global_rank_cumsum`` — the two-phase
+    range-partitioned prefix sum (per-bucket totals folded into literal
+    offsets + a bucket-partitioned window cumsum) this docstring used to
+    only describe. No single-partition sort; bit-identical to the window
+    form the oracle still uses."""
+    from ..operators.ranking import NtileSpec, with_global_rank_cumsum
+
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    w = W.orderBy(F.desc("cents"), "o_custkey").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    ranked = per_cust.select(
-        "o_custkey",
-        "cents",
-        F.sum("cents").over(w).alias("cum_cents"),
-        F.row_number().over(W.orderBy(F.desc("cents"), "o_custkey")).alias("rn"),
-    )
+    ranked = with_global_rank_cumsum(
+        per_cust,
+        NtileSpec(
+            "pareto",
+            -F.col("cents"),
+            [F.desc("cents"), F.col("o_custkey").asc()],
+            sub_key=F.col("o_custkey"),
+        ),
+        value=F.col("cents"),
+        rank_col="rn",
+        cumsum_col="cum_cents",
+    ).select("o_custkey", "cents", "cum_cents", "rn")
     totals = per_cust.agg(
         F.sum("cents").alias("total_cents"), F.count("*").alias("n_cust")
     )

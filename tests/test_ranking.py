@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from big_data_assignment2_2025_spark.operators.ranking import (
     NtileSpec,
     with_global_ntiles,
+    with_global_rank_cumsum,
 )
 from big_data_assignment2_2025_spark.plans import QUERIES
 from tests.conftest import SF_SMALL
@@ -135,6 +136,34 @@ def test_operator_plan_has_no_unpartitioned_window(spark):
     assert _unpartitioned_windows(df) == []
 
 
+@pytest.mark.parametrize("n", [137, 40, 3])
+def test_rank_cumsum_matches_window_prefix_sum(spark, n):
+    df = spark.range(n).select(
+        F.col("id"), ((F.col("id") * 37) % 11 * 100).alias("cents")
+    )
+    got = with_global_rank_cumsum(
+        df,
+        NtileSpec(
+            "p",
+            -F.col("cents"),
+            [F.desc("cents"), F.col("id").asc()],
+            sub_key=F.col("id"),
+        ),
+        value=F.col("cents"),
+        n_buckets=8,
+    )
+    w = Window.orderBy(F.desc("cents"), F.col("id").asc())
+    want = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cum_value",
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    key = lambda r: r["id"]  # noqa: E731
+    assert sorted(map(dict, (r.asDict() for r in got.collect())), key=key) == sorted(
+        map(dict, (r.asDict() for r in want.collect())), key=key
+    )
+    assert _unpartitioned_windows(got) == []
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -142,6 +171,7 @@ def test_operator_plan_has_no_unpartitioned_window(spark):
         "user_ltv_deciles",
         "doc_quality_quartiles",
         "training_mix_sample",
+        "customer_pareto_8020",
     ],
 )
 def test_quantile_queries_have_no_global_sort_window(spark, name):
