@@ -73,7 +73,10 @@ def udtf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible by native operators."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="term: string, cnt: int, rnk: int")
+    # useArrow: the UDTF exchanges Arrow batches instead of pickled rows
+    # (ArrowEvalPythonUDTF in the plan, not BatchEvalPython) — the same
+    # vectorized-boundary policy as every pandas_udf in this repo
+    @udtf(returnType="term: string, cnt: int, rnk: int", useArrow=True)
     class TopTerms:
         def eval(self, text: str):
             from collections import Counter

@@ -21,6 +21,13 @@ dedicated tests):
                        partial-agg row per map partition); GlobalLimit
                        consumers move at most offset+limit rows. Only the
                        sort/window consumers are the scale hazard.
+- ``python_row_udf``   BatchEvalPython in the plan — a row-at-a-time Python
+                       UDF (the ~10-100x slow path). The engine's claim is
+                       ZERO of these; there is no whitelist for it.
+- ``arrow_python``     ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas
+                       — vectorized Python. Acceptable ONLY where column
+                       expressions cannot express the op; each use is
+                       whitelisted with its reason.
 
 Usage: python tools/plan_lint.py [sf_dir] [--json=PATH]
 
@@ -107,6 +114,12 @@ WHITELIST: dict[str, dict[str, str]] = {
     "graph_degree_distribution": {"unpartitioned_window": "input = per-degree counts (bounded by max degree)"},
     "events_variant_extract": {"unpartitioned_window": "input = per-type aggregate (bounded by type domain)"},
     "window_distribution": {"unpartitioned_window": "cume_dist/percent_rank readout partitioned by 5 segments — each partition ~20% of the dimension; scale-out form would reuse operators/ranking.py (SCALING.md §5)"},
+    # ---- sanctioned VECTORIZED Python boundaries (never row-at-a-time) ----
+    "events_user_zscore": {"arrow_python": "applyInPandas grouped z-score — the sanctioned custom-grouped-transform surface (Arrow batches)"},
+    "multimodal_decode_features": {"arrow_python": "mapInPandas media decode — Python by nature (codec), Arrow-batched"},
+    "multimodal_feature_stats": {"arrow_python": "mapInPandas decode feeding column aggs — same sanctioned decode path"},
+    "pandas_udf_quantile_bucket": {"arrow_python": "the sanctioned @pandas_udf API-parity demo (Arrow-vectorized)"},
+    "udtf_top_terms": {"arrow_python": "Python UDTF with useArrow=True (ArrowEvalPythonUDTF) — API-parity query, oracle proves native ops reproduce it"},
 }
 
 
@@ -189,6 +202,15 @@ def main() -> None:
         sp_consumers = _single_partition_consumers(phys)
         if sp_consumers:
             findings["single_partition_sort"] = sp_consumers
+        if "BatchEvalPython" in phys:
+            findings["python_row_udf"] = True
+        arrow = [
+            marker
+            for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+            if marker in phys
+        ]
+        if arrow:
+            findings["arrow_python"] = arrow
         wl = WHITELIST.get(name, {})
         unexplained = {k: v for k, v in findings.items() if k not in wl}
         report[name] = {
