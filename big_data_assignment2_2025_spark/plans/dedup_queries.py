@@ -95,6 +95,60 @@ FROM jac WHERE jaccard >= 0.5
 """
 
 
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard over the DF-CAPPED shingle universe:
+    shingles appearing in more than 4 documents are dropped BEFORE the
+    inverted-index join, and Jaccard (intersection AND sizes) is computed
+    on the surviving shingle set.
+
+    This is the standard hot-shingle mitigation at corpus scale: the
+    inverted index's pair fan-out is quadratic in per-shingle document
+    frequency, so one stopword run shared by 1e6 documents would emit 5e11
+    candidate pairs. Capping df bounds fan-out at cap²/2 per shingle while
+    leaving discriminative shingles untouched. The cap deliberately BITES
+    on the fixture (template shingles exceed df 4), and the oracle mirrors
+    the capped universe exactly, so the gate checks the approximation's
+    semantics, not just the happy path."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs, n=3)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= 4)
+        .select("shingle")
+    )
+    capped = sh.join(hot, "shingle", "left_semi")
+    return (
+        jaccard_pairs(capped)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc1", "doc2", "inter", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+DEDUP_NGRAM_CAPPED_SQL = """
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS toks
+      FROM documents WHERE text IS NOT NULL),
+tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM t),
+sh0 AS (SELECT doc_id,
+               term || ' ' || LEAD(term, 1) OVER w || ' ' || LEAD(term, 2) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh_all AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+keep AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) <= 4),
+sh AS (SELECT sh_all.* FROM sh_all JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT doc1, doc2, inter,
+               inter / (s1.n + s2.n - inter) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = doc1
+        JOIN sizes s2 ON s2.doc_id = doc2)
+SELECT doc1, doc2, inter, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= 0.5
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16 hashes)+LSH(4 bands x 4 rows) candidates, exact-Jaccard
     verified at >= 0.5."""
@@ -203,6 +257,7 @@ QUERIES = {
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_ngram_topk": dedup_ngram_topk,
     "dedup_ngram_threshold": dedup_ngram_threshold,
+    "dedup_ngram_capped": dedup_ngram_capped,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
 }
@@ -212,6 +267,7 @@ ORACLES = {
     "dedup_cluster_components": DEDUP_COMPONENTS_SQL,
     "dedup_ngram_topk": DEDUP_NGRAM_SQL,
     "dedup_ngram_threshold": DEDUP_NGRAM_THRESHOLD_SQL,
+    "dedup_ngram_capped": DEDUP_NGRAM_CAPPED_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
 }
