@@ -69,20 +69,24 @@ def brute_force_topk(
 
 
 def hyperplane_signature(
-    vec: Column, n_planes: int = 8, dim: int = 64
+    vec: Column, n_planes: int = 8, dim: int | None = None
 ) -> Column:
     """Deterministic random-hyperplane LSH signature (int in [0, 2^n)).
 
     Plane p's component for dimension d is +1 if hash64(f"{p}:{d}") is odd
     else -1 — reproducible in any engine with md5. Signature bit p = 1 iff
-    dot(vec, plane_p) > 0.
+    dot(vec, plane_p) > 0. ``dim=None`` (default) derives the dimension
+    from each vector at runtime (``size(vec)``), so a regenerated fixture
+    with a different embedding width needs no code change.
     """
     # NB: the lambda must take exactly ONE parameter — F.transform treats a
     # two-parameter lambda as (element, index), so capturing the plane id via
     # a default arg (lambda d, p=p: ...) silently binds p to the array index.
+    hi = F.lit(dim - 1) if dim is not None else F.size(vec) - 1
+
     def _terms(p: int) -> Column:
         return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.sequence(F.lit(0), hi),
             lambda d: F.element_at(vec, d + 1).cast("double")
             * F.when(
                 hash64(F.concat(F.lit(f"{p}:"), d.cast("string"))) % 2 == 1, F.lit(1.0)
@@ -104,7 +108,7 @@ def lsh_bucketed_topk(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

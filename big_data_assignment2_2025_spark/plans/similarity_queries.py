@@ -22,9 +22,9 @@ from ..sources.readers import load_table
 # dot/norm on doubles; embeddings are FLOAT[] so cast element-wise (exact).
 _COSINE_EXPR = """
 round(
-  list_sum(list_transform(range(1, 65), i -> CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)))
-  / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(qv[CAST(i AS INTEGER)] AS DOUBLE))))
-     * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE))))),
+  list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(qv[CAST(i AS INTEGER)] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE))))),
   6)
 """
 
@@ -60,7 +60,10 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return lsh_bucketed_topk(emb, queries, k=5, n_planes=8, dim=64)
+    # dim=None: the signature derives each vector's width at runtime, so a
+    # regenerated fixture with a different embedding dim stays correct (the
+    # oracle reads len(embedding) the same way)
+    return lsh_bucketed_topk(emb, queries, k=5, n_planes=8, dim=None)
 
 
 ANN_LSH_SQL = f"""
@@ -68,7 +71,7 @@ WITH planes AS (
   SELECT p, d,
          CASE WHEN CAST('0x' || substring(md5(p || ':' || d), 1, 15) AS BIGINT) % 2 = 1
               THEN 1.0 ELSE -1.0 END AS s
-  FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS d)
+  FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(CAST((SELECT len(embedding) FROM embeddings LIMIT 1) AS BIGINT))) AS d)
 ),
 sigs AS (
   SELECT e.vec_id,
@@ -118,13 +121,13 @@ c_assign AS (
            ROW_NUMBER() OVER (
              PARTITION BY e.vec_id
              ORDER BY round(
-               list_sum(list_transform(range(1, 65),
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
                  i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
                       * CAST(ct.cent[CAST(i AS INTEGER)] AS DOUBLE)))
-               / (sqrt(list_sum(list_transform(range(1, 65),
+               / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
                     i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
                          * CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(range(1, 65),
+                  * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
                     i -> CAST(ct.cent[CAST(i AS INTEGER)] AS DOUBLE)
                          * CAST(ct.cent[CAST(i AS INTEGER)] AS DOUBLE))))), 6) DESC,
                ct.cell ASC) AS r
@@ -135,13 +138,13 @@ q_assign AS (
            ROW_NUMBER() OVER (
              PARTITION BY e.vec_id
              ORDER BY round(
-               list_sum(list_transform(range(1, 65),
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
                  i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
                       * CAST(ct.cent[CAST(i AS INTEGER)] AS DOUBLE)))
-               / (sqrt(list_sum(list_transform(range(1, 65),
+               / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
                     i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
                          * CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(range(1, 65),
+                  * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
                     i -> CAST(ct.cent[CAST(i AS INTEGER)] AS DOUBLE)
                          * CAST(ct.cent[CAST(i AS INTEGER)] AS DOUBLE))))), 6) DESC,
                ct.cell ASC) AS r
