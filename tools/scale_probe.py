@@ -181,6 +181,24 @@ def _candidate_counts(spark, sf_dir: str) -> dict[str, int]:
         .distinct()
         .count()
     )
+    # df-capped variant (dedup_ngram_capped's universe): the hot-shingle
+    # mitigation's measured effect on pair fan-out
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= 4)
+        .select("shingle")
+    )
+    shc = sh.join(keep, "shingle", "left_semi")
+    ac = shc.select(F.col("doc_id").alias("doc1"), "shingle")
+    bc = shc.select(F.col("doc_id").alias("doc2"), "shingle")
+    out["ngram_inverted_capped"] = (
+        ac.join(bc, "shingle")
+        .where(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+        .count()
+    )
     # simhash chunk blocking: collisions in any of the 4 chunks (pre-hamming)
     sigs = simhash_signatures(docs)
     n_chunks, chunk_bits = 4, SIMHASH_BITS // 4
