@@ -333,6 +333,14 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """
     toks = fan_out(df).select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("cnt"))
+    return simhash_from_tf(tf, id_col=id_col)
+
+
+def simhash_from_tf(tf: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """SimHash signatures from a pre-built (id, term, cnt) term-frequency
+    frame — the composition point for variants that filter the vocabulary
+    first (e.g. dropping corpus-wide hot terms so template-heavy corpora
+    don't concentrate signatures; see ``dedup_simhash_idf``)."""
     th = tf.withColumn("h", hash64(F.col("term"), bits=SIMHASH_BITS))
     per_term = F.expr(
         f"transform(sequence(0, {SIMHASH_BITS - 1}),"

@@ -189,6 +189,64 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(sigs, max_hamming=3)
 
 
+def dedup_simhash_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over an idf-FILTERED vocabulary: terms
+    appearing in more than 20% of documents are dropped before signing.
+
+    Why: the 10x scale probe measured chunk-block candidate growth of ~2.3x
+    per corpus doubling for plain SimHash on this template-heavy corpus —
+    documents sharing a boilerplate skeleton get correlated signatures from
+    exactly the terms that carry no identity. Removing corpus-wide hot
+    terms (the deterministic equivalent of idf-weighting the signature)
+    decorrelates templates while leaving true near-dup pairs intact; the
+    probe measures this variant's candidate growth alongside the plain one.
+    The 20% threshold is computed from the corpus itself, so the query is
+    scale-invariant; the oracle replays the same filter exactly."""
+    from ..operators.dedup import simhash_from_tf
+
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import tokenize
+    from ..sources.readers import fan_out
+
+    n_docs = docs.where(F.col("text").isNotNull()).count()
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(tokenize("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("cnt"))
+    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+    keep = df_per_term.where(F.col("df") * 5 <= F.lit(n_docs)).select("term")
+    sigs = simhash_from_tf(tf.join(keep, "term", "left_semi"))
+    return simhash_pairs(sigs, max_hamming=3)
+
+
+DEDUP_SIMHASH_IDF_SQL = """
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS toks
+           FROM documents WHERE text IS NOT NULL),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf0 AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+nd AS (SELECT COUNT(*) AS n FROM t),
+keep AS (SELECT term FROM tf0 GROUP BY term
+         HAVING COUNT(*) * 5 <= (SELECT n FROM nd)),
+tf AS (SELECT tf0.* FROM tf0 JOIN keep USING (term)),
+th AS (SELECT doc_id, cnt, CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) AS h FROM tf),
+bitidx AS (SELECT unnest(range(60)) AS bitpos),
+bits AS (
+  SELECT doc_id, bitpos,
+         SUM(CASE WHEN (h >> CAST(bitpos AS INTEGER)) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+  FROM th CROSS JOIN bitidx GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << CAST(bitpos AS INTEGER)) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 DEDUP_SIMHASH_SQL = """
 WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS toks
            FROM documents WHERE text IS NOT NULL),
@@ -260,6 +318,7 @@ QUERIES = {
     "dedup_ngram_capped": dedup_ngram_capped,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_idf": dedup_simhash_idf,
 }
 
 ORACLES = {
@@ -270,4 +329,5 @@ ORACLES = {
     "dedup_ngram_capped": DEDUP_NGRAM_CAPPED_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_simhash_idf": DEDUP_SIMHASH_IDF_SQL,
 }

@@ -152,9 +152,15 @@ def build(spark, copies: int) -> None:
     open(marker, "w").write(f"{BUILD_TAG}:{copies}")
 
 
-def _candidate_counts(spark, sf_dir: str) -> dict[str, int]:
+def _candidate_counts(spark, sf_dir: str, shard_divisor: int = 1) -> dict[str, int]:
     """Candidate-pair counts BEFORE verification/re-rank for each bucketed
-    family — the quantity whose growth decides 100 TB viability."""
+    family — the quantity whose growth decides 100 TB viability.
+
+    ``shard_divisor``: the salted scaled corpus is ``copies`` independent
+    token-disjoint shards, so FRACTIONAL thresholds (the idf 20% filter)
+    must be evaluated against the per-shard doc count (n_docs / copies) —
+    on a real 10x corpus boilerplate terms keep their document-frequency
+    fraction, which is exactly what per-shard evaluation reproduces."""
     from big_data_assignment2_2025_spark.operators.dedup import (
         SIMHASH_BITS,
         lsh_candidate_pairs,
@@ -200,27 +206,52 @@ def _candidate_counts(spark, sf_dir: str) -> dict[str, int]:
         .count()
     )
     # simhash chunk blocking: collisions in any of the 4 chunks (pre-hamming)
-    sigs = simhash_signatures(docs)
-    n_chunks, chunk_bits = 4, SIMHASH_BITS // 4
-    mask = (1 << chunk_bits) - 1
-    chunked = sigs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_chunks - 1}),"
-                f" c -> struct(c AS chunk,"
-                f" (shiftright(simhash, c * {chunk_bits}) & {mask}) AS ckey))"
-            )
-        ).alias("ck"),
-    ).select("doc_id", "ck.chunk", "ck.ckey")
-    ca = chunked.select(F.col("doc_id").alias("doc1"), "chunk", "ckey")
-    cb = chunked.select(F.col("doc_id").alias("doc2"), "chunk", "ckey")
-    out["simhash_chunks"] = (
-        ca.join(cb, ["chunk", "ckey"])
-        .where(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2")
-        .distinct()
-        .count()
+    def _chunk_collisions(sigs):
+        n_chunks, chunk_bits = 4, SIMHASH_BITS // 4
+        mask = (1 << chunk_bits) - 1
+        chunked = sigs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {n_chunks - 1}),"
+                    f" c -> struct(c AS chunk,"
+                    f" (shiftright(simhash, c * {chunk_bits}) & {mask}) AS ckey))"
+                )
+            ).alias("ck"),
+        ).select("doc_id", "ck.chunk", "ck.ckey")
+        ca = chunked.select(F.col("doc_id").alias("doc1"), "chunk", "ckey")
+        cb = chunked.select(F.col("doc_id").alias("doc2"), "chunk", "ckey")
+        return (
+            ca.join(cb, ["chunk", "ckey"])
+            .where(F.col("doc1") < F.col("doc2"))
+            .select("doc1", "doc2")
+            .distinct()
+            .count()
+        )
+
+    out["simhash_chunks"] = _chunk_collisions(simhash_signatures(docs))
+    # idf-filtered variant (dedup_simhash_idf): terms in > 20% of docs
+    # dropped before signing — the measured fix for template concentration
+    from big_data_assignment2_2025_spark.functions.text import tokenize
+    from big_data_assignment2_2025_spark.operators.dedup import simhash_from_tf
+    from big_data_assignment2_2025_spark.sources.readers import fan_out
+
+    live = docs.where(F.col("text").isNotNull())
+    n_docs = live.count()
+    tf = (
+        fan_out(live)
+        .select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    keep = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") * 5 <= F.lit(n_docs // shard_divisor))
+        .select("term")
+    )
+    out["simhash_idf_chunks"] = _chunk_collisions(
+        simhash_from_tf(tf.join(keep, "term", "left_semi"))
     )
     # ANN LSH buckets: corpus rows colliding with the 5 query buckets
     emb = load_table(spark, sf_dir, "embeddings")
@@ -267,7 +298,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s rows={n} {checks[name]}", file=sys.stderr)
 
     base = _candidate_counts(spark, SRC)
-    scaled = _candidate_counts(spark, DST)
+    scaled = _candidate_counts(spark, DST, shard_divisor=copies)
     growth = {
         k: {
             "at_1x": base[k],
