@@ -55,6 +55,11 @@ HEADLINE = [
     "association_rules",
     "user_ltv_deciles",
     "rfm_segmentation",
+    # round-4 additions: distributed ranking + scale-variant dedup
+    "doc_quality_quartiles",
+    "training_mix_sample",
+    "dedup_ngram_capped",
+    "dedup_simhash_idf",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —
