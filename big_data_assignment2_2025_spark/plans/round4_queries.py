@@ -168,12 +168,76 @@ FROM samp GROUP BY lang, source ORDER BY lang, source
 """
 
 
+def doc_boilerplate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document LINE duplication per document — the boilerplate
+    contamination metric corpus prep pipelines filter on (a page whose
+    sentences mostly appear verbatim elsewhere is navigation/template, not
+    content). Sentences = '. '-separated segments longer than 20 chars;
+    a sentence is boilerplate if its exact text occurs in more than one
+    DOCUMENT.
+
+    Shape: explode to (doc, sentence) -> distinct -> sentence document-
+    frequency (one hash agg keyed by sentence text digest-sized rows) ->
+    join back on sentence -> per-doc rollup. Both shuffles carry sentence
+    strings once; at 100 TB hash the sentence (md5) before the frequency
+    agg so shuffle rows stay fixed-width (same discipline as exact dedup).
+    Output: per-doc sentence counts, duplicated-sentence count, and the
+    boilerplate rate (exact integer division, rounded once)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sent = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", r"\. ")).alias("sentence")
+        )
+        .where(F.length("sentence") > 20)
+        .distinct()
+    )
+    freq = sent.groupBy("sentence").agg(F.count("*").alias("n_docs_with"))
+    per_doc = (
+        sent.join(freq, "sentence")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0)).alias(
+                "n_boilerplate"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_sentences",
+        "n_boilerplate",
+        F.round(
+            F.col("n_boilerplate").cast("double") / F.col("n_sentences"), 6
+        ).alias("boilerplate_rate"),
+    )
+
+
+DOC_BOILERPLATE_SQL = """
+WITH sent AS (
+  SELECT DISTINCT doc_id, s AS sentence
+  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s
+        FROM documents WHERE text IS NOT NULL)
+  WHERE length(s) > 20),
+freq AS (SELECT sentence, COUNT(*) AS n_docs_with FROM sent GROUP BY sentence)
+SELECT doc_id,
+       COUNT(*) AS n_sentences,
+       CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate,
+       round(CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS boilerplate_rate
+FROM sent JOIN freq USING (sentence)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "doc_quality_quartiles": doc_quality_quartiles,
     "training_mix_sample": training_mix_sample,
+    "doc_boilerplate_rate": doc_boilerplate_rate,
 }
 
 ORACLES = {
     "doc_quality_quartiles": DOC_QUALITY_QUARTILES_SQL,
     "training_mix_sample": TRAINING_MIX_SQL,
+    "doc_boilerplate_rate": DOC_BOILERPLATE_SQL,
 }

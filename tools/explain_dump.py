@@ -201,6 +201,23 @@ COMMENTARY = {
         "one bucket (~n_customers / n_buckets). `user_ltv_deciles` and "
         "`doc_quality_quartiles` reuse the same operator."
     ),
+    "dedup_ngram_capped": (
+        "Hot-shingle-capped Jaccard dedup. The shingle df aggregate feeds a "
+        "semi-join that prunes shingles in > 4 documents BEFORE the "
+        "inverted-index self-join, bounding per-shingle pair fan-out at "
+        "cap²/2 (measured: 210× fewer candidate pairs at identical corpus "
+        "size, every ≥ 0.5 pair preserved — SCALING.md §6). All joins are "
+        "equi-joins; AQE sizes them."
+    ),
+    "dedup_simhash_idf": (
+        "idf-filtered SimHash. Terms in > 20% of documents are dropped "
+        "(semi-join on the surviving vocabulary) before the 60-bit "
+        "signature fold, so template-sharing documents stop concentrating "
+        "in chunk blocks — the probe measures candidate growth going from "
+        "2.27× superlinear (plain) to exactly linear (SCALING.md §6). "
+        "Same one-aggregate signature shape and chunk equi-join as "
+        "dedup_simhash."
+    ),
     "training_mix_sample": (
         "End-to-end training-mix pipeline: quality gate (scan-level "
         "projection), exact-dedup keeper as ONE `row_number` window "
