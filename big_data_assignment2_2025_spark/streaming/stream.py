@@ -45,6 +45,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical parquet type (see ``sources.readers.normalize_event_ts``).
     ``maxFilesPerTrigger=1`` keeps micro-batches small if a processing-time
     trigger is used; availableNow batches the backlog on its own.
+
+    The reader applies NO row filters — batch ``load_table`` doesn't
+    either, and every streaming oracle aggregates the RAW events table, so
+    a source-level filter would silently diverge the moment a regenerated
+    fixture ships rows the filter drops. Queries with filter semantics
+    (the event_id dedup streams) filter explicitly and mirror it in their
+    oracles.
     """
     from big_data_assignment2_2025_spark.sources.readers import normalize_event_ts
 
@@ -55,7 +62,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(_stage_dir(sf_dir))
-        .where(F.col("event_id").isNotNull())
     )
     return normalize_event_ts(stream)
 
