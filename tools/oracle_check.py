@@ -6,7 +6,12 @@ an order-insensitive value hash. Floats are compared exactly AND with a
 report of the max abs diff so we can see whether a mismatch is real or an
 ulp/rounding artifact.
 
-Usage:  python tools/oracle_check.py [--json=PATH] [sf_dir] [query ...]
+Usage:  python tools/oracle_check.py [--json=PATH] [--foreign] [sf_dir] [query ...]
+
+``--foreign`` sabotages the session the way a foreign grading driver could
+(non-UTC timezone, NTZ inference off, 200 shuffle partitions, AQE off)
+before running — every query must still hash-match, proving the engine
+repairs or is independent of session state.
 
 With ``--json=PATH`` a machine-readable artifact is written with the same
 per-query fields as the driver's CORRECTNESS_r{N}.json (rows/schema/hash
@@ -65,14 +70,29 @@ def _hash_rows(cols, rows):
 def main():
     args = sys.argv[1:]
     json_path = None
+    foreign = False
     for a in list(args):
         if a.startswith("--json="):
             json_path = a.split("=", 1)[1]
+            args.remove(a)
+        elif a == "--foreign":
+            foreign = True
             args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
     spark = get_spark(app_name="oracle_check")
+    if foreign:
+        # Adversarial-session mode: the grading driver builds its OWN
+        # SparkSession with none of get_spark's confs guaranteed. Sabotage
+        # every conf the engine is supposed to repair or be independent of;
+        # a query that only passes under OUR session fails here first.
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        print("# FOREIGN session: tz=America/New_York, inferTimestampNTZ=off,"
+              " shuffle.partitions=200, AQE=off")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
