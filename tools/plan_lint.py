@@ -134,11 +134,25 @@ def _single_partition_consumers(phys: str) -> list[str]:
     """Consumers of each Exchange SinglePartition in a physical-plan tree
     string: the nearest line above with SMALLER indentation depth. Only
     Sort/Window consumers are returned — aggregate and limit consumers
-    receive bounded row counts by construction."""
+    receive bounded row counts by construction.
+
+    Tree-drawing prefixes vary (``:  +- ``, ``*(3) `` codegen stars), so
+    depth = chars before the first letter, and the operator name is the
+    first alphabetic token — a naive lstrip would mis-parse ``*(3) Sort``
+    (caught by tests/test_plan_lint.py)."""
+    import re
+
     lines = phys.splitlines()
 
     def depth(s: str) -> int:
-        return len(s) - len(s.lstrip(" +-:*()"))
+        # tree indentation glyphs only — the "*(3) " codegen marker sits
+        # AFTER them and must not count toward depth
+        m = re.match(r"^[\s:+\-]*", s)
+        return m.end()
+
+    def op_name(s: str) -> str:
+        m = re.search(r"[A-Za-z][A-Za-z0-9_]*", s)
+        return m.group(0) if m else ""
 
     out = []
     for i, ln in enumerate(lines):
@@ -148,13 +162,13 @@ def _single_partition_consumers(phys: str) -> list[str]:
         for j in range(i - 1, -1, -1):
             pj = lines[j]
             if pj.strip() and depth(pj) < d:
-                consumer = pj.strip().lstrip("+-* ").split("(")[0].strip()
+                consumer = op_name(pj)
                 # SortAggregate IS an aggregate (bounded partial rows) — only
                 # plain Sort / Window consumers spell a global sort of data
                 if ("Sort" in consumer or "Window" in consumer) and (
                     "Aggregate" not in consumer
                 ):
-                    out.append(consumer[:60])
+                    out.append(pj.strip()[:60])
                 break
     return out
 
