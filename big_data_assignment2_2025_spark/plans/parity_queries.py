@@ -25,7 +25,7 @@ from pyspark.sql import Window as W
 from ..operators.dedup import hash64
 from ..operators.index import build_index, incremental_reindex
 from ..sources.readers import load_table, read_corpus_tsv, read_documents
-from ..sources.sinks import write_tsv
+from ..sources.sinks import write_jsonl, write_orc, write_tsv
 
 
 def index_incremental_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,6 +68,44 @@ def tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 TSV_ROUNDTRIP_SQL = """
 SELECT doc_id, 'doc_' || doc_id AS doc_title, length(text) AS n_chars
 FROM documents WHERE text IS NOT NULL
+"""
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents table through the ORC sink and read it back via
+    Spark's built-in columnar ORC reader; values must survive losslessly.
+    ORC is the second first-class columnar format after parquet — same
+    vectorized scan, predicate pushdown and column pruning apply."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"orc_rt_{sf_dir.strip('/').replace('/', '_')}"
+    )
+    write_orc(docs, out)
+    back = spark.read.orc(out)
+    return back.select("doc_id", "lang", "source", "n_chars")
+
+
+ORC_ROUNDTRIP_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents
+"""
+
+
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents table as JSON-lines and read it back with the
+    ORIGINAL schema applied (inference would widen/narrow types and drop
+    null-only columns — schema'd reads are the production contract for
+    line-JSON interchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), f"jsonl_rt_{sf_dir.strip('/').replace('/', '_')}"
+    )
+    write_jsonl(docs, out)
+    back = spark.read.schema(docs.schema).json(out)
+    return back.select("doc_id", "lang", "source", "n_chars")
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents
 """
 
 
@@ -221,6 +259,8 @@ ORDER BY r_name, n_name
 QUERIES = {
     "index_incremental_accumulate": index_incremental_accumulate,
     "tsv_roundtrip": tsv_roundtrip,
+    "orc_roundtrip": orc_roundtrip,
+    "jsonl_roundtrip": jsonl_roundtrip,
     "corpus_hash_sample": corpus_hash_sample,
     "bitwise_funcs": bitwise_funcs,
     "window_range_frame": window_range_frame,
@@ -230,6 +270,8 @@ QUERIES = {
 ORACLES = {
     "index_incremental_accumulate": INDEX_INCREMENTAL_SQL,
     "tsv_roundtrip": TSV_ROUNDTRIP_SQL,
+    "orc_roundtrip": ORC_ROUNDTRIP_SQL,
+    "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
     "corpus_hash_sample": CORPUS_SAMPLE_SQL,
     "bitwise_funcs": BITWISE_SQL,
     "window_range_frame": WINDOW_RANGE_SQL,
