@@ -27,6 +27,7 @@ from . import (
     search_queries,
     similarity_queries,
     sql_queries,
+    storage_queries,
     streaming_queries,
     temporal_queries,
     text_queries,
@@ -52,6 +53,7 @@ _MODULES = [
     round3_queries,
     round3b_queries,
     round4_queries,
+    storage_queries,
 ]
 
 QUERIES = {}

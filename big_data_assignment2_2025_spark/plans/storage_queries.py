@@ -1,0 +1,142 @@
+"""Bucketed-table storage layout: pre-paying the join/agg shuffle at write
+time.
+
+At 100 TB the dominant recurring cost of a fact table is re-shuffling it on
+the same join key for every query. ``bucketBy(N, key)`` hash-partitions the
+data into N stable buckets AT WRITE TIME and records the layout in the
+catalog; every later equi-join or aggregation on that key reads co-located
+buckets and skips the Exchange entirely (SortMergeJoin with zero shuffle
+when both sides share the bucket spec, partial+final HashAggregate with no
+Exchange for a bucket-key groupBy). One shuffle at ingest amortized over
+every downstream query — the single highest-leverage layout decision for a
+repeatedly-joined fact table.
+
+No counterpart in the reference (its "storage layout" is Cassandra tables,
+``app/cassandra/schema.cql``); this is the Spark-first extension surface
+per SURVEY.md §7.6. Results are hash-gated against DuckDB oracles; the
+shuffle-free plan shapes are asserted in ``tests/test_storage.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+_N_BUCKETS = 8
+
+
+def bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    n_buckets: int = _N_BUCKETS,
+) -> DataFrame:
+    """Materialize one fixture table as a bucketed+sorted catalog table
+    (idempotent per session: re-registers only if absent).
+
+    ``bucketBy`` requires ``saveAsTable`` (the layout lives in the catalog,
+    not the files); an explicit ``path`` keeps the data under tmp instead of
+    the session's warehouse dir, so this works under any caller-built
+    SparkSession including the grading driver's. ``sortBy(key)`` adds
+    within-bucket order, so bucket-key sort-merge joins skip the per-task
+    sort too and row-group min/max stats stay tight on the key.
+    """
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    name = f"{table}_bkt{n_buckets}_{tag}"
+    if not spark.catalog.tableExists(name):
+        path = os.path.join(tempfile.gettempdir(), f"bkt_{tag}", table)
+        (
+            load_table(spark, sf_dir, table)
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", path)
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders ⋈ customer on ``custkey`` where BOTH sides are bucketed on the
+    join key with the same bucket count: the physical plan is a
+    SortMergeJoin with no Exchange on either side (asserted in
+    ``tests/test_storage.py`` with broadcast disabled) — the join runs
+    entirely on co-located buckets. A within-partition Sort node remains
+    (Spark elides it only for single-file buckets), but ``sortBy`` at
+    write time makes it a near-no-op pass over already-ordered rows.
+
+    The per-segment rollup after the join is the only shuffle in the query
+    — 5 groups, negligible at any scale."""
+    orders = bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    customer = bucketed_table(spark, sf_dir, "customer", "c_custkey")
+    joined = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def bucketed_agg_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order profile computed on the bucketed orders table:
+    the groupBy key equals the bucket key, so the scan's hash distribution
+    already satisfies the aggregation — the plan contains NO Exchange at
+    all (asserted in ``tests/test_storage.py``). On an unbucketed table the
+    identical query shuffles the full fact table."""
+    orders = bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    return orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "spend_cents"
+        ),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+BUCKETED_AGG_SQL = """
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS spend_cents,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+QUERIES = {
+    "bucketed_join_colocated": bucketed_join_colocated,
+    "bucketed_agg_no_shuffle": bucketed_agg_no_shuffle,
+}
+
+ORACLES = {
+    "bucketed_join_colocated": BUCKETED_JOIN_SQL,
+    "bucketed_agg_no_shuffle": BUCKETED_AGG_SQL,
+}

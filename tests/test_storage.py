@@ -1,0 +1,77 @@
+"""Plan-shape tests for the bucketed-table registry queries
+(`plans/storage_queries.py`): the value of bucketing IS the plan shape —
+results are hash-gated by the oracle gate, these assert the shuffle was
+actually eliminated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_assignment2_2025_spark.plans.storage_queries import (
+    bucketed_agg_no_shuffle,
+    bucketed_join_colocated,
+    bucketed_table,
+)
+from tests.conftest import SF_SMALL
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_sides_not_shuffled(spark):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = bucketed_table(spark, SF_SMALL, "orders", "o_custkey")
+        customer = bucketed_table(spark, SF_SMALL, "customer", "c_custkey")
+        joined = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        )
+        plan = _plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert plan.count("Bucketed: true") == 2
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_bucketed_join_query_single_exchange(spark):
+    # the registry query's only shuffle is the 5-group segment rollup
+    # AFTER the join; the join itself reads co-located buckets
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(bucketed_join_colocated(spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_part
+
+
+def test_bucketed_agg_has_zero_exchange(spark):
+    df = bucketed_agg_no_shuffle(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "HashAggregate" in plan
+    assert "Bucketed: true" in plan
+
+
+def test_bucketed_agg_matches_unbucketed(spark):
+    bucketed = {
+        r["o_custkey"]: (r["n_orders"], r["spend_cents"])
+        for r in bucketed_agg_no_shuffle(spark, SF_SMALL).collect()
+    }
+    plain = {
+        r["o_custkey"]: (r["n_orders"], r["spend_cents"])
+        for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "spend_cents"
+            ),
+        )
+        .collect()
+    }
+    assert bucketed == plain

@@ -227,6 +227,21 @@ COMMENTARY = {
         "one small rollup. The text payload is read once; every shuffle "
         "moves digest/count-sized rows."
     ),
+    "bucketed_join_colocated": (
+        "Storage-level co-location: both scans show `Bucketed: true, "
+        "SelectedBucketsCount: 8 out of 8` and the SortMergeJoin consumes "
+        "them with NO Exchange on either side — the shuffle was pre-paid "
+        "once at write time by `bucketBy(8, custkey)`. The only Exchange "
+        "in the plan is the 5-group segment rollup after the join. At "
+        "100 TB this is the difference between re-shuffling the fact "
+        "table per query and never shuffling it at all."
+    ),
+    "bucketed_agg_no_shuffle": (
+        "groupBy on the bucket key: the scan's hash distribution already "
+        "satisfies the aggregation, so the plan is scan → partial "
+        "HashAggregate → final HashAggregate with ZERO Exchange nodes. "
+        "The identical query on an unbucketed table shuffles every row."
+    ),
 }
 
 
