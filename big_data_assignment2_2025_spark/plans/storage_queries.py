@@ -131,12 +131,53 @@ GROUP BY o_custkey
 """
 
 
+def partitioned_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning as a first-class gated query: documents
+    are rewritten ``partitionBy("lang")`` (low-cardinality layout column),
+    then a single-language readout filters on the partition column — the
+    filter resolves at PLANNING time against directory names
+    (``PartitionFilters`` in the scan, asserted in ``tests/test_storage.py``),
+    so excluded languages cost zero I/O. At 100 TB, date/lang/source
+    partitioning is the first line of scan reduction; the failure mode to
+    avoid is high-cardinality partition columns (small-file storm), which is
+    why doc_id-like keys get bucketing (above) instead."""
+    from ..sources.sinks import write_partitioned
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"docs_bylang_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_partitioned(
+            load_table(spark, sf_dir, "documents"), path, ["lang"]
+        )
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+PARTITION_PRUNED_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE lang = 'en'
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "bucketed_join_colocated": bucketed_join_colocated,
     "bucketed_agg_no_shuffle": bucketed_agg_no_shuffle,
+    "partitioned_scan_pruned": partitioned_scan_pruned,
 }
 
 ORACLES = {
     "bucketed_join_colocated": BUCKETED_JOIN_SQL,
     "bucketed_agg_no_shuffle": BUCKETED_AGG_SQL,
+    "partitioned_scan_pruned": PARTITION_PRUNED_SQL,
 }

@@ -57,6 +57,20 @@ def test_bucketed_agg_has_zero_exchange(spark):
     assert "Bucketed: true" in plan
 
 
+def test_partitioned_scan_prunes_at_planning_time(spark):
+    from big_data_assignment2_2025_spark.plans.storage_queries import (
+        partitioned_scan_pruned,
+    )
+
+    df = partitioned_scan_pruned(spark, SF_SMALL)
+    plan = _plan(df)
+    tail = plan.split("PartitionFilters", 1)[1][:200]
+    assert "lang" in tail
+    # the partition-column predicate must NOT appear as a data filter —
+    # it is resolved against directory names before any file is opened
+    assert "PushedFilters: []" in plan
+
+
 def test_bucketed_agg_matches_unbucketed(spark):
     bucketed = {
         r["o_custkey"]: (r["n_orders"], r["spend_cents"])
