@@ -71,6 +71,71 @@ def write_range_sorted(
     parts.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
 
 
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_partitions: int = 16,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-interleaved) clustering on TWO numeric columns.
+
+    ``write_range_sorted`` gives perfect skipping on ONE column and none on
+    the others; Z-ordering trades a little per-column tightness for
+    simultaneous locality on both: each column is min/max-normalized to a
+    ``bits``-bit integer, the two are bit-interleaved into one Morton code,
+    and files are range-partitioned + sorted by the code. Nearby codes are
+    nearby in BOTH dimensions, so every file covers a small rectangle of
+    (a, b) space and parquet footer min/max stats prune files for
+    predicates on EITHER column (`tests/test_sources.py` measures the
+    two-dimensional skipping vs a linear sort).
+
+    Scale notes: the only driver-side step is one 1-row min/max aggregate
+    (a full scan, same cost class as any stats collection at ingest);
+    the interleave itself is a pure JVM-side integer expression chain (no
+    Python boundary). Min/max normalization is the Delta-OSS-style simple
+    variant — a heavily skewed column concentrates codes and weakens
+    skipping; the production upgrade is rank-based normalization via
+    `operators/ranking.py`'s range-bucket boundaries, same interleave.
+    """
+    row = df.agg(
+        F.min(col_a).alias("amn"),
+        F.max(col_a).alias("amx"),
+        F.min(col_b).alias("bmn"),
+        F.max(col_b).alias("bmx"),
+    ).first()
+    amn, amx = float(row["amn"]), float(row["amx"])
+    bmn, bmx = float(row["bmn"]), float(row["bmx"])
+    top = (1 << bits) - 1
+
+    def norm(c: str, mn: float, mx: float):
+        if mx <= mn:
+            return F.lit(0).cast("long")
+        return F.least(
+            F.lit(top).cast("long"),
+            ((F.col(c).cast("double") - mn) * top / (mx - mn)).cast("long"),
+        )
+
+    a_n, b_n = norm(col_a, amn, amx), norm(col_b, bmn, bmx)
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        code = code.bitwiseOR(
+            F.shiftleft(F.shiftright(a_n, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b_n, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    (
+        df.withColumn("_zcode", code)
+        .repartitionByRange(num_partitions, "_zcode")
+        .sortWithinPartitions("_zcode")
+        .drop("_zcode")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def dump_documents(df: DataFrame, out_dir: str) -> None:
     """One sanitized-named ``.txt`` file per document (reference
     ``app/prepare_data.py:20-26``). Executor-side side-effect write; not part

@@ -117,3 +117,63 @@ def test_csv_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
     back = read_csv_with_schema(spark, path, nation.schema)
     assert back.schema == nation.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_zorder_write_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    from big_data_assignment2_2025_spark.sources.sinks import (
+        write_range_sorted,
+        write_zorder,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def file_ranges(path, col):
+        out = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }[col]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                out.append((min(mins), max(maxs)))
+        return out
+
+    def covering(ranges, v):
+        return sum(1 for lo, hi in ranges if lo <= v <= hi)
+
+    zpath = str(tmp_path / "orders_z")
+    lpath = str(tmp_path / "orders_linear")
+    write_zorder(orders, zpath, "o_custkey", "o_totalprice", num_partitions=8)
+    write_range_sorted(orders, lpath, ["o_custkey"], num_partitions=8)
+
+    stats = orders.selectExpr(
+        "avg(o_custkey) c", "avg(o_totalprice) p"
+    ).first()
+    mid_cust, mid_price = int(stats["c"]), float(stats["p"])
+
+    z_cust = file_ranges(zpath, "o_custkey")
+    z_price = file_ranges(zpath, "o_totalprice")
+    l_price = file_ranges(lpath, "o_totalprice")
+    n_files = len(z_cust)
+    assert n_files >= 4
+
+    # the linear layout (sorted by custkey alone) cannot skip on price:
+    # every file spans ~the full price range
+    assert covering(l_price, mid_price) == len(l_price)
+    # the z-ordered layout skips files for point predicates on EITHER dim
+    assert covering(z_cust, mid_cust) < n_files
+    assert covering(z_price, mid_price) < n_files
+
+    # lossless
+    assert spark.read.parquet(zpath).count() == orders.count()
