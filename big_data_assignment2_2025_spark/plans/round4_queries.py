@@ -230,14 +230,83 @@ GROUP BY doc_id
 """
 
 
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards — the
+    primitive that turns a curated corpus into a reproducible training
+    order. Each document gets a portable pseudo-random key
+    (md5 of seed||doc_id — NOT ``rand()``, which re-deals on every re-read)
+    and a shard = first key byte mod 64; within a shard the read order is
+    the key order. Result: any engine, any partitioning, any re-run
+    produces the identical (shard, position) assignment.
+
+    Scale shape: the shard count is the parallelism knob (64 here; at
+    100 TB use thousands), the only window is partitioned BY SHARD —
+    per-shard sorts of corpus_size/n_shards rows, no global sort, no
+    driver state. The rollup readout keeps the gate result small while the
+    per-doc assignment is the real product (write `shards` partitioned by
+    shard for the trainer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    # first md5 byte -> 0..255 via hex-digit position (instr/strpos is the
+    # portable cross-engine idiom; conv()/from_hex() differ between engines)
+    hexdig = "0123456789abcdef"
+    shards = docs.select(
+        "doc_id",
+        "n_chars",
+        key.alias("k"),
+    ).withColumn(
+        "shard",
+        (
+            (F.expr(f"instr('{hexdig}', substring(k, 1, 1)) - 1") * 16
+             + F.expr(f"instr('{hexdig}', substring(k, 2, 1)) - 1"))
+            % 64
+        ).cast("long"),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    assigned = shards.withColumn("pos", F.row_number().over(w))
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("pos").alias("max_pos"),
+            F.min("k").alias("first_key"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
+TRAINING_SHUFFLE_SQL = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         md5('seed42:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents),
+a AS (
+  SELECT doc_id, n_chars, k,
+         CAST(((strpos('0123456789abcdef', substring(k, 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substring(k, 2, 1)) - 1)) % 64
+              AS BIGINT) AS shard
+  FROM s),
+p AS (
+  SELECT shard, n_chars, k,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+  FROM a)
+SELECT shard, COUNT(*) AS n_docs, CAST(MAX(pos) AS BIGINT) AS max_pos,
+       MIN(k) AS first_key, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM p GROUP BY shard ORDER BY shard
+"""
+
+
 QUERIES = {
     "doc_quality_quartiles": doc_quality_quartiles,
     "training_mix_sample": training_mix_sample,
     "doc_boilerplate_rate": doc_boilerplate_rate,
+    "training_shuffle_shards": training_shuffle_shards,
 }
 
 ORACLES = {
     "doc_quality_quartiles": DOC_QUALITY_QUARTILES_SQL,
     "training_mix_sample": TRAINING_MIX_SQL,
     "doc_boilerplate_rate": DOC_BOILERPLATE_SQL,
+    "training_shuffle_shards": TRAINING_SHUFFLE_SQL,
 }
