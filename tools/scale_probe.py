@@ -269,6 +269,53 @@ def _candidate_counts(spark, sf_dir: str, shard_divisor: int = 1) -> dict[str, i
     return out
 
 
+def _bucketed_probe(spark) -> dict:
+    """Quantify what bucketing buys at Nx: the same orders⋈customer count
+    with (a) plain parquet inputs — SMJ, both sides shuffled — vs (b) both
+    sides bucketed on the join key — SMJ over co-located buckets, zero
+    Exchange. Broadcast is disabled so the comparison isolates the shuffle;
+    the one-off bucket build cost (the pre-paid shuffle) is reported too.
+    """
+    from big_data_assignment2_2025_spark.plans.storage_queries import (
+        bucketed_table,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = {}
+        plain_o = spark.read.parquet(f"{DST}/orders.parquet")
+        plain_c = spark.read.parquet(f"{DST}/customer.parquet")
+        joined = plain_o.join(
+            plain_c, plain_o.o_custkey == plain_c.c_custkey
+        )
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = joined.count()
+            best = min(best, time.perf_counter() - t0)
+        out["plain_sec"] = round(best, 2)
+        out["rows"] = n
+        out["plain_exchanges"] = joined._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+        t0 = time.perf_counter()
+        bo = bucketed_table(spark, DST, "orders", "o_custkey", 16)
+        bc = bucketed_table(spark, DST, "customer", "c_custkey", 16)
+        out["bucket_build_sec"] = round(time.perf_counter() - t0, 2)
+        bjoined = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            nb = bjoined.count()
+            best = min(best, time.perf_counter() - t0)
+        out["bucketed_sec"] = round(best, 2)
+        out["bucketed_exchanges"] = bjoined._jdf.queryExecution().executedPlan().toString().count("Exchange")
+        assert nb == n, (nb, n)
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark(app_name="scale_probe")
@@ -297,6 +344,9 @@ def main() -> None:
         }
         print(f"# {name}: {timings[name]}s rows={n} {checks[name]}", file=sys.stderr)
 
+    bucketed = _bucketed_probe(spark)
+    print(f"# bucketed_join: {bucketed}", file=sys.stderr)
+
     base = _candidate_counts(spark, SRC)
     scaled = _candidate_counts(spark, DST, shard_divisor=copies)
     growth = {
@@ -319,6 +369,7 @@ def main() -> None:
                 "build_sec": build_s,
                 "timings": timings,
                 "checks": checks,
+                "bucketed_join": bucketed,
                 "pair_growth": growth,
                 "total_sec": round(sum(timings.values()), 2),
             }
