@@ -297,11 +297,77 @@ FROM p GROUP BY shard ORDER BY shard
 """
 
 
+def udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF surface (``pandas_udf`` GROUPED_AGG): a per-event-type
+    10%-trimmed mean — the robust-location aggregate built-ins don't ship.
+    The UDF receives each group's values as ONE Arrow-backed numpy array
+    (vectorized; PythonUDAF in the plan, never row-at-a-time), and all
+    arithmetic is integer cents with a single floor division, so the result
+    is bit-exact across engines and partitionings (values are strictly
+    positive in the fixture, so floor and truncating division agree —
+    DuckDB's ``//`` truncates, Python's floors).
+
+    Scale note: GROUPED_AGG materializes each group's values in executor
+    memory — fine for bounded groups (event types); for unbounded groups
+    the rank-filtered SQL form (the oracle's shape) is the scale path.
+    This query pins the API surface, like udtf_top_terms."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: `from __future__ import annotations`
+    # stringifies signatures, so pyspark can't infer GROUPED_AGG from them
+    def _trimmed(cents):
+        v = cents.sort_values().to_numpy()
+        k = len(v) // 10
+        kept = v[k : len(v) - k] if len(v) > 2 * k else v
+        return int(kept.sum()) // len(kept)
+
+    trimmed_mean_cents = pandas_udf(
+        _trimmed, "long", PandasUDFType.GROUPED_AGG
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with native
+    # aggregates in one agg(); the count comes from a separate pass over
+    # the same (tiny, per-type) aggregate and joins back on the group key
+    trimmed = cents.groupBy("event_type").agg(
+        trimmed_mean_cents("cents").alias("trimmed_mean_cents")
+    )
+    counts = cents.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    return (
+        counts.join(trimmed, "event_type")
+        .select("event_type", "n_events", "trimmed_mean_cents")
+        .orderBy("event_type")
+    )
+
+
+UDAF_TRIMMED_MEAN_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                     THEN cents END)
+            // (MAX(n) - 2 * (MAX(n) // 10)) AS BIGINT)
+         AS trimmed_mean_cents
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "doc_quality_quartiles": doc_quality_quartiles,
     "training_mix_sample": training_mix_sample,
     "doc_boilerplate_rate": doc_boilerplate_rate,
     "training_shuffle_shards": training_shuffle_shards,
+    "udaf_trimmed_mean": udaf_trimmed_mean,
 }
 
 ORACLES = {
@@ -309,4 +375,5 @@ ORACLES = {
     "training_mix_sample": TRAINING_MIX_SQL,
     "doc_boilerplate_rate": DOC_BOILERPLATE_SQL,
     "training_shuffle_shards": TRAINING_SHUFFLE_SQL,
+    "udaf_trimmed_mean": UDAF_TRIMMED_MEAN_SQL,
 }

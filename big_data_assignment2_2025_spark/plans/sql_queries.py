@@ -113,14 +113,53 @@ ORDER BY doc_id, rnk
 """
 
 
+# One text, two engines: a RECURSIVE CTE (Spark 4 WITH RECURSIVE) walking
+# the co-purchase graph from its smallest node. UNION ALL recursion is
+# bounded by the dist < 4 guard (the graph is cyclic; the standard's
+# UNION-ALL recursion would otherwise never terminate), and shortest
+# distances come from the MIN(dist) reaggregation over all enumerated
+# walks — same reachability result as graph_bfs_3hop's iterative joins,
+# one hop deeper, expressed declaratively. Each recursion step is one
+# equi-join on the frontier — the walk count, not the node count, is the
+# cost driver, which is why production reachability at 100 TB uses the
+# iterative min-label form (dedup_cluster_components); this query pins the
+# SQL-surface parity.
+SQL_RECURSIVE_REACHABILITY = """
+WITH RECURSIVE
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+adj AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+walk(node, dist) AS (
+  SELECT MIN(u) AS node, 0 AS dist FROM edges
+  UNION ALL
+  SELECT a.v AS node, w.dist + 1 AS dist
+  FROM walk w JOIN adj a ON a.u = w.node
+  WHERE w.dist < 4),
+best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM best GROUP BY dist ORDER BY dist
+"""
+
+
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_RECURSIVE_REACHABILITY)
+
+
 QUERIES = {
     "sql_region_rollup": sql_region_rollup,
     "sql_lateral_topk": sql_lateral_topk,
     "udtf_top_terms": udtf_top_terms,
+    "sql_recursive_reachability": sql_recursive_reachability,
 }
 
 ORACLES = {
     "sql_region_rollup": SQL_REGION_ROLLUP,
     "sql_lateral_topk": SQL_LATERAL_TOPK,
     "udtf_top_terms": UDTF_TOP_TERMS_SQL,
+    "sql_recursive_reachability": SQL_RECURSIVE_REACHABILITY,
 }
