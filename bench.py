@@ -60,6 +60,11 @@ HEADLINE = [
     "training_mix_sample",
     "dedup_ngram_capped",
     "dedup_simhash_idf",
+    # round-4b: storage co-location, reproducible shuffle, SQL-surface adds
+    "bucketed_join_colocated",
+    "training_shuffle_shards",
+    "sql_recursive_reachability",
+    "udaf_trimmed_mean",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —
