@@ -89,3 +89,18 @@ def test_bucketed_agg_matches_unbucketed(spark):
         .collect()
     }
     assert bucketed == plain
+
+
+def test_analyze_table_populates_catalog_stats(spark):
+    # catalog tables (unlike temp views) can carry ANALYZE statistics —
+    # the input Catalyst's size estimates and join planning consume
+    bucketed_table(spark, SF_SMALL, "orders", "o_custkey")
+    tag = SF_SMALL.strip("/").replace("/", "_").replace(".", "_")
+    name = f"orders_bkt8_{tag}"
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    stats = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE EXTENDED {name}").collect()
+    }
+    assert "Statistics" in stats
+    assert "rows" in stats["Statistics"]  # e.g. "123456 bytes, 1500 rows"
