@@ -48,3 +48,66 @@ class CalendarDataSource(DataSource):
 
     def reader(self, schema) -> CalendarReader:
         return CalendarReader(self.options)
+
+
+class TickSimpleReader:
+    """Deterministic offset-based tick stream (see TickStreamDataSource)."""
+
+    def __init__(self, options):
+        self.batch = int(options.get("rowsPerBatch", 5))
+
+    def initialOffset(self):
+        return {"n": 0}
+
+    def read(self, start):
+        n = int(start["n"])
+        rows = [(i, i % 7) for i in range(n, n + self.batch)]
+        return iter(rows), {"n": n + self.batch}
+
+    def readBetweenOffsets(self, start, end):
+        # deterministic replay between committed offsets — this is what
+        # makes restart recovery exactly-once for a generator source
+        return iter([(i, i % 7) for i in range(int(start["n"]), int(end["n"]))])
+
+    def commit(self, end):
+        pass
+
+
+def _tick_stream_classes():
+    """Deferred import: pyspark.sql.datasource streaming ABCs exist only on
+    Spark 4+; keep module import safe everywhere."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    # TickSimpleReader FIRST in the MRO: the ABC's raise-NotImplemented
+    # defaults must not shadow the mixin's implementations
+    class _Reader(TickSimpleReader, SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            TickSimpleReader.__init__(self, options)
+
+    class TickStreamDataSource(DataSource):
+        """User-defined STREAMING Python data source (Spark 4
+        ``SimpleDataSourceStreamReader``): a monotone tick generator with
+        dict offsets. The contract demonstrated: ``initialOffset`` →
+        ``read(start) -> (rows, nextOffset)`` per micro-batch, and
+        ``readBetweenOffsets`` for deterministic committed-range replay
+        after a restart. The simple-reader variant executes reads on the
+        driver and is the right fit for low-volume control/metadata
+        streams (config pushes, heartbeat ticks, polling a REST API);
+        high-volume sources implement the partitioned streamReader
+        instead."""
+
+        @classmethod
+        def name(cls):
+            return "tickstream"
+
+        def schema(self):
+            return "tick BIGINT, bucket BIGINT"
+
+        def simpleStreamReader(self, schema):
+            return _Reader(self.options)
+
+    return TickStreamDataSource
+
+
+def register_tick_stream(spark) -> None:
+    spark.dataSource.register(_tick_stream_classes())

@@ -2,6 +2,7 @@
 interchange and Hive-partitioned parquet with planning-time pruning."""
 
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -177,3 +178,39 @@ def test_zorder_write_skips_on_both_dimensions(spark, sf_dir, tmp_path):
 
     # lossless
     assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_python_streaming_datasource_ticks_exactly_once(spark, tmp_path):
+    from big_data_assignment2_2025_spark.sources.pyds import (
+        register_tick_stream,
+    )
+
+    register_tick_stream(spark)
+    name = f"ticks_{os.getpid()}"
+    stream = (
+        spark.readStream.format("tickstream")
+        .option("rowsPerBatch", "4")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # wait for at least 3 committed micro-batches
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 12:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = sorted(r["tick"] for r in spark.table(name).collect())
+    assert len(rows) >= 12
+    # contiguous from 0, no gaps, no duplicates — the offset contract held
+    assert rows == list(range(rows[-1] + 1))
+    buckets = {r["tick"]: r["bucket"] for r in spark.table(name).collect()}
+    assert all(b == t % 7 for t, b in buckets.items())

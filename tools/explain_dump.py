@@ -242,6 +242,38 @@ COMMENTARY = {
         "HashAggregate → final HashAggregate with ZERO Exchange nodes. "
         "The identical query on an unbucketed table shuffles every row."
     ),
+    "partitioned_scan_pruned": (
+        "Hive-partitioned layout: the language predicate appears under "
+        "`PartitionFilters` with `PushedFilters: []` — it resolved against "
+        "directory names at planning time, so excluded partitions cost "
+        "zero I/O. The first line of scan reduction for any date/lang/"
+        "source-partitioned 100 TB table."
+    ),
+    "training_shuffle_shards": (
+        "Reproducible corpus shuffle: md5 position keys (pure projection), "
+        "shard from the key's first byte, and ONE shard-partitioned window "
+        "for positions — no global sort, no rand(), no partition-id "
+        "dependence. The shard count is the parallelism knob; per-shard "
+        "sort size is corpus/64 here, corpus/N_shards at scale."
+    ),
+    "sql_recursive_reachability": (
+        "Spark 4 WITH RECURSIVE (UnionLoop in the plan): each level joins "
+        "the previous frontier against the materialized adjacency view. "
+        "Two deliberate shape choices: SELECT DISTINCT in the recursive "
+        "term keeps each level a BFS frontier (plain UNION ALL enumerates "
+        "walks — combinatorial on cycles), and the adjacency list is "
+        "materialized to parquet first because Spark re-evaluates "
+        "non-recursive CTE subplans on every level (19 s inlined vs ~2 s "
+        "materialized at sf0.1)."
+    ),
+    "udaf_trimmed_mean": (
+        "GROUPED_AGG pandas UDAF: ArrowAggregatePython receives each "
+        "group's values as one Arrow batch (never row-at-a-time "
+        "BatchEvalPython). Integer-cents math with one floor division "
+        "keeps it bit-exact vs the oracle's rank-filtered SQL form. "
+        "State is the group's value vector — bounded here (5 event "
+        "types); unbounded groups should use the oracle's window form."
+    ),
 }
 
 
