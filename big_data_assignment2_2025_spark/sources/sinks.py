@@ -71,6 +71,21 @@ def write_range_sorted(
     parts.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
 
 
+def morton_code(a_n, b_n, bits: int = 16):
+    """Bit-interleave two ``bits``-bit normalized integer Columns into one
+    Morton code (a in even positions, b in odd) — pure JVM integer
+    expressions, property-tested against a Python reference in
+    ``tests/test_sources.py``."""
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        code = code.bitwiseOR(
+            F.shiftleft(F.shiftright(a_n, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b_n, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return code
+
+
 def write_zorder(
     df: DataFrame,
     path: str,
@@ -119,13 +134,7 @@ def write_zorder(
         )
 
     a_n, b_n = norm(col_a, amn, amx), norm(col_b, bmn, bmx)
-    code = F.lit(0).cast("long")
-    for i in range(bits):
-        code = code.bitwiseOR(
-            F.shiftleft(F.shiftright(a_n, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(b_n, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+    code = morton_code(a_n, b_n, bits)
     (
         df.withColumn("_zcode", code)
         .repartitionByRange(num_partitions, "_zcode")

@@ -214,3 +214,25 @@ def test_python_streaming_datasource_ticks_exactly_once(spark, tmp_path):
     assert rows == list(range(rows[-1] + 1))
     buckets = {r["tick"]: r["bucket"] for r in spark.table(name).collect()}
     assert all(b == t % 7 for t, b in buckets.items())
+
+
+def test_morton_code_matches_python_reference(spark):
+    import random
+
+    from big_data_assignment2_2025_spark.sources.sinks import morton_code
+
+    def ref(a, b, bits=16):
+        c = 0
+        for i in range(bits):
+            c |= ((a >> i) & 1) << (2 * i)
+            c |= ((b >> i) & 1) << (2 * i + 1)
+        return c
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(200)]
+    pts += [(0, 0), (65535, 65535), (0, 65535), (65535, 0), (1, 2)]
+    df = spark.createDataFrame(pts, "a long, b long").withColumn(
+        "code", morton_code(F.col("a"), F.col("b"))
+    )
+    for r in df.collect():
+        assert r["code"] == ref(r["a"], r["b"]), (r["a"], r["b"])
