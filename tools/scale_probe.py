@@ -65,6 +65,10 @@ PROBES = [
     "user_ltv_deciles",
     "doc_quality_quartiles",
     "training_mix_sample",
+    # iterative fixed-point algorithm (round 4b): convergence rounds are
+    # data-dependent — the 10x probe shows whether iteration count, not
+    # per-round cost, is what grows
+    "dedup_cluster_components",
 ]
 
 #: bump when the derived-dataset recipe changes so stale /tmp copies rebuild
