@@ -362,12 +362,88 @@ FROM r GROUP BY event_type ORDER BY event_type
 """
 
 
+def null_semantics_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential NULL-semantics probe — the classic cross-engine
+    divergence area, pinned as one hash-gated summary row. Derives NULLs
+    from the customer table (every 7th nation key, negative balances) and
+    checks, in one pass plus two bounded self-joins:
+    - COUNT(*) vs COUNT(col) vs COUNT(DISTINCT col) null exclusion,
+    - GROUP BY collapsing all NULL keys into ONE group,
+    - inner equi-join dropping NULL keys entirely,
+    - null-safe equality (Spark ``<=>`` / SQL IS NOT DISTINCT FROM)
+      matching NULL to NULL,
+    - SUM/AVG ignoring NULLs (integer cents, one rounded division).
+    The joins are on a 25-value key domain — bounded; the final assembly
+    cross-joins three 1-row aggregates (whitelisted scalars)."""
+    cust = load_table(spark, sf_dir, "customer")
+    t = cust.select(
+        "c_custkey",
+        F.when(F.col("c_nationkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+        F.when(
+            F.col("c_acctbal") < 0, F.lit(None).cast("long")
+        )
+        .otherwise(F.round(F.col("c_acctbal") * 100).cast("long"))
+        .alias("bal_cents"),
+    )
+    base = t.agg(
+        F.count("*").alias("n_rows"),
+        F.count("nk").alias("n_nk_notnull"),
+        F.countDistinct("nk").alias("n_nk_distinct"),
+        (F.countDistinct("nk") + F.max(F.col("nk").isNull().cast("long"))).alias(
+            "n_groups_incl_null"
+        ),
+        F.sum("bal_cents").alias("sum_bal_cents"),
+        F.count(F.when(F.col("bal_cents").isNull(), 1)).alias("n_bal_null"),
+    )
+    a = t.select(F.col("nk").alias("k1"))
+    b = t.select(F.col("nk").alias("k2"))
+    inner = a.join(b, a.k1 == b.k2).agg(
+        F.count("*").alias("inner_join_rows")
+    )
+    nullsafe = a.join(b, a.k1.eqNullSafe(b.k2)).agg(
+        F.count("*").alias("nullsafe_join_rows")
+    )
+    return base.crossJoin(F.broadcast(inner)).crossJoin(
+        F.broadcast(nullsafe)
+    )
+
+
+NULL_SEMANTICS_SQL = """
+WITH t AS (
+  SELECT c_custkey,
+         CASE WHEN c_nationkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk,
+         CASE WHEN c_acctbal < 0 THEN NULL
+              ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS bal_cents
+  FROM customer),
+base AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(nk) AS n_nk_notnull,
+         CAST(COUNT(DISTINCT nk) AS BIGINT) AS n_nk_distinct,
+         CAST(COUNT(DISTINCT nk)
+              + MAX(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_groups_incl_null,
+         CAST(SUM(bal_cents) AS BIGINT) AS sum_bal_cents,
+         COUNT(CASE WHEN bal_cents IS NULL THEN 1 END) AS n_bal_null
+  FROM t),
+inner_j AS (
+  SELECT COUNT(*) AS inner_join_rows
+  FROM t a JOIN t b ON a.nk = b.nk),
+nullsafe_j AS (
+  SELECT COUNT(*) AS nullsafe_join_rows
+  FROM t a JOIN t b ON a.nk IS NOT DISTINCT FROM b.nk)
+SELECT * FROM base, inner_j, nullsafe_j
+"""
+
+
 QUERIES = {
     "doc_quality_quartiles": doc_quality_quartiles,
     "training_mix_sample": training_mix_sample,
     "doc_boilerplate_rate": doc_boilerplate_rate,
     "training_shuffle_shards": training_shuffle_shards,
     "udaf_trimmed_mean": udaf_trimmed_mean,
+    "null_semantics_parity": null_semantics_parity,
 }
 
 ORACLES = {
@@ -376,4 +452,5 @@ ORACLES = {
     "doc_boilerplate_rate": DOC_BOILERPLATE_SQL,
     "training_shuffle_shards": TRAINING_SHUFFLE_SQL,
     "udaf_trimmed_mean": UDAF_TRIMMED_MEAN_SQL,
+    "null_semantics_parity": NULL_SEMANTICS_SQL,
 }

@@ -59,6 +59,7 @@ WHITELIST: dict[str, dict[str, str]] = {
     "tfidf_doc_similarity": {"bnlj": "1-row doc-count scalar"},
     "cross_join_scalar": {"bnlj": "the query IS the 1-row scalar cross join"},
     "graph_kcore_peel": {"bnlj": "three 1-row x 1-row per-round summary scalar cross joins"},
+    "null_semantics_parity": {"bnlj": "two broadcast 1-row aggregate scalars assembled into the summary row"},
     "q6_forecast_revenue": {"bnlj": "1-row aggregate scalar"},
     "q11_important_parts": {"bnlj": "1-row global-fraction threshold scalar"},
     "q14_promo_revenue_share": {"bnlj": "1-row total scalar"},
