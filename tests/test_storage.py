@@ -104,3 +104,28 @@ def test_analyze_table_populates_catalog_stats(spark):
     }
     assert "Statistics" in stats
     assert "rows" in stats["Statistics"]  # e.g. "123456 bytes, 1500 rows"
+
+
+def test_cache_table_plans_in_memory_scan(spark):
+    # SQL-surface caching: a cached view's consumers read columnar
+    # InMemoryTableScan batches instead of re-running the subtree — the
+    # interactive-session accelerator (distinct from bucketing, which is
+    # durable layout)
+    spark.read.parquet(f"{SF_SMALL}/customer.parquet").createOrReplaceTempView(
+        "cust_cache_probe"
+    )
+    spark.sql("CACHE TABLE cust_cache_probe")
+    try:
+        df = spark.sql(
+            "SELECT c_mktsegment, COUNT(*) AS n FROM cust_cache_probe "
+            "GROUP BY c_mktsegment"
+        )
+        plan = _plan(df)
+        assert "In-memory table" in plan or "InMemoryTableScan" in plan
+        assert df.count() == 5
+    finally:
+        spark.sql("UNCACHE TABLE cust_cache_probe")
+    plan_after = _plan(
+        spark.sql("SELECT COUNT(*) FROM cust_cache_probe")
+    )
+    assert "In-memory table" not in plan_after and "InMemoryRelation" not in plan_after
