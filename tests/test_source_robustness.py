@@ -104,3 +104,42 @@ def test_parquet_compression_codecs_roundtrip(spark, tmp_path, codec):
     back = spark.read.parquet(path)
     assert back.count() == 1000
     assert back.agg(F.sum("id")).first()[0] == 999 * 1000 // 2
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    # backfill reality: rewriting ONE day must not clobber the others.
+    # static overwrite mode drops every partition; dynamic replaces only
+    # the partitions present in the incoming frame
+    path = str(tmp_path / "byday")
+    days = spark.createDataFrame(
+        [(d, v) for d, v in [("d1", 1), ("d2", 2), ("d3", 3)]], "day string, v long"
+    )
+    days.write.partitionBy("day").parquet(path)
+
+    fixed_d2 = spark.createDataFrame([("d2", 20)], "day string, v long")
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed_d2.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+    back = {r["day"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert back == {"d1": 1, "d2": 20, "d3": 3}
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    # additive column evolution: old files lack the new column; a
+    # mergeSchema read unions the schemas and fills NULLs for old rows
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        path
+    )
+    spark.createDataFrame(
+        [(2, "b", "en")], "id long, name string, lang string"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "lang"}
+    rows = {r["id"]: (r["name"], r["lang"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", "en")}
