@@ -437,6 +437,91 @@ SELECT * FROM base, inner_j, nullsafe_j
 """
 
 
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-and-chunk step that turns a document
+    stream into fixed-budget training sequences (budget 2048 whitespace
+    tokens here): documents are laid out in the deterministic shard/key
+    order of [[training_shuffle_shards]] (md5 keys, 32 shards), token
+    counts are prefix-summed per shard, and a document's bin is
+    ``floor((cumsum - tok) / budget)`` — i.e. bins are cut wherever the
+    running concatenation crosses a budget boundary (a document may
+    straddle two bins; its bin is where it STARTS, the convention of
+    packed-dataset builders that split on the fly).
+
+    Scale shape: one projection (keys + token counts), one per-shard
+    cumsum window (shard = the parallelism unit, corpus/32 rows each; use
+    thousands of shards at 100 TB), one rollup. The readout is per-shard
+    packing efficiency — bins produced, tokens packed, mean fill — the
+    number that tells you how much compute a sloppy packer wastes."""
+    budget = 2048
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    key = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    hexdig = "0123456789abcdef"
+    t = docs.select(
+        "doc_id",
+        key.alias("k"),
+        whitespace_token_count("text").cast("long").alias("tok"),
+    ).withColumn(
+        "shard",
+        (
+            (F.expr(f"instr('{hexdig}', substring(k, 1, 1)) - 1") * 16
+             + F.expr(f"instr('{hexdig}', substring(k, 2, 1)) - 1"))
+            % 32
+        ).cast("long"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = t.withColumn("cum", F.sum("tok").over(w)).withColumn(
+        "bin", F.floor((F.col("cum") - F.col("tok")) / budget)
+    )
+    return (
+        binned.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.max("bin") + 1).alias("n_bins"),
+            F.sum("tok").alias("sum_tokens"),
+            F.round(
+                F.sum("tok").cast("double") / ((F.max("bin") + 1) * budget), 6
+            ).alias("fill_ratio"),
+        )
+        .orderBy("shard")
+    )
+
+
+SEQUENCE_PACKING_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         md5('seed42:' || CAST(doc_id AS VARCHAR)) AS k,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+           AS tok
+  FROM documents WHERE text IS NOT NULL),
+s AS (
+  SELECT doc_id, k, tok,
+         CAST(((strpos('0123456789abcdef', substring(k, 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substring(k, 2, 1)) - 1)) % 32
+              AS BIGINT) AS shard
+  FROM t),
+c AS (
+  SELECT shard, tok,
+         SUM(tok) OVER (PARTITION BY shard ORDER BY k, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s),
+b AS (
+  SELECT shard, tok, CAST(floor((cum - tok) / 2048.0) AS BIGINT) AS bin
+  FROM c)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+       CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       round(CAST(SUM(tok) AS DOUBLE) / ((MAX(bin) + 1) * 2048), 6)
+         AS fill_ratio
+FROM b GROUP BY shard ORDER BY shard
+"""
+
+
 QUERIES = {
     "doc_quality_quartiles": doc_quality_quartiles,
     "training_mix_sample": training_mix_sample,
@@ -444,6 +529,7 @@ QUERIES = {
     "training_shuffle_shards": training_shuffle_shards,
     "udaf_trimmed_mean": udaf_trimmed_mean,
     "null_semantics_parity": null_semantics_parity,
+    "sequence_packing_bins": sequence_packing_bins,
 }
 
 ORACLES = {
@@ -453,4 +539,5 @@ ORACLES = {
     "training_shuffle_shards": TRAINING_SHUFFLE_SQL,
     "udaf_trimmed_mean": UDAF_TRIMMED_MEAN_SQL,
     "null_semantics_parity": NULL_SEMANTICS_SQL,
+    "sequence_packing_bins": SEQUENCE_PACKING_SQL,
 }
