@@ -266,6 +266,14 @@ COMMENTARY = {
         "non-recursive CTE subplans on every level (19 s inlined vs ~2 s "
         "materialized at sf0.1)."
     ),
+    "sequence_packing_bins": (
+        "Sequence packing: token counts are a scan-level projection, the "
+        "prefix sum is ONE window partitioned by shard (the parallelism "
+        "unit — corpus/32 rows per partition here, thousands of shards at "
+        "100 TB), and the readout is one rollup. No global sort anywhere; "
+        "the deterministic md5 shard/key order makes the bin assignment "
+        "reproducible on any engine or partitioning."
+    ),
     "udaf_trimmed_mean": (
         "GROUPED_AGG pandas UDAF: ArrowAggregatePython receives each "
         "group's values as one Arrow batch (never row-at-a-time "
