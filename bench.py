@@ -65,6 +65,9 @@ HEADLINE = [
     "training_shuffle_shards",
     "sql_recursive_reachability",
     "udaf_trimmed_mean",
+    "partitioned_scan_pruned",
+    "null_semantics_parity",
+    "sequence_packing_bins",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —
