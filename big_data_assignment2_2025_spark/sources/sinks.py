@@ -184,3 +184,39 @@ def write_csv_with_header(
     readers.read_csv_with_schema) — inferSchema is a full extra pass at
     100 TB and type-guesses, so it is never used."""
     df.write.mode(mode).option("header", "true").csv(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the maintenance pass every streaming or
+    micro-batch ingest needs: thousands of kilobyte files per partition
+    turn scans into metadata storms (one task + one footer fetch each).
+    Reads the directory, sizes the data from the files actually on disk,
+    rewrites it as ``ceil(total_bytes / target_file_bytes)`` files, and
+    returns the new file count.
+
+    The rewrite goes through a temp dir + atomic-ish swap (write side,
+    delete old, rename) rather than overwriting in place, because
+    ``mode("overwrite")`` on the path being read is a read-your-own-delete
+    race. At 100 TB run this per partition directory (e.g. per day), not
+    on the table root, so each compaction is bounded and parallelizable
+    across partitions."""
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "_compacting"
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

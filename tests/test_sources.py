@@ -252,3 +252,24 @@ def test_hidden_file_metadata_columns(spark, sf_dir):
     # provenance grouping: every row of this single-file fixture maps to
     # exactly one physical file
     assert df.select("fp").distinct().count() >= 1
+
+
+def test_compact_parquet_collapses_small_files(spark, tmp_path):
+    from big_data_assignment2_2025_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    # simulate a micro-batch ingest: 40 tiny files
+    spark.range(4000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("s")
+    ).repartition(40).write.parquet(path)
+    before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before) == 40
+    total_before = spark.read.parquet(path).agg(F.sum("id")).first()[0]
+
+    n = compact_parquet(spark, path, target_file_bytes=10 * 1024 * 1024)
+    after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(after) == n < len(before)
+    # lossless
+    back = spark.read.parquet(path)
+    assert back.count() == 4000
+    assert back.agg(F.sum("id")).first()[0] == total_before
