@@ -303,9 +303,11 @@ def udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     The UDF receives each group's values as ONE Arrow-backed numpy array
     (vectorized; PythonUDAF in the plan, never row-at-a-time), and all
     arithmetic is integer cents with a single floor division, so the result
-    is bit-exact across engines and partitionings (values are strictly
-    positive in the fixture, so floor and truncating division agree —
-    DuckDB's ``//`` truncates, Python's floors).
+    is bit-exact across engines and partitionings. Python's ``//`` floors;
+    the oracle mirrors it with ``floor(sum/cnt)`` in double (the sum is
+    far below 2^53, so the double division is exact) — robust even if a
+    regenerated fixture ships negative values, where DuckDB's integer
+    ``//`` (truncating) would diverge.
 
     Scale note: GROUPED_AGG materializes each group's values in executor
     memory — fine for bounded groups (event types); for unbounded groups
@@ -354,9 +356,9 @@ r AS (
   FROM c)
 SELECT event_type,
        CAST(MAX(n) AS BIGINT) AS n_events,
-       CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
-                     THEN cents END)
-            // (MAX(n) - 2 * (MAX(n) // 10)) AS BIGINT)
+       CAST(floor(CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                             THEN cents END) AS DOUBLE)
+                  / (MAX(n) - 2 * (MAX(n) // 10))) AS BIGINT)
          AS trimmed_mean_cents
 FROM r GROUP BY event_type ORDER BY event_type
 """
