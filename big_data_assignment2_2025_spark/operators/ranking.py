@@ -84,6 +84,26 @@ def _ceil_div(num: Column, den: int) -> Column:
     return (num + F.lit(den - 1)).cast("long") / F.lit(den)
 
 
+def _tile_of_rank_col(rank: Column, n_rows: Column, n_tiles: int) -> Column:
+    """``_tile_of_rank`` with the total count supplied as a COLUMN (a
+    per-partition-value literal from a bounded map lookup), for NTILE over
+    partitioned data where each partition value has its own row count.
+    Same SQL-standard positional rule; the divisions are long/long -> double
+    and floor exactly for any count below 2^53."""
+    n = n_rows.cast("long")
+    base = F.floor(n / n_tiles).cast("long")
+    rem = (n % F.lit(n_tiles)).cast("long")
+    cutoff = (base + 1) * rem
+    big = F.floor((rank + base) / (base + 1))
+    small = rem + F.floor((rank - cutoff + base - 1) / base)
+    return (
+        F.when(base == 0, rank)
+        .when(rank <= cutoff, big)
+        .otherwise(small)
+        .cast("int")
+    )
+
+
 def _tile_of_rank(rank: Column, n_rows: int, n_tiles: int) -> Column:
     """SQL-standard NTILE bucket for a 1-based global rank, as a literal
     formula: with base = n div t and rem = n mod t, the first ``rem`` tiles
@@ -298,6 +318,94 @@ def with_global_ntiles(
         )
         out = out.withColumn(s.out_col, _tile_of_rank(rank, n_rows, n_tiles))
     return out.drop(*_temp_cols(specs, with_values=False))
+
+
+def with_partitioned_ranks(
+    df: DataFrame,
+    partition_col: str,
+    spec: NtileSpec,
+    n_buckets: int = 32,
+    rank_col: str = "rn",
+    count_col: str = "n_part",
+) -> DataFrame:
+    """Exact per-partition-value ``row_number`` AND partition size over the
+    spec's total order — the scale-out form of ``row_number().over(
+    Window.partitionBy(partition_col).orderBy(...))`` for the case where
+    each partition value's row count GROWS with the data (a market segment
+    holds ~20% of the customer dimension at any SF, so the naive window is
+    a straggler at 1e9 rows even though it is "partitioned").
+
+    Every window in the produced plan is partitioned by ``(partition value,
+    range bucket)`` — the widest sort is one bucket of one value, ~n /
+    (n_values * n_buckets) rows. ``partition_col`` must be BOUNDED
+    cardinality and non-null: driver state is n_values * n_buckets counts
+    (the same bounded-collect discipline as ``_bucketize``; the offsets are
+    re-embedded as a literal map). Bucket boundaries are GLOBAL metric
+    percentiles — boundary quality only shapes bucket balance; within a
+    partition value the bucket id is a monotone function of ``asc_key``, so
+    literal offset + within-bucket ``row_number`` is the exact partition
+    rank for ANY boundary set (ties on the metric share a bucket, and
+    ``order_cols`` totally orders them inside it).
+
+    Output = input plus ``rank_col`` (1-based exact per-value rank under
+    the total order — equal to RANK and ROW_NUMBER alike, since the order
+    is total) and ``count_col`` (that value's total row count), from which
+    ntile (``_tile_of_rank_col``), percent_rank ``(rank-1)/(n-1)`` and
+    cume_dist ``rank/n`` all follow as exact scalar expressions.
+    """
+    k = f"__k_{spec.out_col}"
+    b = f"__b_{spec.out_col}"
+    p = f"__p_{spec.out_col}"
+    keyed = df.withColumn(k, spec.asc_key.cast("long")).withColumn(
+        p, F.col(partition_col).cast("string")
+    )
+    # two bounded driver actions (boundaries, per-(value,bucket) counts)
+    # share one cached subtree; unpersisted before returning so the lazy
+    # result frame simply recomputes from source (same as _bucketize)
+    keyed = keyed.persist()
+    try:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bnds = (
+            keyed.agg(
+                F.percentile_approx(k, F.array(*[F.lit(pr) for pr in probs]))
+            ).first()[0]
+            or []
+        )
+        bucket = F.aggregate(
+            F.array(*[F.lit(int(x)) for x in bnds]),
+            F.lit(0),
+            lambda acc, bd: acc + F.when(F.col(k) > bd, 1).otherwise(0),
+        )
+        bucketed = keyed.withColumn(b, bucket)
+        rows = bucketed.groupBy(p, b).agg(F.count("*").alias("c")).collect()
+    finally:
+        keyed.unpersist()
+
+    per_val: dict = {}
+    for r in rows:
+        per_val.setdefault(r[p], {})[r[b]] = r["c"]
+    off_entries: list = []
+    tot_entries: list = []
+    for val, cnts in sorted(per_val.items()):
+        offs, acc = [], 0
+        for i in range(n_buckets):
+            offs.append(acc)
+            acc += cnts.get(i, 0)
+        off_entries += [F.lit(val), F.array(*[F.lit(int(o)) for o in offs])]
+        tot_entries += [F.lit(val), F.lit(int(acc))]
+    off_map = F.create_map(*off_entries)
+    tot_map = F.create_map(*tot_entries)
+
+    w = Window.partitionBy(p, b).orderBy(*spec.order_cols)
+    return (
+        bucketed.withColumn(
+            rank_col,
+            F.element_at(F.element_at(off_map, F.col(p)), F.col(b) + 1)
+            + F.row_number().over(w),
+        )
+        .withColumn(count_col, F.element_at(tot_map, F.col(p)))
+        .drop(k, b, p)
+    )
 
 
 def with_global_rank_cumsum(

@@ -794,22 +794,45 @@ FROM target t FULL OUTER JOIN staging s ON t.o_orderkey = s.o_orderkey
 
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions — ntile / percent_rank / cume_dist over
-    customer balances per market segment. The ordering key includes custkey
-    so the order is total (percent_rank/cume_dist are rational functions of
-    rank and are then exactly portable: (rank-1)/(n-1) and rank/n in exact
-    IEEE division on both engines)."""
-    from pyspark.sql import Window
+    customer balances per market segment — computed WITHOUT a per-segment
+    window: a segment is ~20% of the customer dimension and grows with the
+    data, so ``Window.partitionBy(c_mktsegment)`` is a straggler at 1e9
+    customers. ``operators.ranking.with_partitioned_ranks`` delivers the
+    exact per-segment rank and segment size with every window partitioned
+    by (segment, range-bucket); the three distribution functions are then
+    closed-form in (rank, n): the ordering key includes custkey so the
+    order is total, making rank == row_number and percent_rank/cume_dist
+    the exact rationals (rank-1)/(n-1) and rank/n in the same IEEE double
+    division DuckDB performs. The metric key is exact integer cents
+    (acctbal has 2 decimals), monotone with the (acctbal, custkey) order.
+    """
+    from ..operators.ranking import (
+        NtileSpec,
+        _tile_of_rank_col,
+        with_partitioned_ranks,
+    )
 
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    ranked = with_partitioned_ranks(
+        cust,
+        "c_mktsegment",
+        NtileSpec(
+            "bal",
+            F.round(F.col("c_acctbal") * 100).cast("long"),
+            [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        ),
+        rank_col="__r",
+        count_col="__n",
     )
-    return cust.select(
+    r, n = F.col("__r"), F.col("__n")
+    return ranked.select(
         "c_custkey",
         "c_mktsegment",
-        F.ntile(4).over(w).alias("bal_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        _tile_of_rank_col(r, n, 4).alias("bal_quartile"),
+        F.round(
+            F.when(n > 1, (r - 1).cast("double") / (n - 1)).otherwise(0.0), 6
+        ).alias("bal_pct_rank"),
+        F.round(r.cast("double") / n, 6).alias("bal_cume_dist"),
     )
 
 

@@ -115,7 +115,6 @@ WHITELIST: dict[str, dict[str, str]] = {
     "text_bigram_topk": {"unpartitioned_window": "input = top-k bigram aggregate after count filter (bounded by k-oriented HAVING)"},
     "graph_degree_distribution": {"unpartitioned_window": "input = per-degree counts (bounded by max degree)"},
     "events_variant_extract": {"unpartitioned_window": "input = per-type aggregate (bounded by type domain)"},
-    "window_distribution": {"unpartitioned_window": "cume_dist/percent_rank readout partitioned by 5 segments — each partition ~20% of the dimension; scale-out form would reuse operators/ranking.py (SCALING.md §5)"},
     # ---- sanctioned VECTORIZED Python boundaries (never row-at-a-time) ----
     "events_user_zscore": {"arrow_python": "applyInPandas grouped z-score — the sanctioned custom-grouped-transform surface (Arrow batches)"},
     "multimodal_decode_features": {"arrow_python": "mapInPandas media decode — Python by nature (codec), Arrow-batched"},
