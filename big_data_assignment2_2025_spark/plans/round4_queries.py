@@ -8,8 +8,9 @@ are LLM-data-pipeline extensions per SURVEY.md §7.6, each hash-gated
 against a DuckDB oracle.
 """
 
-from __future__ import annotations
-
+# NOTE: no `from __future__ import annotations` here — stringified
+# annotations would defeat pandas_udf's type-hint eval-type inference
+# (udaf_trimmed_mean), forcing the deprecated PandasUDFType enum instead.
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -176,24 +177,28 @@ def doc_boilerplate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sentence is boilerplate if its exact text occurs in more than one
     DOCUMENT.
 
-    Shape: explode to (doc, sentence) -> distinct -> sentence document-
-    frequency (one hash agg keyed by sentence text digest-sized rows) ->
-    join back on sentence -> per-doc rollup. Both shuffles carry sentence
-    strings once; at 100 TB hash the sentence (md5) before the frequency
-    agg so shuffle rows stay fixed-width (same discipline as exact dedup).
-    Output: per-doc sentence counts, duplicated-sentence count, and the
-    boilerplate rate (exact integer division, rounded once)."""
+    Shape: explode to (doc, sentence) -> md5 the sentence AT EXPLODE TIME
+    (inside the same scan-side projection, before any exchange) ->
+    distinct -> document-frequency agg -> join back, ALL keyed on the
+    32-hex digest. The raw sentence string never crosses a shuffle: every
+    exchange row is (doc_id, 32-char digest), fixed-width regardless of
+    sentence length — the same digest-key discipline as exact dedup
+    (operators/dedup.py). Collisions are a non-issue at any corpus size
+    (2^64 birthday bound on 128-bit md5). Output: per-doc sentence counts,
+    duplicated-sentence count, and the boilerplate rate (exact integer
+    division, rounded once)."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     sent = (
         docs.select(
             "doc_id", F.explode(F.split("text", r"\. ")).alias("sentence")
         )
         .where(F.length("sentence") > 20)
+        .select("doc_id", F.md5("sentence").alias("sent_digest"))
         .distinct()
     )
-    freq = sent.groupBy("sentence").agg(F.count("*").alias("n_docs_with"))
+    freq = sent.groupBy("sent_digest").agg(F.count("*").alias("n_docs_with"))
     per_doc = (
-        sent.join(freq, "sentence")
+        sent.join(freq, "sent_digest")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_sentences"),
@@ -312,35 +317,40 @@ def udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: GROUPED_AGG materializes each group's values in executor
     memory — fine for bounded groups (event types); for unbounded groups
     the rank-filtered SQL form (the oracle's shape) is the scale path.
-    This query pins the API surface, like udtf_top_terms."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    This query pins the API surface, like udtf_top_terms.
 
-    # functionType passed explicitly: `from __future__ import annotations`
-    # stringifies signatures, so pyspark can't infer GROUPED_AGG from them
-    def _trimmed(cents):
+    Single pass: Spark disallows mixing a GROUPED_AGG pandas UDF with
+    native aggregates in one ``agg()``, but multiple GROUPED_AGG UDFs
+    compose — so the group count rides along as a second vectorized UDAF
+    over the same Arrow batch (one shuffle, no join-back). Eval type is
+    inferred from the ``pd.Series -> int`` hints (the non-deprecated
+    Spark 3/4 API); this module deliberately has no
+    ``from __future__ import annotations``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _trimmed(cents: pd.Series) -> int:
         v = cents.sort_values().to_numpy()
         k = len(v) // 10
         kept = v[k : len(v) - k] if len(v) > 2 * k else v
         return int(kept.sum()) // len(kept)
 
-    trimmed_mean_cents = pandas_udf(
-        _trimmed, "long", PandasUDFType.GROUPED_AGG
-    )
+    def _size(cents: pd.Series) -> int:
+        return len(cents)
+
+    trimmed_mean_cents = pandas_udf(_trimmed, "long")
+    group_size = pandas_udf(_size, "long")
 
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     cents = ev.select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
-    # Spark disallows mixing a GROUPED_AGG pandas UDF with native
-    # aggregates in one agg(); the count comes from a separate pass over
-    # the same (tiny, per-type) aggregate and joins back on the group key
-    trimmed = cents.groupBy("event_type").agg(
-        trimmed_mean_cents("cents").alias("trimmed_mean_cents")
-    )
-    counts = cents.groupBy("event_type").agg(F.count("*").alias("n_events"))
     return (
-        counts.join(trimmed, "event_type")
-        .select("event_type", "n_events", "trimmed_mean_cents")
+        cents.groupBy("event_type")
+        .agg(
+            group_size("cents").alias("n_events"),
+            trimmed_mean_cents("cents").alias("trimmed_mean_cents"),
+        )
         .orderBy("event_type")
     )
 
