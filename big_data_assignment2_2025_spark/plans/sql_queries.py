@@ -169,17 +169,24 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
+    from ..sources.readers import (
+        derived_cache_ok,
+        fixture_fingerprint,
+        mark_derived_cache,
+    )
     from .graph_queries import _copurchase_edges
 
     register_views(spark, sf_dir)
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     path = os.path.join(tempfile.gettempdir(), f"adj_rec_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(path, fprint):
         edges = _copurchase_edges(spark, sf_dir)
         adj = edges.select("u", "v").unionAll(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         adj.write.mode("overwrite").parquet(path)
+        mark_derived_cache(path, fprint)
     spark.read.parquet(path).createOrReplaceTempView("copurchase_adj")
     return spark.sql(_RECURSION_OVER_VIEW)
 

@@ -25,7 +25,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.readers import load_table
+from ..sources.readers import (
+    derived_cache_ok,
+    fixture_fingerprint,
+    load_table,
+    mark_derived_cache,
+)
 
 _N_BUCKETS = 8
 
@@ -46,11 +51,19 @@ def bucketed_table(
     SparkSession including the grading driver's. ``sortBy(key)`` adds
     within-bucket order, so bucket-key sort-merge joins skip the per-task
     sort too and row-group min/max stats stay tight on the key.
+
+    Validity is NOT just ``tableExists``: with a persistent metastore the
+    catalog entry can outlive the /tmp data files (or point at data built
+    from an older fixture), so the data path must also carry a committed
+    fixture-fingerprint marker; on any mismatch the table is dropped and
+    rewritten.
     """
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     name = f"{table}_bkt{n_buckets}_{tag}"
-    if not spark.catalog.tableExists(name):
-        path = os.path.join(tempfile.gettempdir(), f"bkt_{tag}", table)
+    path = os.path.join(tempfile.gettempdir(), f"bkt_{tag}", table)
+    fprint = fixture_fingerprint(sf_dir)
+    if not (spark.catalog.tableExists(name) and derived_cache_ok(path, fprint)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
             load_table(spark, sf_dir, table)
             .write.mode("overwrite")
@@ -60,6 +73,7 @@ def bucketed_table(
             .option("path", path)
             .saveAsTable(name)
         )
+        mark_derived_cache(path, fprint)
     return spark.table(name)
 
 
@@ -145,11 +159,12 @@ def partitioned_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     path = os.path.join(tempfile.gettempdir(), f"docs_bylang_{tag}")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(path, fprint):
         write_partitioned(
             load_table(spark, sf_dir, "documents"), path, ["lang"]
         )
+        mark_derived_cache(path, fprint)
     back = spark.read.parquet(path)
     return (
         back.where(F.col("lang") == "en")

@@ -40,6 +40,61 @@ CORPUS_SCHEMA = T.StructType(
 )
 
 
+def fixture_fingerprint(sf_dir: str) -> str:
+    """Content-version tag for a fixture directory: sizes + mtimes of every
+    ``*.parquet`` entry (recursing one level into directory datasets),
+    hashed. Folded into every derived-data cache marker (``adj_rec_*``,
+    ``docs_bylang_*``, ``bkt_*`` tables) so a fixture regenerated IN PLACE
+    at the same path invalidates the caches instead of silently serving
+    stale derived data — the same discipline as ``tools/scale_probe.py``'s
+    BUILD_TAG marker."""
+    import hashlib
+    import os
+
+    parts = []
+    for name in sorted(os.listdir(sf_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(sf_dir, name)
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, f))
+                parts.append(f"{name}/{f}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            st = os.stat(p)
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
+_CACHE_MARKER = "_FIXTURE_TAG"
+
+
+def derived_cache_ok(path: str, tag: str) -> bool:
+    """True iff a derived-parquet cache at ``path`` was committed
+    (``_SUCCESS``) AND was built from the fixture state ``tag`` — stale or
+    half-written caches read as invalid and get rebuilt."""
+    import os
+
+    try:
+        with open(os.path.join(path, _CACHE_MARKER)) as fh:
+            return (
+                os.path.exists(os.path.join(path, "_SUCCESS"))
+                and fh.read() == tag
+            )
+    except OSError:
+        return False
+
+
+def mark_derived_cache(path: str, tag: str) -> None:
+    """Write the fixture tag AFTER the parquet job commits: the marker is
+    the cache's commit point, so an interrupted or concurrent writer can at
+    worst cause a redundant rebuild, never a stale read."""
+    import os
+
+    with open(os.path.join(path, _CACHE_MARKER), "w") as fh:
+        fh.write(tag)
+
+
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize ``events.ts`` to TimestampType (µs) across fixture vintages.
 

@@ -198,16 +198,29 @@ def compact_parquet(
     rewrites it as ``ceil(total_bytes / target_file_bytes)`` files, and
     returns the new file count.
 
-    The rewrite goes through a temp dir + atomic-ish swap (write side,
-    delete old, rename) rather than overwriting in place, because
-    ``mode("overwrite")`` on the path being read is a read-your-own-delete
-    race. At 100 TB run this per partition directory (e.g. per day), not
-    on the table root, so each compaction is bounded and parallelizable
-    across partitions."""
+    The rewrite goes through a temp dir + swap rather than overwriting in
+    place, because ``mode("overwrite")`` on the path being read is a
+    read-your-own-delete race. The swap order is crash-safe: the old data
+    is renamed ASIDE (``<path>_old``), the new data renamed in, and only
+    then is the old copy deleted — an interruption at any point leaves
+    either the old or the new dataset at the canonical path (at worst plus
+    a leftover ``_old``/``_compacting`` dir to sweep), never a missing
+    path. Hive-partitioned roots are refused: compacting through
+    ``read.parquet`` on a ``key=value`` tree would flatten the partition
+    columns into plain data columns. At 100 TB run this per partition
+    directory (e.g. per day), not on the table root, so each compaction is
+    bounded and parallelizable across partitions."""
     import math
     import os
     import shutil
 
+    for entry in os.listdir(path):
+        if "=" in entry and os.path.isdir(os.path.join(path, entry)):
+            raise ValueError(
+                f"compact_parquet refuses the partitioned table root {path!r}"
+                f" (found {entry!r}): compact each partition directory"
+                " instead, or the partition columns would be flattened"
+            )
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
@@ -215,8 +228,11 @@ def compact_parquet(
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, math.ceil(total / target_file_bytes))
     tmp = path.rstrip("/") + "_compacting"
+    old = path.rstrip("/") + "_old"
     df = spark.read.parquet(path)
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return n_files

@@ -273,3 +273,55 @@ def test_compact_parquet_collapses_small_files(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 4000
     assert back.agg(F.sum("id")).first()[0] == total_before
+    # the crash-safe swap leaves no leftover side dirs on success
+    assert not os.path.exists(path + "_old")
+    assert not os.path.exists(path + "_compacting")
+
+
+def test_compact_parquet_refuses_partitioned_root(spark, tmp_path):
+    import pytest
+
+    from big_data_assignment2_2025_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "parted")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).alias("k")
+    ).write.partitionBy("k").parquet(path)
+    with pytest.raises(ValueError, match="partitioned table root"):
+        compact_parquet(spark, path)
+    # refused untouched: still readable with partition column intact
+    assert spark.read.parquet(path).select("k").distinct().count() == 3
+
+
+def test_derived_cache_invalidation(tmp_path):
+    """fixture_fingerprint must change when a fixture file is regenerated
+    in place, and derived_cache_ok must reject missing-marker, stale-tag
+    and uncommitted (_SUCCESS-less) caches."""
+    from big_data_assignment2_2025_spark.sources.readers import (
+        derived_cache_ok,
+        fixture_fingerprint,
+        mark_derived_cache,
+    )
+
+    fix = tmp_path / "fix"
+    fix.mkdir()
+    (fix / "customer.parquet").write_bytes(b"v1-bytes")
+    tag1 = fixture_fingerprint(str(fix))
+
+    cache = tmp_path / "derived"
+    cache.mkdir()
+    assert not derived_cache_ok(str(cache), tag1)  # no marker yet
+    (cache / "_SUCCESS").write_text("")
+    assert not derived_cache_ok(str(cache), tag1)  # marker still missing
+    mark_derived_cache(str(cache), tag1)
+    assert derived_cache_ok(str(cache), tag1)
+
+    # regenerate the fixture in place -> new tag -> cache invalid
+    os.utime(fix / "customer.parquet", ns=(1, 1))
+    tag2 = fixture_fingerprint(str(fix))
+    assert tag2 != tag1
+    assert not derived_cache_ok(str(cache), tag2)
+
+    # uncommitted cache (marker but no _SUCCESS) is invalid too
+    (cache / "_SUCCESS").unlink()
+    assert not derived_cache_ok(str(cache), tag1)

@@ -21,6 +21,7 @@ def _plan(df):
 
 
 def test_bucketed_join_sides_not_shuffled(spark):
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         orders = bucketed_table(spark, SF_SMALL, "orders", "o_custkey")
@@ -30,7 +31,7 @@ def test_bucketed_join_sides_not_shuffled(spark):
         )
         plan = _plan(joined)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
     assert plan.count("Bucketed: true") == 2
@@ -40,11 +41,12 @@ def test_bucketed_join_sides_not_shuffled(spark):
 def test_bucketed_join_query_single_exchange(spark):
     # the registry query's only shuffle is the 5-group segment rollup
     # AFTER the join; the join itself reads co-located buckets
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = _plan(bucketed_join_colocated(spark, SF_SMALL))
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     join_part = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in join_part
 

@@ -64,6 +64,7 @@ def main() -> None:
 
     # --- autoBroadcastJoinThreshold sweep on q3's dim join ---
     bt_rows = []
+    saved_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     for thr in ("-1", "10485760", "104857600"):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         df = QUERIES["q3_shipping_priority"](spark, DST)
@@ -78,7 +79,7 @@ def main() -> None:
             }
         )
         print(f"# thr={thr}: bhj={bt_rows[-1]['bhj']} smj={bt_rows[-1]['smj']} q3={sec}s", file=sys.stderr)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_thr)
     out["broadcast_threshold_sweep"] = bt_rows
 
     print(json.dumps(out))
