@@ -68,6 +68,11 @@ HEADLINE = [
     "partitioned_scan_pruned",
     "null_semantics_parity",
     "sequence_packing_bins",
+    # round-5: the heavyweights previously invisible to BENCH — the
+    # iterative-graph path (most expensive registry query) and the
+    # digest-keyed boilerplate scan
+    "graph_kcore_peel",
+    "doc_boilerplate_rate",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —
