@@ -97,9 +97,17 @@ def jaccard_pairs(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     Returns (doc1, doc2, inter, n1, n2, jaccard). The same-shingle join is
     the inverted-index trick: pairs that share nothing never materialize.
-    Hot shingles (stopword runs) are the skew risk at scale — AQE skew-join
-    handles moderate skew; extreme skew calls for dropping ultra-frequent
-    shingles (document frequency cap) before the join.
+    Hot shingles (stopword runs, boilerplate) are the skew risk at scale.
+    Measured (tools/skew_probe.py, round 5): moderate hot keys (df ~10% of
+    docs) produce NO straggler — the fan-out spreads across the hot key's
+    many partners. A single extreme hot key defeats AQE skew-join twice
+    over: detection is on COMPRESSED map-output bytes, which an
+    identical-string key shrinks below the skew factor; and even a forced
+    split doesn't help, because the cost is the key's QUADRATIC JOIN
+    OUTPUT, invisible to input-byte chunking. The document-frequency cap
+    (drop ultra-frequent shingles before the join — `dedup_ngram_capped`)
+    is the mitigation that works: it removes exactly the keys whose
+    pair fan-out is quadratic and whose discriminative value is nil.
     """
     a = sh.select(F.col(id_col).alias("doc1"), "shingle")
     b = sh.select(F.col(id_col).alias("doc2"), "shingle")
