@@ -24,6 +24,7 @@ from . import (
     round3_queries,
     round3b_queries,
     round4_queries,
+    round5_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -53,6 +54,7 @@ _MODULES = [
     round3_queries,
     round3b_queries,
     round4_queries,
+    round5_queries,
     storage_queries,
 ]
 

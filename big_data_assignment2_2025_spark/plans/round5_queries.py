@@ -1,0 +1,246 @@
+"""Round-5 queries: operational surfaces a production 100 TB corpus build
+runs every day and the registry didn't yet cover —
+
+- **incremental dedup** (``dedup_incremental_batch``): the daily-drop shape.
+  A new batch arrives; dedupe it against the already-ingested corpus
+  WITHOUT rescanning/re-pairing history: distinct digests of history,
+  left-anti join the batch, then keeper-per-digest inside the batch. At
+  scale the history side is a digest-only projection (~40 B/row) and the
+  join is a shuffle hash join on the digest — never a pair join.
+- **argmin/argmax bars** (``events_ohlc_bars``): open/close/high/low per
+  (event_type, day) via ``min_by``/``max_by`` with a composite
+  deterministic ordering key. One shuffle with map-side partial
+  aggregation — the scale-safe alternative to collect_list-and-sort or a
+  double window pass. The ordering key is a zero-padded sortable string
+  because that is the one composite-key encoding BOTH engines order
+  identically (DuckDB's arg_min takes no struct ordering).
+- **order-independent table checksum** (``table_checksum_xor``): the
+  cross-cluster reconciliation primitive — bit_xor of a 60-bit digest of
+  each row's canonical string, grouped. XOR is commutative, so the result
+  is independent of partitioning/ordering and two clusters can compare
+  per-group fingerprints without moving data. 60 bits (15 hex chars) keeps
+  the value inside a signed BIGINT on both engines.
+- **corpus divergence** (``corpus_divergence_kl``): per-language add-one
+  smoothed KL(A||B) contributions between two hash-split halves of the
+  corpus — the drift monitor run between a new training-mix snapshot and
+  the previous one.
+
+No counterpart in the reference (index+query only); LLM-pipeline
+extensions per SURVEY.md §7.6, each hash-gated against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedupe a new document batch (``doc_id % 10 >= 8``) against the
+    historical corpus (``doc_id % 10 < 8``) by exact content digest.
+
+    History contributes ONLY ``SELECT DISTINCT md5(text)`` — a digest
+    projection that prunes every other column at the scan. The batch is
+    left-anti joined on the digest (shuffle hash join; the batch side is
+    small, history large — at 100 TB this is the shape where the batch
+    could even be broadcast if it fits), then the surviving batch rows are
+    reduced to one keeper per digest with the duplicate count."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    hist_digests = (
+        docs.where(F.col("doc_id") % 10 < 8)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+    )
+    batch = docs.where(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    fresh = batch.join(hist_digests, "digest", "left_anti")
+    return fresh.groupBy("digest").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        (F.count("*") - F.lit(1)).alias("n_batch_dups"),
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH hist AS (
+  SELECT DISTINCT md5(text) AS digest
+  FROM documents WHERE text IS NOT NULL AND doc_id % 10 < 8
+),
+batch AS (
+  SELECT doc_id, md5(text) AS digest
+  FROM documents WHERE text IS NOT NULL AND doc_id % 10 >= 8
+)
+SELECT b.digest,
+       MIN(b.doc_id) AS keeper_doc_id,
+       COUNT(*) - 1 AS n_batch_dups
+FROM batch b
+ANTI JOIN hist h ON b.digest = h.digest
+GROUP BY b.digest
+"""
+
+
+#: zero-padded "epoch_micros|event_id" — lexicographic order == numeric
+#: order, and both engines build the identical string, so min_by/arg_min
+#: pick the same row even under timestamp ties.
+def _ord_key(ts_micros, event_id):
+    return F.format_string("%020d|%012d", ts_micros, event_id)
+
+
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open/high/low/close bars per (event_type, day): open/close via
+    ``min_by``/``max_by`` on a composite deterministic key — a single
+    groupBy with map-side partial aggregation (one shuffle of one small
+    struct per group per map task). The naive alternatives — sort
+    collect_list per group, or two ordered windows — either materialize
+    whole groups in memory or sort every row twice; at 100 TB the
+    argmin/argmax aggregate is the only shape that stays partial."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    key = _ord_key(F.unix_micros("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.round(F.min_by("value", key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", key), 6).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+OHLC_SQL = """
+SELECT event_type,
+       strftime(ts, '%Y-%m-%d') AS day,
+       round(arg_min(value, printf('%020d|%012d', epoch_us(ts), event_id)), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(arg_max(value, printf('%020d|%012d', epoch_us(ts), event_id)), 6) AS close,
+       count(*) AS n_events
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+"""
+
+
+def table_checksum_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-group fingerprint of ``lineitem``: each row is
+    rendered to a canonical string (decimals fixed to 2 places, dates to
+    ISO — the one encoding both engines print identically), digested to a
+    60-bit integer (15 hex chars of md5 — fits signed BIGINT), and XOR-folded
+    per ``l_returnflag``. XOR commutes, so the fingerprint is invariant to
+    partitioning, task order, and shuffle nondeterminism — two clusters
+    compare ``(group, n_rows, checksum)`` triples instead of rows. This is
+    the anti-entropy/reconciliation primitive for replicated 100 TB tables."""
+    li = load_table(spark, sf_dir, "lineitem")
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_quantity").cast("decimal(18,2)"),
+        F.col("l_extendedprice").cast("decimal(18,2)"),
+        F.col("l_discount").cast("decimal(18,2)"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+    )
+    digest60 = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        li.select("l_returnflag", digest60.alias("d"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(d)").alias("checksum"),
+        )
+    )
+
+
+CHECKSUM_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       bit_xor(('0x' || substr(md5(concat_ws('|',
+           l_orderkey,
+           l_linenumber,
+           CAST(l_quantity AS DECIMAL(18,2)),
+           CAST(l_extendedprice AS DECIMAL(18,2)),
+           CAST(l_discount AS DECIMAL(18,2)),
+           l_returnflag,
+           l_linestatus,
+           strftime(l_shipdate, '%Y-%m-%d'))), 1, 15))::BIGINT) AS checksum
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def corpus_divergence_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-distribution drift between two hash-split halves of the
+    corpus: per-language add-one smoothed probabilities and the KL(A||B)
+    contribution term. All heavy work is one groupBy over (lang); the
+    totals + vocabulary size are a 1-row broadcast scalar. Probabilities
+    are rounded to 6 decimals BEFORE the log term so both engines compute
+    the ratio from identical inputs."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    split = (F.col("doc_id") % 2 == 0).cast("long")
+    by_lang = docs.groupBy("lang").agg(
+        F.sum(split).alias("n_a"),
+        F.sum(1 - split).alias("n_b"),
+    )
+    totals = by_lang.agg(
+        F.sum("n_a").alias("tot_a"),
+        F.sum("n_b").alias("tot_b"),
+        F.count("*").alias("n_langs"),
+    )
+    j = by_lang.join(F.broadcast(totals))
+    p_a = F.round((F.col("n_a") + 1) / (F.col("tot_a") + F.col("n_langs")), 6)
+    p_b = F.round((F.col("n_b") + 1) / (F.col("tot_b") + F.col("n_langs")), 6)
+    return j.select(
+        "lang",
+        "n_a",
+        "n_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        F.round(p_a * F.log(p_a / p_b), 6).alias("kl_term"),
+    )
+
+
+DIVERGENCE_SQL = """
+WITH by_lang AS (
+  SELECT lang,
+         SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS n_b
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY lang
+),
+tot AS (
+  SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b, COUNT(*) AS n_langs
+  FROM by_lang
+)
+SELECT lang,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       round((n_a + 1) / CAST(tot_a + n_langs AS DOUBLE), 6) AS p_a,
+       round((n_b + 1) / CAST(tot_b + n_langs AS DOUBLE), 6) AS p_b,
+       round(round((n_a + 1) / CAST(tot_a + n_langs AS DOUBLE), 6)
+             * ln(round((n_a + 1) / CAST(tot_a + n_langs AS DOUBLE), 6)
+                  / round((n_b + 1) / CAST(tot_b + n_langs AS DOUBLE), 6)), 6)
+         AS kl_term
+FROM by_lang, tot
+"""
+
+
+QUERIES = {
+    "dedup_incremental_batch": dedup_incremental_batch,
+    "events_ohlc_bars": events_ohlc_bars,
+    "table_checksum_xor": table_checksum_xor,
+    "corpus_divergence_kl": corpus_divergence_kl,
+}
+
+ORACLES = {
+    "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
+    "events_ohlc_bars": OHLC_SQL,
+    "table_checksum_xor": CHECKSUM_SQL,
+    "corpus_divergence_kl": DIVERGENCE_SQL,
+}

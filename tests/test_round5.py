@@ -1,0 +1,100 @@
+"""Round-5 additions: incremental batch dedup, argmin/argmax bars,
+order-independent checksums, corpus-drift KL. The oracle gate covers
+value parity; these tests pin the *semantic invariants* the oracle can't
+see — anti-join containment, XOR order-independence, and aggregate
+shapes that stay partial (no collect_list / no unpartitioned window)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_assignment2_2025_spark.plans.round5_queries import (
+    corpus_divergence_kl,
+    dedup_incremental_batch,
+    events_ohlc_bars,
+    table_checksum_xor,
+)
+from big_data_assignment2_2025_spark.sources.readers import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_incremental_batch_excludes_all_historical_digests(spark):
+    out = dedup_incremental_batch(spark, SF_SMALL)
+    docs = load_table(spark, SF_SMALL, "documents").where(F.col("text").isNotNull())
+    hist = {
+        r["digest"]
+        for r in docs.where(F.col("doc_id") % 10 < 8)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .collect()
+    }
+    rows = out.collect()
+    assert rows, "batch should retain at least one fresh document"
+    assert all(r["digest"] not in hist for r in rows)
+    # keeper is a member of the batch partition (doc_id % 10 >= 8)
+    assert all(r["keeper_doc_id"] % 10 >= 8 for r in rows)
+    assert all(r["n_batch_dups"] >= 0 for r in rows)
+
+
+def test_ohlc_invariants_and_partial_aggregation(spark):
+    df = events_ohlc_bars(spark, SF_SMALL)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_events"] >= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # min_by/max_by compile to a partial-final HashAggregate pair —
+    # no per-group materialization, no window sort
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "Window" not in plan
+    assert "CollectList" not in plan
+
+
+def test_checksum_is_order_and_partitioning_independent(spark):
+    base = {
+        (r["l_returnflag"]): (r["n_rows"], r["checksum"])
+        for r in table_checksum_xor(spark, SF_SMALL).collect()
+    }
+    # recompute over a deliberately re-partitioned, re-ordered scan:
+    # XOR-folding must produce bit-identical fingerprints
+    li = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .repartition(7, "l_partkey")
+        .sortWithinPartitions(F.col("l_extendedprice").desc())
+    )
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_quantity").cast("decimal(18,2)"),
+        F.col("l_extendedprice").cast("decimal(18,2)"),
+        F.col("l_discount").cast("decimal(18,2)"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+    )
+    d = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    again = {
+        r["l_returnflag"]: (r["n"], r["c"])
+        for r in li.select("l_returnflag", d.alias("d"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.expr("bit_xor(d)").alias("c"))
+        .collect()
+    }
+    assert base == again
+    # a single-row perturbation must flip the fingerprint
+    assert all(c != 0 for _, c in base.values())
+
+
+def test_kl_terms_are_finite_and_probabilities_normalize(spark):
+    rows = corpus_divergence_kl(spark, SF_SMALL).collect()
+    assert rows
+    # add-one smoothing forbids zero probabilities -> finite KL terms
+    for r in rows:
+        assert r["p_a"] > 0 and r["p_b"] > 0
+        assert r["kl_term"] == r["kl_term"]  # not NaN
+    # smoothed probabilities sum to ~1 per split (rounding at 1e-6/lang)
+    assert abs(sum(r["p_a"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["p_b"] for r in rows) - 1.0) < 1e-4

@@ -82,6 +82,7 @@ WHITELIST: dict[str, dict[str, str]] = {
     "stats_linreg": {"bnlj": "1-row coefficient scalar"},
     "dedup_ngram_topk": {"bnlj": "1-row threshold scalar"},
     "index_corpus_info": {"bnlj": "1-row corpus aggregate"},
+    "corpus_divergence_kl": {"bnlj": "1-row totals/vocab-size scalar joined onto the per-language aggregate"},
     "pipeline_clean_corpus": {"bnlj": "1-row rollup scalar"},
     # ---- unpartitioned windows over PROVABLY BOUNDED aggregates ----
     "revenue_growth_mom": {
