@@ -1,0 +1,107 @@
+"""Sketch-backed operators: heavy hitters without a full-key shuffle, and
+deterministic weighted-priority sampling.
+
+No reference counterpart (the reference aggregates every term through the
+MapReduce shuffle unconditionally, ``app/mapreduce/reducer2.py``); these
+are the scale paths a 100 TB corpus needs when the *distinct-key* universe
+(term vocabulary, URL set) is itself too large to shuffle comfortably but
+the question only concerns the very frequent keys.
+
+``heavy_hitters`` is the textbook TWO-PASS exact algorithm:
+
+1. **Candidate pass** — ``df.stat.freqItems`` (Spark's built-in
+   Karp/Misra-Gries variant: single JVM-side pass, per-partition summaries
+   merged associatively; ≤ ``1/support`` candidates, possible false
+   positives, provably NO false negatives for items with frequency
+   > support·n).
+2. **Verification pass** — exact counts restricted to the candidate
+   IN-list (a scan-level pushed filter), keep those above the threshold.
+
+The exact groupBy therefore shuffles only rows whose key is one of the
+≤ 1/support candidates — at phi = 1% that is ≤ 100 distinct keys instead
+of the full vocabulary. Driver state is the candidate array (bounded by
+1/support), same bounded-collect discipline as ``operators/ranking.py``.
+
+``weighted_priority_sample`` draws a deterministic weight-biased sample:
+priority = h/w where ``h`` is a 52-bit integer carved from md5(key) and
+``w`` the row weight; keep the k smallest priorities. Heavier rows get
+proportionally smaller priorities, i.e. proportionally higher inclusion
+odds. The classic A-ES key ``u^(1/w)`` needs ``pow``/``ln``, whose last-ulp
+behavior differs across libm implementations and could flip near-ties
+between engines; ``h/w`` is one IEEE division — exact-rounded and
+bit-identical everywhere — so the selected set is reproducible on any
+engine from the data alone (no RNG, no seed plumbing). Selection is a
+global top-k = ``TakeOrderedAndProject``: per-partition heaps, k rows to
+the driver, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, support: float = 0.01
+) -> DataFrame:
+    """All values of ``key_col`` with frequency strictly greater than
+    ``support`` × n, with EXACT counts — (key, cnt, n_total) rows.
+
+    Exactness: pass 1 can only over-select (false positives); pass 2's
+    exact counts discard them against the true threshold. An item above
+    the threshold is guaranteed into the candidate set by the freqItems
+    no-false-negative property, so the result equals the full-shuffle
+    ``GROUP BY ... HAVING`` bit for bit."""
+    # pass 1: bounded candidate set (<= 1/support values) via the merged
+    # per-partition Misra-Gries summaries; one JVM job, one driver array
+    cand_row = df.stat.freqItems([key_col], support=support).first()
+    candidates = [c for c in cand_row[f"{key_col}_freqItems"] if c is not None]
+    if not candidates:
+        empty = df.select(
+            F.col(key_col),
+            F.lit(0).cast("long").alias("cnt"),
+            F.lit(0).cast("long").alias("n_total"),
+        )
+        return empty.where(F.lit(False))
+    # pass 2: exact verification — the IN-list filter reaches the scan, so
+    # only candidate-key rows are aggregated; total row count rides along
+    # as a 1-row broadcast scalar
+    totals = df.agg(F.count("*").alias("n_total"))
+    exact = (
+        df.where(F.col(key_col).isin(candidates))
+        .groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.join(F.broadcast(totals))
+        .where(F.col("cnt") > F.lit(support) * F.col("n_total"))
+        .select(key_col, "cnt", "n_total")
+    )
+
+
+#: 52 bits of md5 as a non-negative long — the uniform-hash numerator of
+#: the sampling priority (52 so the EXACT double h/w stays inside the
+#: 2^53 integer-exact range before the division).
+def _hash52(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+
+
+def weighted_priority_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weight-biased top-k sample: the ``k`` rows with the
+    smallest ``hash52(key)/weight`` priority (heavier => likelier). Adds
+    ``priority``; ordering ties broken by key for a total order."""
+    # u = h/2^52 in [0,1), then u/w: two IEEE divisions, each exact-rounded,
+    # so the double is bit-identical on any engine — no output rounding
+    # needed (and none wanted: these magnitudes differ per-row)
+    u = _hash52(F.col(key_col)) / F.lit(float(2**52))
+    pr = (u / F.col(weight_col)).alias("priority")
+    return (
+        df.select(key_col, weight_col, pr)
+        .where(F.col(weight_col) > 0)
+        .orderBy(F.col("priority").asc(), F.col(key_col).asc())
+        .limit(k)
+    )

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens_of
+from ..operators.sketches import heavy_hitters, weighted_priority_sample
 from ..sources.readers import load_table
 
 
@@ -231,8 +233,58 @@ FROM by_lang, tot
 """
 
 
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the token stream WITHOUT shuffling the full
+    vocabulary: ``operators.sketches.heavy_hitters`` (freqItems candidate
+    pass -> exact verification pass over a <=1/support IN-list). The
+    result is bit-equal to the full ``GROUP BY ... HAVING`` oracle, but
+    the only keys that ever shuffle are the bounded candidates — at 100 TB
+    the difference between shuffling a 1e9-term vocabulary and 100 keys."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = tokens_of(docs.select("text"))
+    return heavy_hitters(toks, "term", support=0.01)
+
+
+HEAVY_HITTERS_SQL = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+tot AS (SELECT COUNT(*) AS n_total FROM tok)
+SELECT term, COUNT(*) AS cnt, (SELECT n_total FROM tot) AS n_total
+FROM tok
+GROUP BY term
+HAVING COUNT(*) > 0.01 * (SELECT n_total FROM tot)
+"""
+
+
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-biased deterministic document sample: 100 docs with the
+    smallest ``hash52(doc_id)/n_chars`` priority (longer docs likelier).
+    Top-k compiles to TakeOrderedAndProject — per-partition heaps, no
+    global sort — and the priority needs no RNG/seed: any engine replays
+    the identical sample from the data alone."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    # priority is bit-identical cross-engine (two exact IEEE divisions of
+    # hash-derived integers) — no rounding, unlike order-dependent float sums
+    return weighted_priority_sample(docs, "doc_id", "n_chars", 100)
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_chars,
+       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        / 4503599627370496.0) / n_chars AS priority
+FROM documents
+WHERE n_chars > 0
+ORDER BY priority ASC, doc_id ASC
+LIMIT 100
+"""
+
+
 QUERIES = {
     "dedup_incremental_batch": dedup_incremental_batch,
+    "heavy_hitter_terms": heavy_hitter_terms,
+    "sample_weighted_priority": sample_weighted_priority,
     "events_ohlc_bars": events_ohlc_bars,
     "table_checksum_xor": table_checksum_xor,
     "corpus_divergence_kl": corpus_divergence_kl,
@@ -240,6 +292,8 @@ QUERIES = {
 
 ORACLES = {
     "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
+    "heavy_hitter_terms": HEAVY_HITTERS_SQL,
+    "sample_weighted_priority": WEIGHTED_SAMPLE_SQL,
     "events_ohlc_bars": OHLC_SQL,
     "table_checksum_xor": CHECKSUM_SQL,
     "corpus_divergence_kl": DIVERGENCE_SQL,

@@ -1,0 +1,84 @@
+"""Sketch operators: two-pass heavy hitters and weighted-priority sampling.
+
+The oracle gate pins value parity; these pin the algorithmic guarantees —
+exactness vs the full-shuffle form, the no-candidates edge, bounded
+candidate shuffling, and top-k physical shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_assignment2_2025_spark.functions.text import tokens_of
+from big_data_assignment2_2025_spark.operators.sketches import (
+    heavy_hitters,
+    weighted_priority_sample,
+)
+from big_data_assignment2_2025_spark.sources.readers import load_table
+from tests.conftest import SF_SMALL
+
+
+def _tokens(spark):
+    docs = load_table(spark, SF_SMALL, "documents").where(F.col("text").isNotNull())
+    return tokens_of(docs.select("text"))
+
+
+def test_heavy_hitters_equals_full_shuffle_groupby(spark):
+    toks = _tokens(spark)
+    got = {
+        r["term"]: r["cnt"] for r in heavy_hitters(toks, "term", 0.01).collect()
+    }
+    n = toks.count()
+    want = {
+        r["term"]: r["cnt"]
+        for r in toks.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 0.01 * n)
+        .collect()
+    }
+    assert got == want and got, "two-pass result must equal full GROUP BY"
+
+
+def test_heavy_hitters_no_candidates_is_empty_with_schema(spark):
+    toks = _tokens(spark)
+    out = heavy_hitters(toks, "term", support=0.99)
+    assert out.columns == ["term", "cnt", "n_total"]
+    assert out.count() == 0
+
+
+def test_heavy_hitters_exact_pass_filters_before_aggregating(spark):
+    # the verification aggregate must sit above an IN-list filter (only
+    # candidate keys shuffle), not aggregate the full vocabulary
+    df = heavy_hitters(_tokens(spark), "term", 0.01)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "term" in plan and ("IN (" in plan or "isin" in plan.lower() or "INSET" in plan.upper())
+
+
+def test_weighted_sample_is_deterministic_topk(spark):
+    docs = load_table(spark, SF_SMALL, "documents").where(F.col("n_chars") > 0)
+    a = weighted_priority_sample(docs, "doc_id", "n_chars", 50).collect()
+    b = weighted_priority_sample(docs, "doc_id", "n_chars", 50).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == 50
+    prios = [r["priority"] for r in a]
+    assert prios == sorted(prios)
+    # top-k must compile to TakeOrderedAndProject, never a global sort
+    plan = (
+        weighted_priority_sample(docs, "doc_id", "n_chars", 50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    # sampled docs should skew long: the mean length of the selected 100
+    # must exceed the corpus mean (weight = n_chars)
+    docs = load_table(spark, SF_SMALL, "documents").where(F.col("n_chars") > 0)
+    sample_mean = (
+        weighted_priority_sample(docs, "doc_id", "n_chars", 100)
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean

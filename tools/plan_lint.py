@@ -83,6 +83,7 @@ WHITELIST: dict[str, dict[str, str]] = {
     "dedup_ngram_topk": {"bnlj": "1-row threshold scalar"},
     "index_corpus_info": {"bnlj": "1-row corpus aggregate"},
     "corpus_divergence_kl": {"bnlj": "1-row totals/vocab-size scalar joined onto the per-language aggregate"},
+    "heavy_hitter_terms": {"bnlj": "1-row token-total scalar joined onto the bounded (<=1/support keys) verification aggregate"},
     "pipeline_clean_corpus": {"bnlj": "1-row rollup scalar"},
     # ---- unpartitioned windows over PROVABLY BOUNDED aggregates ----
     "revenue_growth_mom": {
