@@ -73,6 +73,14 @@ HEADLINE = [
     # digest-keyed boilerplate scan
     "graph_kcore_peel",
     "doc_boilerplate_rate",
+    # round-5: operational-pipeline adds — incremental dedup, sketch-backed
+    # heavy hitters, reconciliation checksum, weighted sampling
+    "dedup_incremental_batch",
+    "heavy_hitter_terms",
+    "table_checksum_xor",
+    "sample_weighted_priority",
+    "events_ohlc_bars",
+    "corpus_divergence_kl",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

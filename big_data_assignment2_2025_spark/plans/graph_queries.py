@@ -169,17 +169,19 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: per-round survivor counts — the readout that says how much of
     the graph is tree-like fuzz vs 2-core."""
-    # Iterative materialization discipline: WITHOUT per-round persists the
-    # lazy lineage of round r re-derives rounds 1..r-1 for EVERY consumer
-    # (two semi-join branches + two counts), i.e. exponential subtree
-    # re-execution (measured 80+ s vs ~4 s at sf0.001). Each round is
-    # persisted, counted ONCE (a bounded 1-int driver action per round,
-    # same discipline as operators/ranking.py), and the predecessor is
-    # unpersisted — exactly how an iterate-until-converged job must manage
-    # its frontier at 100 TB.
-    edges = _copurchase_edges(spark, sf_dir)
+    # Iterative LINEAGE discipline (same pattern as operators/graph.py:
+    # connected_components): each round's frontier is cut from its history
+    # with an eager localCheckpoint. Mere persist() is NOT enough here —
+    # execution is cached but the LOGICAL plan still nests every prior
+    # round (~3 references per level), so Catalyst re-analyzes an
+    # exponentially growing tree on every action (measured: round-3 counts
+    # took 5.7 s on a 10-row cached frame; the checkpointed form runs the
+    # whole query in ~3 s vs ~11.6 s warm at sf0.1). On a real cluster,
+    # swap localCheckpoint for a reliable checkpoint dir every few rounds
+    # for fault tolerance; the plan-size argument is identical.
+    edges0 = _copurchase_edges(spark, sf_dir)
+    edges = edges0.localCheckpoint()
     summaries = []
-    to_release = []
     for rnd in (1, 2, 3):
         adj = edges.select(F.col("u").alias("node")).unionAll(
             edges.select(F.col("v").alias("node"))
@@ -189,20 +191,19 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("d"))
             .where(F.col("d") >= 2)
             .select("node")
-            .persist()
+            .localCheckpoint()
         )
         new_edges = (
             edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
-            .persist()
+            .localCheckpoint()
         )
         summaries.append((rnd, keep.count(), new_edges.count()))
-        to_release.append(keep)
-        to_release.append(new_edges)
         edges = new_edges
-    for df in to_release:
-        df.unpersist()
+    # the shared co-purchase cache is only needed while checkpointing the
+    # round-0 edges; release it so a long registry run leaks nothing
+    edges0.unpersist()
     return spark.createDataFrame(
         summaries, "round long, n_nodes long, n_edges long"
     )
