@@ -14,13 +14,17 @@ the question only concerns the very frequent keys.
    merged associatively; ≤ ``1/support`` candidates, possible false
    positives, provably NO false negatives for items with frequency
    > support·n).
-2. **Verification pass** — exact counts restricted to the candidate
-   IN-list (a scan-level pushed filter), keep those above the threshold.
+2. **Verification pass** — ONE exact aggregation where every
+   non-candidate key folds into a single NULL bucket: per-candidate
+   exact counts AND the grand total come out of the same scan, and the
+   aggregate stays map-side partial (each task emits ≤ candidates+1
+   partial rows).
 
-The exact groupBy therefore shuffles only rows whose key is one of the
-≤ 1/support candidates — at phi = 1% that is ≤ 100 distinct keys instead
-of the full vocabulary. Driver state is the candidate array (bounded by
-1/support), same bounded-collect discipline as ``operators/ranking.py``.
+The exact groupBy therefore shuffles ≤ 1/support + 1 distinct keys —
+at phi = 1% that is ≤ 101 keys instead of the full vocabulary, and the
+whole operator reads the fact data exactly twice. Driver state is the
+candidate array (bounded by 1/support), same bounded-collect discipline
+as ``operators/ranking.py``.
 
 ``weighted_priority_sample`` draws a deterministic weight-biased sample:
 priority = h/w where ``h`` is a 52-bit integer carved from md5(key) and
@@ -63,17 +67,19 @@ def heavy_hitters(
             F.lit(0).cast("long").alias("n_total"),
         )
         return empty.where(F.lit(False))
-    # pass 2: exact verification — the IN-list filter reaches the scan, so
-    # only candidate-key rows are aggregated; total row count rides along
-    # as a 1-row broadcast scalar
-    totals = df.agg(F.count("*").alias("n_total"))
-    exact = (
-        df.where(F.col(key_col).isin(candidates))
-        .groupBy(key_col)
+    # pass 2: exact verification AND the grand total in ONE scan — every
+    # non-candidate key folds into a single NULL bucket, so the aggregate
+    # stays partial (each map task emits <= candidates+1 rows) and
+    # n_total = sum over all buckets. No third pass over the fact data.
+    bucket = F.when(F.col(key_col).isin(candidates), F.col(key_col))
+    counts = (
+        df.groupBy(bucket.alias(key_col))
         .agg(F.count("*").alias("cnt"))
     )
+    totals = counts.agg(F.sum("cnt").alias("n_total"))
     return (
-        exact.join(F.broadcast(totals))
+        counts.where(F.col(key_col).isNotNull())
+        .join(F.broadcast(totals))
         .where(F.col("cnt") > F.lit(support) * F.col("n_total"))
         .select(key_col, "cnt", "n_total")
     )

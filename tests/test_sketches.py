@@ -45,12 +45,16 @@ def test_heavy_hitters_no_candidates_is_empty_with_schema(spark):
     assert out.count() == 0
 
 
-def test_heavy_hitters_exact_pass_filters_before_aggregating(spark):
-    # the verification aggregate must sit above an IN-list filter (only
-    # candidate keys shuffle), not aggregate the full vocabulary
+def test_heavy_hitters_exact_pass_buckets_non_candidates(spark):
+    # the verification aggregate's group key folds non-candidates into a
+    # NULL bucket (CASE WHEN term IN (...) THEN term END): partial
+    # aggregation emits <= candidates+1 rows per task, and no plain
+    # groupBy over the raw key column exists in the plan
     df = heavy_hitters(_tokens(spark), "term", 0.01)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "term" in plan and ("IN (" in plan or "isin" in plan.lower() or "INSET" in plan.upper())
+    assert "CASE WHEN" in plan
+    assert "IN (" in plan or "INSET" in plan.upper() or "isin" in plan.lower()
+    assert "HashAggregate" in plan
 
 
 def test_weighted_sample_is_deterministic_topk(spark):

@@ -282,6 +282,41 @@ COMMENTARY = {
         "State is the group's value vector — bounded here (5 event "
         "types); unbounded groups should use the oracle's window form."
     ),
+    "dedup_incremental_batch": (
+        "Daily-drop dedup. Look for: both documents scans pruned to "
+        "(doc_id, text) with the doc_id modulo predicate pushed, history "
+        "reduced to a distinct digest projection before the LeftAnti join "
+        "(never text-vs-text), and one final partial+final aggregation on "
+        "the digest. Daily cost = one digest scan of history + one shuffle "
+        "of the batch; no history re-pairing."
+    ),
+    "heavy_hitter_terms": (
+        "Two-pass heavy hitters. The verification aggregate's group key is "
+        "CASE WHEN term IN (candidates) THEN term END — non-candidates fold "
+        "into one NULL bucket, so the partial HashAggregate emits at most "
+        "candidates+1 rows per task and the grand total falls out of the "
+        "same scan (no third pass); it then rides as a whitelisted 1-row "
+        "broadcast scalar. The candidate pass (df.stat.freqItems, merged "
+        "per-partition Misra-Gries) is a separate bounded-driver job and "
+        "does not appear in this plan."
+    ),
+    "table_checksum_xor": (
+        "Reconciliation fingerprint: md5 + conv + bit_xor all inside "
+        "WholeStageCodegen over the scan, one partial+final HashAggregate "
+        "on l_returnflag — 16 B per group cross the wire. XOR commutes, so "
+        "this plan's result is invariant to partitioning and task order."
+    ),
+    "events_ohlc_bars": (
+        "argmin/argmax bars: min_by/max_by on a zero-padded composite key "
+        "compile to ONE partial+final HashAggregate pair — no Window, no "
+        "collect_list; each map task forwards one small struct per group."
+    ),
+    "sample_weighted_priority": (
+        "Deterministic weighted sampling: priority is pure projection "
+        "(md5/conv/divisions in codegen); selection is "
+        "TakeOrderedAndProject — per-partition top-k heaps, k rows to the "
+        "driver, no global sort, no RNG."
+    ),
 }
 
 
