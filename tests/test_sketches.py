@@ -86,3 +86,17 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     )
     corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
     assert sample_mean > corpus_mean
+
+
+def test_ohlc_window_variant_matches_aggregate_form(spark):
+    # the shuffle_report A/B comparator must be semantically identical to
+    # the gated aggregate form, or the byte comparison is meaningless
+    from big_data_assignment2_2025_spark.plans.round5_queries import events_ohlc_bars
+    from tools.shuffle_report import _ohlc_window_variant
+
+    key = ["event_type", "day"]
+    a = {tuple(r[k] for k in key): (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+         for r in events_ohlc_bars(spark, SF_SMALL).collect()}
+    b = {tuple(r[k] for k in key): (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+         for r in _ohlc_window_variant(spark, SF_SMALL).collect()}
+    assert a == b
