@@ -71,8 +71,12 @@ def _metrics(node) -> dict[str, int]:
 
 
 def profile(df: DataFrame) -> dict:
-    """Run ``df`` and return its measured shuffle profile."""
-    df.count()
+    """Run ``df`` and return its measured shuffle profile.
+
+    Must ``collect()`` (not ``count()``): count() wraps the frame in a NEW
+    QueryExecution, so the metrics of ``df``'s own executed plan would
+    stay zero."""
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan()
     # AdaptiveSparkPlanExec exposes the final plan only after execution
     if "AdaptiveSparkPlan" in plan.getClass().getSimpleName():
