@@ -81,6 +81,8 @@ HEADLINE = [
     "sample_weighted_priority",
     "events_ohlc_bars",
     "corpus_divergence_kl",
+    "events_rolling_dau",
+    "fk_integrity_audit",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

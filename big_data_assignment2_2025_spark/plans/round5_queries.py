@@ -281,7 +281,120 @@ LIMIT 100
 """
 
 
+def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (plus same-day DAU).
+
+    Distinct does NOT decompose into partial aggregates, so a sliding
+    distinct cannot reuse the windowed-count trick
+    (``events_sliding_window``). The exact scale shape: reduce facts to
+    the (day, user) DIMENSION first (one distinct shuffle of the fact
+    table — unavoidable), then fan each dimension row out to the <=7
+    window-end days it contributes to (a projection, bounded by the
+    window length) and run one distinct-agg shuffle over the fan-out.
+    Shuffle volume is 7 x daily-active rows, never 7 x events. The
+    approximate path at extreme scale is HLL sketch merge
+    (``approx_count_distinct`` per day + merge), which IS decomposable —
+    this query is the exact form. Output days are restricted to observed
+    event days (no trailing phantom windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    contrib = daily.select(
+        F.posexplode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "k", "win_day"
+        ),
+        "user_id",
+    )
+    observed = daily.select(F.col("day").alias("win_day")).distinct()
+    return (
+        contrib.join(observed, "win_day")
+        .groupBy("win_day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("k") == 0, F.col("user_id"))
+            ).alias("dau1"),
+            F.countDistinct("user_id").alias("dau7"),
+        )
+        .select(F.col("win_day").alias("day"), "dau1", "dau7")
+    )
+
+
+ROLLING_DAU_SQL = """
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+contrib AS (
+  SELECT day + CAST(t.k AS INTEGER) AS win_day, CAST(t.k AS INTEGER) AS k, user_id
+  FROM daily, range(7) t(k)
+),
+obs AS (SELECT DISTINCT day AS win_day FROM daily)
+SELECT c.win_day AS day,
+       COUNT(DISTINCT CASE WHEN c.k = 0 THEN c.user_id END) AS dau1,
+       COUNT(DISTINCT c.user_id) AS dau7
+FROM contrib c JOIN obs USING (win_day)
+GROUP BY c.win_day
+"""
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: one row per
+    foreign key with child row count and orphan count. Each check is one
+    left join against the DISTINCT parent key (AQE broadcasts the key
+    projections that fit) + one partial-aggregating pass — no scalar
+    cross joins, no driver-side counts. The cross-table data-quality
+    gate a 100 TB warehouse runs after every load."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def check(name, child, child_key, parent, parent_key):
+        pk = parent.select(F.col(parent_key).alias("__k")).distinct().withColumn(
+            "__hit", F.lit(1)
+        )
+        j = child.select(F.col(child_key).alias("__k")).join(pk, "__k", "left")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count("*").alias("n_child"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias(
+                "n_orphans"
+            ),
+        )
+
+    checks = [
+        check("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        check("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        check("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+FK_AUDIT_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS fk,
+       COUNT(*) AS n_child,
+       CAST(SUM(CASE WHEN p.__k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM lineitem c
+LEFT JOIN (SELECT DISTINCT o_orderkey AS __k FROM orders) p ON c.l_orderkey = p.__k
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       COUNT(*),
+       CAST(SUM(CASE WHEN p.__k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders c
+LEFT JOIN (SELECT DISTINCT c_custkey AS __k FROM customer) p ON c.o_custkey = p.__k
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       COUNT(*),
+       CAST(SUM(CASE WHEN p.__k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer c
+LEFT JOIN (SELECT DISTINCT n_nationkey AS __k FROM nation) p ON c.c_nationkey = p.__k
+"""
+
+
 QUERIES = {
+    "events_rolling_dau": events_rolling_dau,
+    "fk_integrity_audit": fk_integrity_audit,
     "dedup_incremental_batch": dedup_incremental_batch,
     "heavy_hitter_terms": heavy_hitter_terms,
     "sample_weighted_priority": sample_weighted_priority,
@@ -291,6 +404,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_rolling_dau": ROLLING_DAU_SQL,
+    "fk_integrity_audit": FK_AUDIT_SQL,
     "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
     "heavy_hitter_terms": HEAVY_HITTERS_SQL,
     "sample_weighted_priority": WEIGHTED_SAMPLE_SQL,

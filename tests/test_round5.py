@@ -98,3 +98,38 @@ def test_kl_terms_are_finite_and_probabilities_normalize(spark):
     # smoothed probabilities sum to ~1 per split (rounding at 1e-6/lang)
     assert abs(sum(r["p_a"] for r in rows) - 1.0) < 1e-4
     assert abs(sum(r["p_b"] for r in rows) - 1.0) < 1e-4
+
+
+def test_rolling_dau_dominates_daily_and_is_windowed(spark):
+    from big_data_assignment2_2025_spark.plans.round5_queries import (
+        events_rolling_dau,
+    )
+
+    rows = {r["day"]: (r["dau1"], r["dau7"]) for r in
+            events_rolling_dau(spark, SF_SMALL).collect()}
+    assert rows
+    for day, (d1, d7) in rows.items():
+        assert 0 <= d1 <= d7, (day, d1, d7)
+    # a 7-day window can never exceed the union of the 7 daily values
+    days = sorted(rows)
+    for i, day in enumerate(days):
+        window_days = [d for d in days if 0 <= (day - d).days <= 6]
+        assert rows[day][1] <= sum(rows[d][0] for d in window_days)
+
+
+def test_fk_audit_is_clean_on_consistent_fixture(spark):
+    from big_data_assignment2_2025_spark.plans.round5_queries import (
+        fk_integrity_audit,
+    )
+
+    rows = {r["fk"]: (r["n_child"], r["n_orphans"]) for r in
+            fk_integrity_audit(spark, SF_SMALL).collect()}
+    assert set(rows) == {
+        "lineitem.l_orderkey->orders",
+        "orders.o_custkey->customer",
+        "customer.c_nationkey->nation",
+    }
+    li_n = load_table(spark, SF_SMALL, "lineitem").count()
+    assert rows["lineitem.l_orderkey->orders"][0] == li_n
+    # the TPC-H-ish generator is referentially consistent
+    assert all(orph == 0 for _, orph in rows.values())
