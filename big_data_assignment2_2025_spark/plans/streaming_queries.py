@@ -21,6 +21,7 @@ from ..streaming import (
     run_streaming_dedup_window_chain,
     run_streaming_foreachbatch_upsert,
     run_streaming_hourly,
+    run_streaming_ohlc,
     run_streaming_sessions,
     run_streaming_sliding_window,
     run_streaming_stateful_counter,
@@ -28,6 +29,7 @@ from ..streaming import (
     run_streaming_stream_join,
 )
 from .events_queries import EVENTS_HOURLY_SQL, EVENTS_SLIDING_SQL
+from .round5_queries import OHLC_SQL
 
 
 def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,6 +38,10 @@ def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_dedup(spark, sf_dir)
+
+
+def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_ohlc(spark, sf_dir)
 
 
 def streaming_dedup_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,6 +193,7 @@ QUERIES = {
     "streaming_stream_join": streaming_stream_join,
     "streaming_static_join": streaming_static_join,
     "streaming_sliding_window": streaming_sliding_window,
+    "streaming_ohlc_bars": streaming_ohlc_bars,
 }
 
 ORACLES = {
@@ -197,6 +204,8 @@ ORACLES = {
     "streaming_sliding_window": EVENTS_SLIDING_SQL,
     # identical final state to the batch tumbling-window aggregation
     "streaming_hourly_window": EVENTS_HOURLY_SQL,
+    # identical final state to the batch argmin/argmax OHLC aggregation
+    "streaming_ohlc_bars": OHLC_SQL,
     "streaming_dedup_events": STREAMING_DEDUP_SQL,
     # dedup collapses the duplicated replay to one row per event_id, so the
     # final state equals the dedup-aware batch hourly aggregation

@@ -4,6 +4,7 @@ from .stream import (  # noqa: F401
     run_streaming_dedup_window_chain,
     run_streaming_foreachbatch_upsert,
     run_streaming_hourly,
+    run_streaming_ohlc,
     run_streaming_sessions,
     run_streaming_sliding_window,
     run_streaming_stateful_counter,

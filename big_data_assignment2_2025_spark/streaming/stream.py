@@ -106,6 +106,30 @@ def run_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(agg, spark)
 
 
+def run_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars — the incremental twin of
+    plans.round5_queries.events_ohlc_bars (same oracle SQL): min_by/max_by
+    on the zero-padded composite key run as STATEFUL streaming aggregates
+    (declarative aggregate functions, so the state per (event_type, day)
+    group is one small struct per agg — never the group's rows). Complete
+    output mode; final state must equal the batch aggregation bit for
+    bit."""
+    ev = read_events_stream(spark, sf_dir).where(F.col("value").isNotNull())
+    key = F.format_string(
+        "%020d|%012d", F.unix_micros("ts"), F.col("event_id")
+    )
+    agg = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.round(F.min_by("value", key), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max_by("value", key), 6).alias("close"),
+        F.count("*").alias("n_events"),
+    )
+    return _drain_to_memory(agg, spark)
+
+
 def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful stream dedup via ``dropDuplicatesWithinWatermark`` on
     event_id, then a per-type count.
