@@ -135,3 +135,53 @@ def test_distributed_ntile_matches_window_ntile(spark, vals, tiles):
             n_buckets=4,
         )
         assert sorted(map(tuple, got.collect())) == want
+
+
+# ---------------------------------------------------------------------------
+# Round-5 sketch-operator properties
+# ---------------------------------------------------------------------------
+
+_keys = st.lists(
+    st.sampled_from(["a", "b", "c", "dd", "ee", "ff", "gg", "hh"]),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(keys=_keys, support=st.sampled_from([0.05, 0.15, 0.4]))
+@_SETTINGS
+def test_heavy_hitters_equals_full_groupby_on_random_data(spark, keys, support):
+    from big_data_assignment2_2025_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", support).collect()}
+    n = len(keys)
+    from collections import Counter
+
+    want = {k: c for k, c in Counter(keys).items() if c > support * n}
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 5)), min_size=1, max_size=40
+    ),
+    split=st.integers(0, 39),
+)
+@_SETTINGS
+def test_xor_checksum_is_mergeable_across_arbitrary_splits(spark, rows, split):
+    # checksum(A union B) == checksum(A) XOR checksum(B): the property that
+    # lets two clusters fingerprint shards independently and combine
+    digest = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "a", "b")), 1, 15), 16, 10
+    ).cast("long")
+
+    def chk(data):
+        if not data:
+            return 0
+        df = spark.createDataFrame(data, ["a", "b"])
+        return df.select(digest.alias("d")).agg(F.expr("bit_xor(d)")).first()[0]
+
+    split = min(split, len(rows))
+    whole, a, b = chk(rows), chk(rows[:split]), chk(rows[split:])
+    assert whole == a ^ b
