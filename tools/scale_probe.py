@@ -69,6 +69,19 @@ PROBES = [
     # data-dependent — the 10x probe shows whether iteration count, not
     # per-round cost, is what grows
     "dedup_cluster_components",
+    # round-5 operational surfaces: incremental dedup (anti-join stays
+    # batch-sized), checksum (shuffle = group cardinality at any SF),
+    # OHLC (partial agg), rolling distinct (7x dimension fan-out), and the
+    # checkpointed k-core (per-round cost on the 10x edge list). The
+    # salted corpus dilutes every term below the 1% support, so
+    # heavy_hitter_terms legitimately returns 0 rows at 10x — the probe
+    # checks its bounded plan, not its hit count.
+    "dedup_incremental_batch",
+    "heavy_hitter_terms",
+    "table_checksum_xor",
+    "events_ohlc_bars",
+    "events_rolling_dau",
+    "graph_kcore_peel",
 ]
 
 #: bump when the derived-dataset recipe changes so stale /tmp copies rebuild
