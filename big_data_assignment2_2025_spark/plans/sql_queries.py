@@ -191,7 +191,25 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RECURSION_OVER_VIEW)
 
 
+
+# One text, two engines: GROUP BY ALL (Spark 3.4+/DuckDB dialect sugar that
+# groups on every non-aggregate select item). Exact-integer cents keep the
+# SUM order-independent and hash-stable.
+SQL_GROUP_BY_ALL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY ALL
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_GROUP_BY_ALL)
+
 QUERIES = {
+    "sql_group_by_all": sql_group_by_all,
     "sql_region_rollup": sql_region_rollup,
     "sql_lateral_topk": sql_lateral_topk,
     "udtf_top_terms": udtf_top_terms,
@@ -199,6 +217,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_group_by_all": SQL_GROUP_BY_ALL,
     "sql_region_rollup": SQL_REGION_ROLLUP,
     "sql_lateral_topk": SQL_LATERAL_TOPK,
     "udtf_top_terms": UDTF_TOP_TERMS_SQL,
