@@ -392,8 +392,35 @@ LEFT JOIN (SELECT DISTINCT n_nationkey AS __k FROM nation) p ON c.c_nationkey = 
 """
 
 
+
+def events_rolling_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch twin of ``events_rolling_dau``: approx_count_distinct
+    (HyperLogLog++, rsd 2%) over the same bounded fan-out. This is the
+    decomposable path for EXTREME scale — sketches merge associatively,
+    so per-day partial sketches could be maintained incrementally and
+    merged across any partitioning, where exact distinct cannot. No DuckDB
+    oracle by design (HLL estimates are engine-specific);
+    tests/test_round5.py bounds it against the exact form instead."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "win_day"
+        ),
+        "user_id",
+    )
+    observed = daily.select(F.col("day").alias("win_day")).distinct()
+    return (
+        contrib.join(observed, "win_day")
+        .groupBy("win_day")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("dau7_approx"))
+        .select(F.col("win_day").alias("day"), "dau7_approx")
+    )
+
+
 QUERIES = {
     "events_rolling_dau": events_rolling_dau,
+    "events_rolling_dau_approx": events_rolling_dau_approx,
     "fk_integrity_audit": fk_integrity_audit,
     "dedup_incremental_batch": dedup_incremental_batch,
     "heavy_hitter_terms": heavy_hitter_terms,

@@ -133,3 +133,19 @@ def test_fk_audit_is_clean_on_consistent_fixture(spark):
     assert rows["lineitem.l_orderkey->orders"][0] == li_n
     # the TPC-H-ish generator is referentially consistent
     assert all(orph == 0 for _, orph in rows.values())
+
+
+def test_rolling_dau_approx_tracks_exact_within_rsd(spark):
+    from big_data_assignment2_2025_spark.plans.round5_queries import (
+        events_rolling_dau,
+        events_rolling_dau_approx,
+    )
+
+    exact = {r["day"]: r["dau7"] for r in
+             events_rolling_dau(spark, SF_SMALL).collect()}
+    approx = {r["day"]: r["dau7_approx"] for r in
+              events_rolling_dau_approx(spark, SF_SMALL).collect()}
+    assert set(exact) == set(approx)
+    for day, e in exact.items():
+        # 2% rsd -> 5 sigma guard band (HLL error is well-behaved)
+        assert abs(approx[day] - e) <= max(5, 0.10 * e), (day, approx[day], e)
