@@ -418,9 +418,51 @@ def events_rolling_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def events_type_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``applyInArrow`` surface (FlatMapGroupsInArrow): per-type
+    integer-exact value stats computed in pure pyarrow compute — no pandas
+    conversion on either side of the boundary, one Arrow batch per group.
+    Grouped-map is sanctioned here because the group domain is BOUNDED
+    (5 event types) and each group's batch is a column slice, not Python
+    rows. Micros are rounded half-away-from-zero to match DuckDB/Spark
+    ``round``, so the oracle is hash-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+
+    def stats(table: pa.Table) -> pa.Table:
+        et = table.column("event_type")[0].as_py()
+        micros = pc.cast(
+            pc.round(
+                pc.multiply(table.column("value"), pa.scalar(1e6)),
+                0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": [et],
+                "n_events": [table.num_rows],
+                "sum_micros": [pc.sum(micros).as_py()],
+                "min_micros": [pc.min(micros).as_py()],
+                "max_micros": [pc.max(micros).as_py()],
+            }
+        )
+
+    return ev.select("event_type", "value").groupBy("event_type").applyInArrow(
+        stats,
+        schema="event_type string, n_events long, sum_micros long, "
+        "min_micros long, max_micros long",
+    )
+
+
 QUERIES = {
     "events_rolling_dau": events_rolling_dau,
     "events_rolling_dau_approx": events_rolling_dau_approx,
+    "events_type_stats_arrow": events_type_stats_arrow,
     "fk_integrity_audit": fk_integrity_audit,
     "dedup_incremental_batch": dedup_incremental_batch,
     "heavy_hitter_terms": heavy_hitter_terms,
@@ -430,7 +472,20 @@ QUERIES = {
     "corpus_divergence_kl": corpus_divergence_kl,
 }
 
+ARROW_STATS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros,
+       MIN(CAST(round(value * 1e6) AS BIGINT)) AS min_micros,
+       MAX(CAST(round(value * 1e6) AS BIGINT)) AS max_micros
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
 ORACLES = {
+    "events_type_stats_arrow": ARROW_STATS_SQL,
     "events_rolling_dau": ROLLING_DAU_SQL,
     "fk_integrity_audit": FK_AUDIT_SQL,
     "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,

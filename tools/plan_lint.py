@@ -25,6 +25,7 @@ dedicated tests):
                        UDF (the ~10-100x slow path). The engine's claim is
                        ZERO of these; there is no whitelist for it.
 - ``arrow_python``     ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas
+                       / FlatMapGroupsInArrow
                        — vectorized Python. Acceptable ONLY where column
                        expressions cannot express the op; each use is
                        whitelisted with its reason.
@@ -123,6 +124,7 @@ WHITELIST: dict[str, dict[str, str]] = {
     "multimodal_feature_stats": {"arrow_python": "mapInPandas decode feeding column aggs — same sanctioned decode path"},
     "pandas_udf_quantile_bucket": {"arrow_python": "the sanctioned @pandas_udf API-parity demo (Arrow-vectorized)"},
     "udtf_top_terms": {"arrow_python": "Python UDTF with useArrow=True (ArrowEvalPythonUDTF) — API-parity query, oracle proves native ops reproduce it"},
+    "events_type_stats_arrow": {"arrow_python": "sanctioned applyInArrow grouped-map demo — bounded group domain (5 event types), one Arrow batch per group, oracle proves native aggregation reproduces it"},
 }
 
 
@@ -223,7 +225,7 @@ def main() -> None:
             findings["python_row_udf"] = True
         arrow = [
             marker
-            for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+            for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "FlatMapGroupsInArrow")
             if marker in phys
         ]
         if arrow:
