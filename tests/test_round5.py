@@ -149,3 +149,33 @@ def test_rolling_dau_approx_tracks_exact_within_rsd(spark):
     for day, e in exact.items():
         # 2% rsd -> 5 sigma guard band (HLL error is well-behaved)
         assert abs(approx[day] - e) <= max(5, 0.10 * e), (day, approx[day], e)
+
+
+def test_arrow_grouped_map_is_arrow_not_pandas(spark):
+    from big_data_assignment2_2025_spark.plans.round5_queries import (
+        events_type_stats_arrow,
+    )
+
+    df = events_type_stats_arrow(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInArrow" in plan
+    assert "BatchEvalPython" not in plan
+    rows = {r["event_type"]: r for r in df.collect()}
+    assert rows and all(
+        r["min_micros"] <= r["max_micros"] and r["n_events"] > 0
+        for r in rows.values()
+    )
+
+
+def test_sketch_operators_survive_degenerate_inputs(spark):
+    from big_data_assignment2_2025_spark.operators.sketches import (
+        heavy_hitters,
+        weighted_priority_sample,
+    )
+
+    empty = spark.createDataFrame([], "k string, w long")
+    assert heavy_hitters(empty, "k", 0.5).count() == 0
+    assert weighted_priority_sample(empty, "k", "w", 5).count() == 0
+    # k larger than the row count returns every positive-weight row
+    small = spark.createDataFrame([("a", 1), ("b", 2), ("c", 0)], ["k", "w"])
+    assert weighted_priority_sample(small, "k", "w", 10).count() == 2
