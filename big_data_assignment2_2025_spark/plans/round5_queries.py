@@ -25,8 +25,14 @@ runs every day and the registry didn't yet cover —
   corpus — the drift monitor run between a new training-mix snapshot and
   the previous one.
 
+Later round-5 additions in this module: ``heavy_hitter_terms`` /
+``sample_weighted_priority`` (operators/sketches.py), ``events_rolling_dau``
+(+ HLL ``_approx`` twin), ``fk_integrity_audit``, and
+``events_type_stats_arrow`` (Spark 4 applyInArrow surface).
+
 No counterpart in the reference (index+query only); LLM-pipeline
-extensions per SURVEY.md §7.6, each hash-gated against a DuckDB oracle.
+extensions per SURVEY.md §7.6, each hash-gated against a DuckDB oracle
+(the HLL twin is rows-only by design).
 """
 
 from __future__ import annotations
@@ -236,10 +242,12 @@ FROM by_lang, tot
 def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters over the token stream WITHOUT shuffling the full
     vocabulary: ``operators.sketches.heavy_hitters`` (freqItems candidate
-    pass -> exact verification pass over a <=1/support IN-list). The
-    result is bit-equal to the full ``GROUP BY ... HAVING`` oracle, but
-    the only keys that ever shuffle are the bounded candidates — at 100 TB
-    the difference between shuffling a 1e9-term vocabulary and 100 keys."""
+    pass -> one exact verification aggregate whose group key folds
+    non-candidates into a NULL bucket, so counts AND the grand total come
+    from the same scan). The result is bit-equal to the full
+    ``GROUP BY ... HAVING`` oracle, but the only keys that ever shuffle
+    are the <=1/support candidates (+1 bucket) — at 100 TB the difference
+    between shuffling a 1e9-term vocabulary and ~100 keys."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = tokens_of(docs.select("text"))
     return heavy_hitters(toks, "term", support=0.01)
