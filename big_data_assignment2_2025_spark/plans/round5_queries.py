@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_of
+from ..operators.moments import gram_matrix
 from ..operators.sketches import heavy_hitters, weighted_priority_sample
 from ..sources.readers import load_table
 
@@ -467,10 +468,26 @@ def events_type_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gram matrix of the 64-dim embedding corpus via
+    ``operators.moments.gram_matrix``: one vectorized numpy partial per
+    Arrow batch (BLAS ``M.T @ M``), d(d+1)/2 = 2,080 partial entries per
+    batch on the wire instead of 2,080 rows PER VECTOR — shuffle is
+    O(batches x d^2), independent of corpus size. The moment matrix is
+    the one-pass sufficient statistic for PCA/ridge/whitening; the oracle
+    spells the same sums via the naive explode."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    return gram_matrix(emb, "embedding")
+
+
 QUERIES = {
     "events_rolling_dau": events_rolling_dau,
     "events_rolling_dau_approx": events_rolling_dau_approx,
     "events_type_stats_arrow": events_type_stats_arrow,
+    "embedding_gram_matrix": embedding_gram_matrix,
     "fk_integrity_audit": fk_integrity_audit,
     "dedup_incremental_batch": dedup_incremental_batch,
     "heavy_hitter_terms": heavy_hitter_terms,
@@ -492,7 +509,20 @@ GROUP BY event_type
 """
 
 
+GRAM_SQL = """
+WITH idx AS (SELECT CAST(k AS INTEGER) + 1 AS i FROM range(64) t(k)),
+pairs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i <= b.i)
+SELECT p.i, p.j,
+       CAST(SUM(CAST(round(embedding[p.i] * 1e6) AS BIGINT)
+                * CAST(round(embedding[p.j] * 1e6) AS BIGINT)) AS BIGINT) AS s
+FROM embeddings, pairs p
+WHERE embedding IS NOT NULL
+GROUP BY p.i, p.j
+"""
+
+
 ORACLES = {
+    "embedding_gram_matrix": GRAM_SQL,
     "events_type_stats_arrow": ARROW_STATS_SQL,
     "events_rolling_dau": ROLLING_DAU_SQL,
     "fk_integrity_audit": FK_AUDIT_SQL,

@@ -179,3 +179,24 @@ def test_sketch_operators_survive_degenerate_inputs(spark):
     # k larger than the row count returns every positive-weight row
     small = spark.createDataFrame([("a", 1), ("b", 2), ("c", 0)], ["k", "w"])
     assert weighted_priority_sample(small, "k", "w", 10).count() == 2
+
+
+def test_gram_matrix_partition_invariant_and_diagonal_positive(spark):
+    from big_data_assignment2_2025_spark.operators.moments import gram_matrix
+    from big_data_assignment2_2025_spark.plans.round5_queries import (
+        embedding_gram_matrix,
+    )
+
+    base = {(r["i"], r["j"]): r["s"] for r in
+            embedding_gram_matrix(spark, SF_SMALL).collect()}
+    assert len(base) == 64 * 65 // 2
+    # diagonal entries are sums of squares: strictly positive for any
+    # non-degenerate corpus
+    assert all(base[(i, i)] > 0 for i in range(1, 65))
+    # partial-merge correctness: an arbitrary repartition must fold to the
+    # identical matrix (the decimal merge is associative/commutative)
+    emb = load_table(spark, SF_SMALL, "embeddings").where(
+        F.col("embedding").isNotNull()
+    ).repartition(7)
+    again = {(r["i"], r["j"]): r["s"] for r in gram_matrix(emb).collect()}
+    assert base == again

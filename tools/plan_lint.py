@@ -124,6 +124,7 @@ WHITELIST: dict[str, dict[str, str]] = {
     "multimodal_feature_stats": {"arrow_python": "mapInPandas decode feeding column aggs — same sanctioned decode path"},
     "pandas_udf_quantile_bucket": {"arrow_python": "the sanctioned @pandas_udf API-parity demo (Arrow-vectorized)"},
     "udtf_top_terms": {"arrow_python": "Python UDTF with useArrow=True (ArrowEvalPythonUDTF) — API-parity query, oracle proves native ops reproduce it"},
+    "embedding_gram_matrix": {"arrow_python": "matrix-valued aggregate: one numpy M.T@M partial per Arrow batch (MapInPandas) — d^2 partial entries per batch on the wire, column exprs cannot fold a Gram matrix"},
     "events_type_stats_arrow": {"arrow_python": "sanctioned applyInArrow grouped-map demo — bounded group domain (5 event types), one Arrow batch per group, oracle proves native aggregation reproduces it"},
 }
 
