@@ -83,6 +83,9 @@ HEADLINE = [
     "corpus_divergence_kl",
     "events_rolling_dau",
     "fk_integrity_audit",
+    "embedding_gram_matrix",
+    "events_type_stats_arrow",
+    "streaming_ohlc_bars",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

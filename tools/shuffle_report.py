@@ -19,6 +19,14 @@ A/B pairs pin specific design claims with numbers:
 - ``incremental_dedup`` vs ``full_corpus_dedup``: batch-only anti-join vs
   re-deduping the whole corpus.
 
+Caveat: operators that MATERIALIZE persisted intermediates while the
+DataFrame is being constructed (the ad-hoc BM25/index path, MinHash
+signatures) run those shuffles in earlier jobs; the profiled plan then
+reads InMemoryTableScan and reports only the final consumer's exchanges.
+Rows like ``dedup_minhash_lsh: 0 exchanges`` mean "no exchange in the
+consumer plan", not "no shuffle ever" — the build cost is visible in
+bench.py timings instead.
+
 Usage: python tools/shuffle_report.py [sf_dir] [--json=PATH]
 """
 
@@ -48,6 +56,11 @@ QUERIES_TO_PROFILE = [
     "events_ohlc_bars",
     "sample_weighted_priority",
     "corpus_divergence_kl",
+    "dedup_minhash_lsh",
+    "ann_ivf_topk",
+    "index_term_freq",
+    "events_rolling_dau",
+    "embedding_gram_matrix",
 ]
 
 
