@@ -307,24 +307,26 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     event days (no trailing phantom windows)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    # dau1 straight off the dimension (rows are already (day,user)-distinct
+    # -> a plain count, no second distinct); dau7 over the fan-out as its
+    # OWN single-distinct aggregate. Two countDistincts in one agg would
+    # compile to an Expand that doubles every fan-out row before the
+    # shuffle — splitting them and joining the two per-day frames halves
+    # the shuffled volume.
+    dau1 = daily.groupBy("day").agg(F.count("*").alias("dau1"))
     contrib = daily.select(
-        F.posexplode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
-            "k", "win_day"
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "win_day"
         ),
         "user_id",
     )
-    observed = daily.select(F.col("day").alias("win_day")).distinct()
-    return (
-        contrib.join(observed, "win_day")
+    dau7 = (
+        contrib.distinct()
         .groupBy("win_day")
-        .agg(
-            F.countDistinct(
-                F.when(F.col("k") == 0, F.col("user_id"))
-            ).alias("dau1"),
-            F.countDistinct("user_id").alias("dau7"),
-        )
-        .select(F.col("win_day").alias("day"), "dau1", "dau7")
+        .agg(F.count("*").alias("dau7"))
+        .select(F.col("win_day").alias("day"), "dau7")
     )
+    return dau1.join(dau7, "day").select("day", "dau1", "dau7")
 
 
 ROLLING_DAU_SQL = """
