@@ -75,3 +75,52 @@ def gram_matrix(
             .alias("s")
         )
     )
+
+
+def pca_project(
+    df: DataFrame, vec_col: str = "embedding", k: int = 2, scale: float = 1e6
+) -> DataFrame:
+    """Project each vector onto the top-``k`` principal axes of the
+    (uncentered) second-moment matrix — the standard embedding-PCA shape.
+
+    Scale anatomy: the only driver-side object is the d x d Gram matrix
+    (``gram_matrix`` collect — d^2 longs, bounded by dimension, never by
+    rows; same bounded-collect discipline as ``operators/ranking.py``).
+    The eigendecomposition is numpy on that d x d matrix (microseconds),
+    and the projection is a broadcast-free literal expression: each
+    component is one ``aggregate(zip_with(...))`` dot product against the
+    eigenvector embedded as an array literal, fully inside codegen.
+    Deterministic given the data (exact integer Gram -> LAPACK eigh on
+    identical input), but NOT SQL-expressible — registry-gated rows-only,
+    invariants pinned in tests."""
+    import numpy as np
+
+    rows = gram_matrix(df, vec_col, scale).collect()
+    d = max(r["j"] for r in rows)
+    g = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        g[r["i"] - 1, r["j"] - 1] = r["s"]
+        g[r["j"] - 1, r["i"] - 1] = r["s"]
+    g /= scale * scale  # back to original units
+    vals, vecs = np.linalg.eigh(g)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    out = df
+    for c, idx in enumerate(order, start=1):
+        v = vecs[:, idx]
+        # eigh's sign is arbitrary; fix it so results are reproducible
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        lit = F.array(*[F.lit(float(x)) for x in v])
+        out = out.withColumn(
+            f"pc{c}",
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    lit,
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    return out.drop(vec_col)

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_of
-from ..operators.moments import gram_matrix
+from ..operators.moments import gram_matrix, pca_project
 from ..operators.sketches import heavy_hitters, weighted_priority_sample
 from ..sources.readers import load_table
 
@@ -485,11 +485,25 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_matrix(emb, "embedding")
 
 
+
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal-component scores per embedding, driven by the exact
+    Gram matrix (``operators.moments.pca_project``). Driver state = one
+    64x64 matrix; the projection itself is codegen'd array arithmetic.
+    Rows-only registry entry (eigendecomposition is not SQL-expressible);
+    variance ordering and energy bounds are pinned in tests."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    return pca_project(emb, "embedding", k=2)
+
+
 QUERIES = {
     "events_rolling_dau": events_rolling_dau,
     "events_rolling_dau_approx": events_rolling_dau_approx,
     "events_type_stats_arrow": events_type_stats_arrow,
     "embedding_gram_matrix": embedding_gram_matrix,
+    "embedding_pca_project": embedding_pca_project,
     "fk_integrity_audit": fk_integrity_audit,
     "dedup_incremental_batch": dedup_incremental_batch,
     "heavy_hitter_terms": heavy_hitter_terms,

@@ -200,3 +200,30 @@ def test_gram_matrix_partition_invariant_and_diagonal_positive(spark):
     ).repartition(7)
     again = {(r["i"], r["j"]): r["s"] for r in gram_matrix(emb).collect()}
     assert base == again
+
+
+def test_pca_projection_variance_ordering_and_energy_bound(spark):
+    import math
+
+    from big_data_assignment2_2025_spark.plans.round5_queries import (
+        embedding_pca_project,
+    )
+
+    rows = embedding_pca_project(spark, SF_SMALL).collect()
+    assert rows and set(rows[0].asDict()) >= {"vec_id", "pc1", "pc2"}
+    n = len(rows)
+    # uncentered PCA: mean-square score along pc1 >= along pc2 (eigenvalue order)
+    e1 = sum(r["pc1"] ** 2 for r in rows) / n
+    e2 = sum(r["pc2"] ** 2 for r in rows) / n
+    assert e1 >= e2 > 0
+    # per-row energy bound: projection onto an orthonormal basis never
+    # exceeds the vector norm
+    emb = {r["vec_id"]: r["embedding"] for r in
+           load_table(spark, SF_SMALL, "embeddings").collect()}
+    for r in rows[:50]:
+        norm2 = sum(float(x) ** 2 for x in emb[r["vec_id"]])
+        assert r["pc1"] ** 2 + r["pc2"] ** 2 <= norm2 * (1 + 1e-9)
+    # deterministic: a second run reproduces the scores bit-for-bit
+    again = embedding_pca_project(spark, SF_SMALL).collect()
+    assert sorted((r["vec_id"], r["pc1"], r["pc2"]) for r in rows) == \
+           sorted((r["vec_id"], r["pc1"], r["pc2"]) for r in again)
