@@ -124,3 +124,58 @@ def pca_project(
             ),
         )
     return out.drop(vec_col)
+
+
+def ridge_fit_predict(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    target_col: str = "label",
+    reg: float = 1e-3,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Closed-form ridge regression of ``target_col`` on ``vec_col`` with
+    an intercept, scored back over the corpus.
+
+    One-pass sufficient statistics via the AUGMENTED Gram trick: append
+    [1.0, y] to each vector and reuse ``gram_matrix`` — the (d+2)x(d+2)
+    matrix then contains X'ᵀX' (features+intercept), X'ᵀy and yᵀy in one
+    exact integer aggregate; no second scan, no float-order dependence.
+    The driver solves a (d+1) system (numpy, microseconds) and the scoring
+    pass is a literal-embedded dot product inside codegen — the same
+    bounded-driver/broadcast-free anatomy as ``pca_project``."""
+    import numpy as np
+
+    aug = df.withColumn(
+        "__aug",
+        F.concat(
+            F.col(vec_col).cast("array<double>"),
+            F.array(F.lit(1.0), F.col(target_col).cast("double")),
+        ),
+    )
+    rows = gram_matrix(aug, "__aug", scale).collect()
+    m = max(r["j"] for r in rows)  # d + 2
+    g = np.zeros((m, m), dtype=np.float64)
+    for r in rows:
+        g[r["i"] - 1, r["j"] - 1] = r["s"]
+        g[r["j"] - 1, r["i"] - 1] = r["s"]
+    g /= scale * scale
+    d = m - 2  # feature dims (last two = intercept, target)
+    xtx = g[: d + 1, : d + 1]  # features + intercept block
+    xty = g[: d + 1, d + 1]
+    # no penalty on the intercept term
+    pen = np.eye(d + 1) * reg
+    pen[d, d] = 0.0
+    w = np.linalg.solve(xtx + pen, xty)
+    coef, intercept = w[:d], float(w[d])
+    lit = F.array(*[F.lit(float(c)) for c in coef])
+    pred = (
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"), lit, lambda a, b: a * b
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        + F.lit(intercept)
+    )
+    return df.withColumn("pred", pred).drop(vec_col)

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_of
-from ..operators.moments import gram_matrix, pca_project
+from ..operators.moments import gram_matrix, pca_project, ridge_fit_predict
 from ..operators.sketches import heavy_hitters, weighted_priority_sample
 from ..sources.readers import load_table
 
@@ -498,12 +498,27 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(emb, "embedding", k=2)
 
 
+
+def embedding_ridge_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge fit of ``label`` on the embedding, scored over
+    the corpus (``operators.moments.ridge_fit_predict``). The augmented-
+    Gram trick gets XᵀX, Xᵀy and yᵀy from ONE exact integer pass; driver
+    solves a 65x65 system; scoring is codegen'd arithmetic. Rows-only
+    registry entry (matrix solve is not SQL-expressible); fit-quality and
+    determinism invariants live in tests."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    return ridge_fit_predict(emb, "embedding", "label")
+
+
 QUERIES = {
     "events_rolling_dau": events_rolling_dau,
     "events_rolling_dau_approx": events_rolling_dau_approx,
     "events_type_stats_arrow": events_type_stats_arrow,
     "embedding_gram_matrix": embedding_gram_matrix,
     "embedding_pca_project": embedding_pca_project,
+    "embedding_ridge_label": embedding_ridge_label,
     "fk_integrity_audit": fk_integrity_audit,
     "dedup_incremental_batch": dedup_incremental_batch,
     "heavy_hitter_terms": heavy_hitter_terms,

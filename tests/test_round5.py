@@ -227,3 +227,22 @@ def test_pca_projection_variance_ordering_and_energy_bound(spark):
     again = embedding_pca_project(spark, SF_SMALL).collect()
     assert sorted((r["vec_id"], r["pc1"], r["pc2"]) for r in rows) == \
            sorted((r["vec_id"], r["pc1"], r["pc2"]) for r in again)
+
+
+def test_ridge_fit_beats_mean_baseline_and_is_deterministic(spark):
+    from big_data_assignment2_2025_spark.plans.round5_queries import (
+        embedding_ridge_label,
+    )
+
+    rows = embedding_ridge_label(spark, SF_SMALL).collect()
+    assert rows and {"vec_id", "label", "pred"} <= set(rows[0].asDict())
+    n = len(rows)
+    mean_y = sum(r["label"] for r in rows) / n
+    sse_model = sum((r["pred"] - r["label"]) ** 2 for r in rows)
+    sse_mean = sum((mean_y - r["label"]) ** 2 for r in rows)
+    # a least-squares fit with intercept can never lose to the constant
+    # predictor (up to the tiny ridge penalty)
+    assert sse_model <= sse_mean * 1.0001
+    again = embedding_ridge_label(spark, SF_SMALL).collect()
+    assert sorted((r["vec_id"], r["pred"]) for r in rows) == \
+           sorted((r["vec_id"], r["pred"]) for r in again)
