@@ -512,6 +512,37 @@ def embedding_ridge_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ridge_fit_predict(emb, "embedding", "label")
 
 
+
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency profile of the view->purchase funnel: per user,
+    first view and first subsequent purchase; exact latency percentiles (microsecond units — truncated-seconds vs
+    rounded-epoch was a measured cross-engine mismatch)
+    over converting users. One groupBy on user_id (conditional min
+    aggregates — partial, no window) then one tiny percentile aggregate
+    over the converted-user dimension. Spark ``percentile`` == DuckDB
+    ``quantile_cont`` (linear interpolation), the established parity
+    pair from percentile_stats."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_micros("ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", sec)).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", sec)).alias(
+            "first_purchase"
+        ),
+    )
+    conv = firsts.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select((F.col("first_purchase") - F.col("first_view")).alias("lat"))
+    return conv.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(lat, 0.5)"), 4).alias("p50_us"),
+        F.round(F.expr("percentile(lat, 0.9)"), 4).alias("p90_us"),
+        F.max("lat").alias("max_us"),
+    )
+
+
 QUERIES = {
     "events_rolling_dau": events_rolling_dau,
     "events_rolling_dau_approx": events_rolling_dau_approx,
@@ -519,6 +550,7 @@ QUERIES = {
     "embedding_gram_matrix": embedding_gram_matrix,
     "embedding_pca_project": embedding_pca_project,
     "embedding_ridge_label": embedding_ridge_label,
+    "events_funnel_latency": events_funnel_latency,
     "fk_integrity_audit": fk_integrity_audit,
     "dedup_incremental_batch": dedup_incremental_batch,
     "heavy_hitter_terms": heavy_hitter_terms,
@@ -552,7 +584,29 @@ GROUP BY p.i, p.j
 """
 
 
+FUNNEL_LATENCY_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT first_purchase - first_view AS lat
+  FROM firsts
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_view
+)
+SELECT COUNT(*) AS n_converted,
+       round(quantile_cont(lat, 0.5), 4) AS p50_us,
+       round(quantile_cont(lat, 0.9), 4) AS p90_us,
+       MAX(lat) AS max_us
+FROM conv
+"""
+
+
 ORACLES = {
+    "events_funnel_latency": FUNNEL_LATENCY_SQL,
     "embedding_gram_matrix": GRAM_SQL,
     "events_type_stats_arrow": ARROW_STATS_SQL,
     "events_rolling_dau": ROLLING_DAU_SQL,
