@@ -185,3 +185,47 @@ def test_xor_checksum_is_mergeable_across_arbitrary_splits(spark, rows, split):
     split = min(split, len(rows))
     whole, a, b = chk(rows), chk(rows[:split]), chk(rows[split:])
     assert whole == a ^ b
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),      # event_type
+            st.integers(0, 3),                 # ts second (forced collisions)
+            st.integers(0, 999),               # event_id (unique-ified below)
+            st.integers(-50, 50),              # value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_ohlc_argmin_key_resolves_timestamp_ties_exactly(spark, rows):
+    # unique event ids, heavy ts collisions: min_by/max_by on the
+    # zero-padded composite key must pick the SAME row a sequential scan
+    # ordered by (ts, event_id) picks
+    import datetime
+
+    data = [
+        (t, datetime.datetime(2024, 1, 1, 0, 0, s), i, float(v))
+        for i, (t, s, _, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_type string, ts timestamp, event_id long, value double"
+    )
+    key = F.format_string("%020d|%012d", F.unix_micros("ts"), F.col("event_id"))
+    got = {
+        r["event_type"]: (r["open"], r["close"])
+        for r in df.groupBy("event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max_by("value", key).alias("close"),
+        )
+        .collect()
+    }
+    want = {}
+    for t, ts, i, v in sorted(data, key=lambda x: (x[1], x[2])):
+        if t not in want:
+            want[t] = [v, v]
+        want[t][1] = v
+    assert got == {t: tuple(oc) for t, oc in want.items()}
