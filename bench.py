@@ -86,6 +86,8 @@ HEADLINE = [
     "embedding_gram_matrix",
     "events_type_stats_arrow",
     "streaming_ohlc_bars",
+    "embedding_ridge_label",
+    "events_funnel_latency",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —
