@@ -229,3 +229,26 @@ def test_ohlc_argmin_key_resolves_timestamp_ties_exactly(spark, rows):
             want[t] = [v, v]
         want[t][1] = v
     assert got == {t: tuple(oc) for t, oc in want.items()}
+
+
+@given(
+    keys=st.lists(st.integers(0, 10**6), min_size=1, max_size=30, unique=True)
+)
+@_SETTINGS
+def test_uniform_weights_reduce_weighted_sample_to_hash_rank(spark, keys):
+    # with all weights equal, the weighted-priority sample must degrade to
+    # a plain deterministic hash-rank sample (priority order == hash order)
+    from big_data_assignment2_2025_spark.operators.sketches import (
+        weighted_priority_sample,
+    )
+
+    df = spark.createDataFrame([(k, 7) for k in keys], ["k", "w"])
+    k = min(5, len(keys))
+    got = [r["k"] for r in weighted_priority_sample(df, "k", "w", k).collect()]
+    import hashlib
+
+    def h52(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:13], 16)
+
+    want = sorted(keys, key=lambda x: (h52(x), x))[:k]
+    assert got == want

@@ -333,6 +333,21 @@ COMMENTARY = {
         "partial+final aggregate; the union is metadata-only. No scalar "
         "cross joins, no driver-side counts."
     ),
+    "embedding_gram_matrix": (
+        "Matrix-valued aggregate: MapInPandas folds each Arrow batch into "
+        "one numpy M.T@M int64 partial, so only d(d+1)/2 = 2,080 partial "
+        "entries per batch reach the single groupBy exchange — shuffle "
+        "volume independent of corpus size (measured 48 KB at sf0.1, "
+        "SHUFFLE_r5.json). The decimal(38,0) merge is the overflow-proof "
+        "cross-batch sum."
+    ),
+    "events_funnel_latency": (
+        "Two partial aggregations, no window: conditional min per user "
+        "(first view / first purchase in one pass), then exact percentile "
+        "over the converted-user dimension. Latencies are integer "
+        "microseconds — truncated-seconds vs rounded-epoch diverges "
+        "between engines; micros are exact on both."
+    ),
 }
 
 
