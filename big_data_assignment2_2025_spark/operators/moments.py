@@ -14,8 +14,12 @@ to a matrix-valued aggregate.
 Exactness: values are scaled to integer micros with sign-aware
 half-away-from-zero rounding (numpy's ``round`` is banker's — WRONG here;
 DuckDB/Spark ``round`` are half-away-from-zero), so partials are exact
-int64 (|x| <= 1e6 -> products <= 1e12; a 1e6-row batch stays <= 1e18 <
-2^63). Cross-batch merge sums as decimal(38,0), exact to 1e38 — at a
+int64 (|micros| <= 1e6 -> per-row products <= 1e12; a 1e6-row batch sums
+to <= 1e18 < 2^63). That bound is ENFORCED, not assumed: ``partials``
+raises if ``max|micros| * max|micros| * batch_rows`` could exceed int64
+(numpy would wrap silently) — callers with larger magnitudes (e.g. an
+unbounded label column through ``ridge_fit_predict``) fail loudly
+instead of corrupting the fit. Cross-batch merge sums as decimal(38,0), exact to 1e38 — at a
 1e9-row, 1000-executor scale int64 merge WOULD overflow; decimal is the
 documented merge type. Output is cast to BIGINT for the oracle (fixture
 magnitudes fit comfortably).
@@ -53,7 +57,22 @@ def gram_matrix(
                 continue
             m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
             micros = _round_half_away(m * scale).astype(np.int64)
-            g = micros.T @ micros  # d x d int64, exact (see module doc)
+            # int64 overflow guard: the in-batch product accumulates as
+            # int64, and numpy WRAPS silently on overflow. Bound the batch
+            # contribution by max|micros|^2 * rows and refuse to proceed if
+            # it could exceed 2^63-1 (the decimal(38,0) merge only protects
+            # the cross-batch sum, not this product).
+            peak = float(np.max(np.abs(micros))) if micros.size else 0.0
+            if peak * peak * len(micros) > float(2**63 - 1):
+                raise OverflowError(
+                    f"gram_matrix batch would overflow int64: "
+                    f"max|micros|={peak:.3g}, rows={len(micros)} -> bound "
+                    f"{peak * peak * len(micros):.3g} > 2^63-1. Reduce "
+                    f"`scale`, normalize the input column (ridge labels "
+                    f"must be bounded), or shrink Arrow batches via "
+                    f"spark.sql.execution.arrow.maxRecordsPerBatch."
+                )
+            g = micros.T @ micros  # d x d int64, exact (guard above)
             d = g.shape[0]
             iu, ju = np.triu_indices(d)
             yield pd.DataFrame(

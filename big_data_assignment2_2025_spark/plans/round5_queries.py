@@ -90,11 +90,23 @@ GROUP BY b.digest
 """
 
 
-#: zero-padded "epoch_micros|event_id" — lexicographic order == numeric
-#: order, and both engines build the identical string, so min_by/arg_min
-#: pick the same row even under timestamp ties.
+#: Bias added to epoch-micros before zero-padding: 0001-01-01T00:00:00Z is
+#: -62135596800 s, so `micros + BIAS` is non-negative for every proleptic
+#: year-1+ timestamp. Without it, "%020d" of a NEGATIVE micros value sorts
+#: lexicographically in REVERSE numeric order ('-...2' < '-...1'), and
+#: min_by would pick the wrong "open" row on pre-1970 data. Max biased
+#: value (year 9999) is ~3.2e17, comfortably inside int64 / 20 digits.
+EPOCH_MICROS_BIAS = 62_135_596_800_000_000
+
+
+#: zero-padded "biased_epoch_micros|event_id" — lexicographic order ==
+#: numeric order (both components non-negative by construction), and both
+#: engines build the identical string, so min_by/arg_min pick the same row
+#: even under timestamp ties.
 def _ord_key(ts_micros, event_id):
-    return F.format_string("%020d|%012d", ts_micros, event_id)
+    return F.format_string(
+        "%020d|%012d", ts_micros + F.lit(EPOCH_MICROS_BIAS), event_id
+    )
 
 
 def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,10 +136,10 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 OHLC_SQL = """
 SELECT event_type,
        strftime(ts, '%Y-%m-%d') AS day,
-       round(arg_min(value, printf('%020d|%012d', epoch_us(ts), event_id)), 6) AS open,
+       round(arg_min(value, printf('%020d|%012d', epoch_us(ts) + 62135596800000000, event_id)), 6) AS open,
        round(max(value), 6) AS high,
        round(min(value), 6) AS low,
-       round(arg_max(value, printf('%020d|%012d', epoch_us(ts), event_id)), 6) AS close,
+       round(arg_max(value, printf('%020d|%012d', epoch_us(ts) + 62135596800000000, event_id)), 6) AS close,
        count(*) AS n_events
 FROM events
 WHERE value IS NOT NULL
@@ -514,19 +526,29 @@ def embedding_ridge_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conversion-latency profile of the view->purchase funnel: per user,
-    first view and first subsequent purchase; exact latency percentiles (microsecond units — truncated-seconds vs
-    rounded-epoch was a measured cross-engine mismatch)
-    over converting users. One groupBy on user_id (conditional min
-    aggregates — partial, no window) then one tiny percentile aggregate
-    over the converted-user dimension. Spark ``percentile`` == DuckDB
-    ``quantile_cont`` (linear interpolation), the established parity
-    pair from percentile_stats."""
+    """Conversion-latency profile of the view->purchase funnel.
+
+    Chosen definition (deliberate, one-pass): per user, latency =
+    GLOBAL first purchase - global first view, counted only when the
+    first purchase is at-or-after the first view. A user who purchased
+    BEFORE their first view and again after is therefore EXCLUDED, not
+    measured from the later purchase — "first purchase at-or-after
+    first_view" is a conditional-on-another-aggregate min that cannot be
+    expressed in a single partial-aggregating pass; the two-pass
+    (join-back) spelling would double the fact-table shuffles for a
+    definition difference that only shows on re-purchasers. The oracle
+    encodes the same definition. Latencies are exact integer
+    MICROSECONDS end-to-end (truncated-seconds vs rounded-epoch was a
+    measured cross-engine mismatch). One groupBy on user_id (conditional
+    min aggregates — partial, no window) then one tiny percentile
+    aggregate over the converted-user dimension. Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` (linear interpolation), the established
+    parity pair from percentile_stats."""
     ev = load_table(spark, sf_dir, "events")
-    sec = F.unix_micros("ts")
+    us = F.unix_micros("ts")
     firsts = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", sec)).alias("first_view"),
-        F.min(F.when(F.col("event_type") == "purchase", sec)).alias(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
             "first_purchase"
         ),
     )

@@ -19,9 +19,24 @@ analytical scans over the Avro files themselves.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
-_probe_cache: dict[int, bool] = {}
+# WeakKeyDictionary, NOT id(spark)-keyed: a stopped session's object address
+# can be reused by a NEW SparkSession after garbage collection, which would
+# serve a stale cached verdict. Weak keys also let dead sessions drop out of
+# the cache instead of pinning them.
+_probe_cache: "weakref.WeakKeyDictionary[SparkSession, bool]" = (
+    weakref.WeakKeyDictionary()
+)
+
+#: Error markers meaning "the avro data source is not on the classpath".
+#: Spark 4 raises errorClass FAILED_FIND_DATA_SOURCE (its message text
+#: carries the class name); older releases raise the legacy message
+#: "Failed to find data source". Match both — the legacy text alone is
+#: version-fragile.
+_MISSING_SOURCE_MARKERS = ("Failed to find data source", "FAILED_FIND_DATA_SOURCE")
 
 
 def avro_available(spark: SparkSession) -> bool:
@@ -32,18 +47,28 @@ def avro_available(spark: SparkSession) -> bool:
     built-in error message can say "Avro is built-in but external"), so the
     class loads while ``format("avro")`` still fails. The reliable probe is
     functional — attempt a schema'd load of a nonexistent path and
-    distinguish "Failed to find data source" (module absent) from a
-    path-not-found error (module present, path bogus). Cached per-session."""
-    key = id(spark)
-    if key not in _probe_cache:
+    distinguish "failed to find data source" (module absent — matched via
+    error class AND legacy message text) from a path-not-found error
+    (module present, path bogus). Cached per live session object."""
+    if spark not in _probe_cache:
         try:
             spark.read.format("avro").schema("__probe int").load(
                 "/nonexistent/__avro_capability_probe__"
             )
-            _probe_cache[key] = True
+            _probe_cache[spark] = True
         except Exception as e:  # AnalysisException either way; inspect which
-            _probe_cache[key] = "Failed to find data source" not in str(e)
-    return _probe_cache[key]
+            err = str(e)
+            # Spark 4 name is getCondition; getErrorClass is the deprecated
+            # 3.x spelling — accept either.
+            probe = getattr(e, "getCondition", None) or getattr(
+                e, "getErrorClass", None
+            )
+            cls = (probe() if probe else None) or ""
+            _probe_cache[spark] = not (
+                any(m in err for m in _MISSING_SOURCE_MARKERS)
+                or "FAILED_FIND_DATA_SOURCE" in cls
+            )
+    return _probe_cache[spark]
 
 
 def _require_avro(spark: SparkSession) -> None:

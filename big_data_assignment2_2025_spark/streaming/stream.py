@@ -115,9 +115,9 @@ def run_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     output mode; final state must equal the batch aggregation bit for
     bit."""
     ev = read_events_stream(spark, sf_dir).where(F.col("value").isNotNull())
-    key = F.format_string(
-        "%020d|%012d", F.unix_micros("ts"), F.col("event_id")
-    )
+    from big_data_assignment2_2025_spark.plans.round5_queries import _ord_key
+
+    key = _ord_key(F.unix_micros("ts"), F.col("event_id"))
     agg = ev.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(

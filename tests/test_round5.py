@@ -246,3 +246,28 @@ def test_ridge_fit_beats_mean_baseline_and_is_deterministic(spark):
     again = embedding_ridge_label(spark, SF_SMALL).collect()
     assert sorted((r["vec_id"], r["pred"]) for r in rows) == \
            sorted((r["vec_id"], r["pred"]) for r in again)
+
+
+def test_ord_key_orders_pre_epoch_timestamps_correctly(spark):
+    """Regression (r5 ADVICE): "%020d" of a NEGATIVE epoch-micros value
+    sorts lexicographically in reverse numeric order, so the unbiased key
+    would pick the WRONG open/close row on pre-1970 data. The biased key
+    (EPOCH_MICROS_BIAS) is non-negative for any year-1+ timestamp."""
+    import datetime
+
+    from big_data_assignment2_2025_spark.plans.round5_queries import _ord_key
+
+    data = [
+        ("t", datetime.datetime(1969, 12, 30, 12, 0, 0), 1, 1.0),  # earliest
+        ("t", datetime.datetime(1969, 12, 31, 12, 0, 0), 2, 2.0),
+        ("t", datetime.datetime(1970, 1, 2, 12, 0, 0), 3, 3.0),  # latest
+    ]
+    df = spark.createDataFrame(
+        data, "event_type string, ts timestamp, event_id long, value double"
+    )
+    key = _ord_key(F.unix_micros("ts"), F.col("event_id"))
+    row = df.groupBy("event_type").agg(
+        F.min_by("value", key).alias("open"),
+        F.max_by("value", key).alias("close"),
+    ).collect()[0]
+    assert (row["open"], row["close"]) == (1.0, 3.0)
