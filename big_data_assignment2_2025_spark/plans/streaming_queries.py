@@ -22,6 +22,7 @@ from ..streaming import (
     run_streaming_foreachbatch_upsert,
     run_streaming_hourly,
     run_streaming_ohlc,
+    run_streaming_rolling_dau,
     run_streaming_sessions,
     run_streaming_sliding_window,
     run_streaming_stateful_counter,
@@ -29,7 +30,7 @@ from ..streaming import (
     run_streaming_stream_join,
 )
 from .events_queries import EVENTS_HOURLY_SQL, EVENTS_SLIDING_SQL
-from .round5_queries import OHLC_SQL
+from .round5_queries import OHLC_SQL, ROLLING_DAU_SQL
 
 
 def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,6 +43,11 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_ohlc(spark, sf_dir)
+
+
+def streaming_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful dedup -> exact sliding-distinct count (SURVEY §9.9)."""
+    return run_streaming_rolling_dau(spark, sf_dir)
 
 
 def streaming_dedup_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,6 +200,7 @@ QUERIES = {
     "streaming_static_join": streaming_static_join,
     "streaming_sliding_window": streaming_sliding_window,
     "streaming_ohlc_bars": streaming_ohlc_bars,
+    "streaming_rolling_dau": streaming_rolling_dau,
 }
 
 ORACLES = {
@@ -212,4 +219,7 @@ ORACLES = {
     "streaming_dedup_window_chain": STREAM_DEDUP_CHAIN_SQL,
     "streaming_session_windows": STREAMING_SESSIONS_SQL,
     "streaming_stateful_counter": STREAMING_STATEFUL_SQL,
+    # chained dropDuplicates -> exact-distinct aggregation: final state
+    # equals the batch rolling-DAU query (same oracle)
+    "streaming_rolling_dau": ROLLING_DAU_SQL,
 }

@@ -504,6 +504,64 @@ def run_streaming_dedup_window_chain(spark: SparkSession, sf_dir: str) -> DataFr
     return _drain_to_memory(agg, spark)
 
 
+def run_streaming_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rolling 7-day distinct DAU — the streaming twin of
+    plans.round5_queries.events_rolling_dau (same ROLLING_DAU_SQL oracle;
+    closes SURVEY §9.9, the last buildable functional gap).
+
+    Chained stateful operators (Spark 3.5+ multi-stateful support):
+
+    1. watermarked ``dropDuplicates([day_ts, user_id])`` — reduces the
+       event stream to the (day, user) DIMENSION incrementally. The
+       event-time column ``day_ts`` (day-truncated ts) is IN the dedup
+       subset, so state per (day, user) pair is evicted once the
+       watermark passes that day — bounded by ~8 days of active pairs,
+       never by history.
+    2. a bounded <=7x fan-out projection (stateless) from each dimension
+       row to the window-end days it contributes to, then ONE stateful
+       aggregation per window-end day. Exact distinct does not decompose
+       (SURVEY's rolling-DAU note), so the per-day state is the user SET
+       (``collect_set``) — the honest cost of exactness; the
+       bounded-state alternative at extreme scale is the HLL twin
+       (``events_rolling_dau_approx``), which swaps the set for a sketch.
+
+    Complete output mode; trailing phantom windows (win_day beyond the
+    observed days) are trimmed against the final state itself — a win_day
+    is OBSERVED iff some user has k=0 for it — keeping the whole query
+    incremental (no static side input)."""
+    ev = read_events_stream(spark, sf_dir)
+    daily = (
+        ev.select(F.date_trunc("day", "ts").alias("day_ts"), "user_id")
+        .withWatermark("day_ts", "7 days")
+        .dropDuplicates(["day_ts", "user_id"])
+    )
+    contrib = daily.select(
+        F.explode(
+            F.sequence(
+                F.to_date("day_ts"), F.date_add(F.to_date("day_ts"), 6)
+            )
+        ).alias("win_day"),
+        F.to_date("day_ts").alias("day"),
+        "user_id",
+    )
+    agg = contrib.groupBy("win_day").agg(
+        F.size(
+            F.collect_set(
+                F.when(F.col("day") == F.col("win_day"), F.col("user_id"))
+            )
+        )
+        .cast("long")
+        .alias("dau1"),
+        F.size(F.collect_set("user_id")).cast("long").alias("dau7"),
+    )
+    out = _drain_to_memory(agg, spark)
+    # observed days have at least one same-day active user; phantom
+    # trailing windows (only k>0 contributions) have dau1 = 0
+    return out.where(F.col("dau1") > 0).select(
+        F.col("win_day").alias("day"), "dau1", "dau7"
+    )
+
+
 def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time session windows (30-min gap) per user via Spark's native
     ``session_window`` — the streaming counterpart of the batch lag/cumsum
