@@ -33,8 +33,34 @@ Scale story (100 TB corpus, ~billions of pair edges):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def lineage_checkpointer(
+    spark: SparkSession, checkpoint_dir: Optional[str] = None
+) -> Callable[[DataFrame], DataFrame]:
+    """Per-round lineage truncation strategy for iterative DataFrame loops.
+
+    Default (``checkpoint_dir=None``): eager ``localCheckpoint()`` —
+    blocks are held by live executors, which is the right trade on a
+    single node or when re-running the whole loop on failure is cheap.
+    Its weakness on a real cluster: losing ONE executor mid-loop discards
+    blocks with NO lineage to rebuild them, failing the job.
+
+    Reliable (``checkpoint_dir='hdfs://...'`` or ``'file:///...'``):
+    configures ``sparkContext.setCheckpointDir`` and returns eager
+    ``DataFrame.checkpoint()`` — every round is persisted to the (fault
+    tolerant) FS, so executor loss mid-peel replays from the last round,
+    not from nothing. This is the cluster deployment mode (SCALING §10);
+    costs one FS write per round, amortized over round count.
+    """
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint()
+    spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)
 
 
 def connected_components(
@@ -42,13 +68,19 @@ def connected_components(
     src_col: str = "doc1",
     dst_col: str = "doc2",
     max_iter: int = 25,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Components of the undirected graph given by ``pairs``.
 
     Returns ``(node, component)`` where ``component`` is the minimum node id
     in the node's component. Only nodes appearing in at least one edge are
     returned (isolated documents never entered the pair list to begin with).
+
+    ``checkpoint_dir`` switches per-round lineage truncation from
+    ``localCheckpoint`` to reliable FS checkpoints (see
+    ``lineage_checkpointer``) — pass it on any multi-executor cluster.
     """
+    ckpt = lineage_checkpointer(pairs.sparkSession, checkpoint_dir)
     e = pairs.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
@@ -58,11 +90,10 @@ def connected_components(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
 
-    labels = (
+    labels = ckpt(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
 
     for _ in range(max_iter):
@@ -74,7 +105,7 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .select(F.col("src").alias("node"), "nbr_label")
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
@@ -82,7 +113,6 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = new_labels.alias("n").join(
             labels.alias("o"), "node"

@@ -156,7 +156,9 @@ FROM deg GROUP BY deg ORDER BY deg
 """
 
 
-def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_kcore_peel(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """2-core peeling, three unrolled rounds: repeatedly drop nodes with
     degree < 2 and the edges touching them — the standard graph-cleaning
     step before community/cycle analysis (degree-1 chains carry no cyclic
@@ -171,33 +173,37 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the graph is tree-like fuzz vs 2-core."""
     # Iterative LINEAGE discipline (same pattern as operators/graph.py:
     # connected_components): each round's frontier is cut from its history
-    # with an eager localCheckpoint. Mere persist() is NOT enough here —
+    # with an eager checkpoint. Mere persist() is NOT enough here —
     # execution is cached but the LOGICAL plan still nests every prior
     # round (~3 references per level), so Catalyst re-analyzes an
     # exponentially growing tree on every action (measured: round-3 counts
     # took 5.7 s on a 10-row cached frame; the checkpointed form runs the
-    # whole query in ~3 s vs ~11.6 s warm at sf0.1). On a real cluster,
-    # swap localCheckpoint for a reliable checkpoint dir every few rounds
-    # for fault tolerance; the plan-size argument is identical.
+    # whole query in ~3 s vs ~11.6 s warm at sf0.1). checkpoint_dir=None
+    # uses localCheckpoint (single-node durability); on a real cluster
+    # pass a fault-tolerant dir so executor loss mid-peel replays from the
+    # last round, not from nothing (operators.graph.lineage_checkpointer,
+    # SCALING §10) — tested against a local file:// dir in
+    # tests/test_graph.py.
+    from ..operators.graph import lineage_checkpointer
+
+    ckpt = lineage_checkpointer(spark, checkpoint_dir)
     edges0 = _copurchase_edges(spark, sf_dir)
-    edges = edges0.localCheckpoint()
+    edges = ckpt(edges0)
     summaries = []
     for rnd in (1, 2, 3):
         adj = edges.select(F.col("u").alias("node")).unionAll(
             edges.select(F.col("v").alias("node"))
         )
-        keep = (
+        keep = ckpt(
             adj.groupBy("node")
             .agg(F.count("*").alias("d"))
             .where(F.col("d") >= 2)
             .select("node")
-            .localCheckpoint()
         )
-        new_edges = (
+        new_edges = ckpt(
             edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
         )
         summaries.append((rnd, keep.count(), new_edges.count()))
         edges = new_edges

@@ -43,3 +43,50 @@ def test_max_iter_caps_rounds(spark):
     edges = [(i, i + 1) for i in range(6)]
     got = _components(spark, edges, max_iter=1)
     assert got[6] != 0  # not yet converged — cap respected
+
+
+def test_reliable_checkpoint_path_matches_local(spark, tmp_path):
+    """checkpoint_dir switches the per-round lineage truncation to
+    reliable FS checkpoints (the cluster deployment mode, SCALING §10):
+    results must be identical to the localCheckpoint path, and the
+    checkpoint dir must actually receive RDD checkpoint data."""
+    import os
+
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)]
+    base = _components(spark, edges)
+    ckpt_dir = str(tmp_path / "cc_ckpt")
+    reliable = _components(spark, edges, checkpoint_dir=f"file://{ckpt_dir}")
+    assert reliable == base
+    # the reliable path must have *persisted* rounds to the FS dir
+    written = []
+    for root, _dirs, files in os.walk(ckpt_dir):
+        written.extend(os.path.join(root, f) for f in files)
+    assert written, "reliable checkpoint dir received no checkpoint data"
+
+
+def test_kcore_reliable_checkpoint_matches_local(spark, tmp_path):
+    """graph_kcore_peel through the reliable-checkpoint path returns the
+    same per-round survivor counts as the (oracle-gated) default path."""
+    import os
+
+    from big_data_assignment2_2025_spark.plans.graph_queries import (
+        graph_kcore_peel,
+    )
+    from tests.conftest import SF_SMALL
+
+    base = sorted(
+        (r["round"], r["n_nodes"], r["n_edges"])
+        for r in graph_kcore_peel(spark, SF_SMALL).collect()
+    )
+    ckpt_dir = str(tmp_path / "kcore_ckpt")
+    reliable = sorted(
+        (r["round"], r["n_nodes"], r["n_edges"])
+        for r in graph_kcore_peel(
+            spark, SF_SMALL, checkpoint_dir=f"file://{ckpt_dir}"
+        ).collect()
+    )
+    assert reliable == base
+    written = []
+    for root, _dirs, files in os.walk(ckpt_dir):
+        written.extend(os.path.join(root, f) for f in files)
+    assert written, "reliable checkpoint dir received no checkpoint data"
