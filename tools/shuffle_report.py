@@ -19,15 +19,27 @@ A/B pairs pin specific design claims with numbers:
 - ``incremental_dedup`` vs ``full_corpus_dedup``: batch-only anti-join vs
   re-deduping the whole corpus.
 
-Caveat: operators that MATERIALIZE persisted intermediates while the
-DataFrame is being constructed (the ad-hoc BM25/index path, MinHash
-signatures) run those shuffles in earlier jobs; the profiled plan then
-reads InMemoryTableScan and reports only the final consumer's exchanges.
-Rows like ``dedup_minhash_lsh: 0 exchanges`` mean "no exchange in the
-consumer plan", not "no shuffle ever" — the build cost is visible in
-bench.py timings instead.
+Two measurements per query, because they answer different questions:
 
-Usage: python tools/shuffle_report.py [sf_dir] [--json=PATH]
+- ``shuffle_bytes``/``shuffle_records`` — exchanges INSIDE the final
+  consumer plan (plan-walk of SQLMetrics). Operators that MATERIALIZE
+  persisted intermediates while the DataFrame is being constructed (the
+  ad-hoc BM25/index path, MinHash signatures) run those shuffles in
+  earlier jobs, so this number under-reports them (their consumer reads
+  InMemoryTableScan).
+- ``total_shuffle_bytes``/``total_shuffle_records`` — delta of the
+  app-wide per-stage shuffle-write totals (AppStatusStore) across the
+  query's ENTIRE execution, including persisted-intermediate builds.
+  This is the number the round-over-round BUDGET gates on: it cannot be
+  hidden by caching. (Caveat: per-process totals include nothing from
+  other concurrently running queries — the report runs serially.)
+
+``--budget=PATH`` loads a prior artifact (e.g. the committed
+SHUFFLE_r{N-1}.json) and FAILS (exit 1) if any query's total shuffle
+bytes exceed 2x its recorded value — shuffle-volume regressions fail a
+tool, not a vibe (SURVEY §9.11).
+
+Usage: python tools/shuffle_report.py [sf_dir] [--json=PATH] [--budget=PATH]
 """
 
 from __future__ import annotations
@@ -44,7 +56,9 @@ from pyspark.sql import functions as F
 from big_data_assignment2_2025_spark.session import get_spark
 from big_data_assignment2_2025_spark.sources.readers import load_table
 
-#: registry queries whose shuffle profile the report records
+#: registry queries whose shuffle profile the report records — every
+#: bucketed dedup/ANN family is tracked (SURVEY §9.11) so a candidate-
+#: generation regression shows up as a budget failure, not a slow bench
 QUERIES_TO_PROFILE = [
     "bm25_search",
     "q1_pricing_summary",
@@ -57,11 +71,30 @@ QUERIES_TO_PROFILE = [
     "sample_weighted_priority",
     "corpus_divergence_kl",
     "dedup_minhash_lsh",
+    "dedup_ngram_capped",
+    "dedup_simhash_idf",
+    "ann_lsh_bucketed",
     "ann_ivf_topk",
     "index_term_freq",
     "events_rolling_dau",
     "embedding_gram_matrix",
 ]
+
+
+def _total_shuffle(spark: SparkSession) -> tuple[int, int]:
+    """App-wide (bytes, records) shuffle-write totals summed over every
+    stage the app has run, read from the JVM AppStatusStore — the same
+    numbers the UI's stage table shows. Deltas around a query give its
+    TRUE shuffle cost including persisted-intermediate build jobs, which
+    the executed-plan walk cannot see."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    empty = sc._jvm.java.util.ArrayList()
+    quantiles = sc._gateway.new_array(sc._jvm.double, 0)
+    stages = store.stageList(None, False, False, quantiles, empty)
+    b = sum(stages.apply(i).shuffleWriteBytes() for i in range(stages.size()))
+    r = sum(stages.apply(i).shuffleWriteRecords() for i in range(stages.size()))
+    return b, r
 
 
 def _walk(node, depth=0):
@@ -83,13 +116,27 @@ def _metrics(node) -> dict[str, int]:
     return out
 
 
-def profile(df: DataFrame) -> dict:
-    """Run ``df`` and return its measured shuffle profile.
+def profile(df_or_thunk, spark: SparkSession | None = None) -> dict:
+    """Run the query and return its measured shuffle profile.
+
+    Accepts either a built DataFrame or a zero-arg CALLABLE that builds
+    one — pass the callable for operators that materialize persisted
+    intermediates during CONSTRUCTION (MinHash signatures, IVF training):
+    their build shuffles happen before any action on the returned frame,
+    so the app-wide before-snapshot must be taken before construction.
 
     Must ``collect()`` (not ``count()``): count() wraps the frame in a NEW
     QueryExecution, so the metrics of ``df``'s own executed plan would
     stay zero."""
+    if callable(df_or_thunk):
+        assert spark is not None
+        before_b, before_r = _total_shuffle(spark)
+        df = df_or_thunk()
+    else:
+        df = df_or_thunk
+        before_b, before_r = _total_shuffle(df.sparkSession)
     df.collect()
+    after_b, after_r = _total_shuffle(df.sparkSession)
     plan = df._jdf.queryExecution().executedPlan()
     # AdaptiveSparkPlanExec exposes the final plan only after execution
     if "AdaptiveSparkPlan" in plan.getClass().getSimpleName():
@@ -110,6 +157,8 @@ def profile(df: DataFrame) -> dict:
         "n_exchanges": len(exchanges),
         "shuffle_records": sum(e["records"] for e in exchanges),
         "shuffle_bytes": sum(e["bytes"] for e in exchanges),
+        "total_shuffle_bytes": after_b - before_b,
+        "total_shuffle_records": after_r - before_r,
         "scan_rows": sum(scans),
         "exchanges": exchanges,
     }
@@ -176,11 +225,44 @@ AB_PAIRS = {
 }
 
 
+#: budget multiplier: a query FAILS if its total shuffle bytes exceed this
+#: factor of the recorded value. 2x leaves room for fixture regeneration
+#: noise while catching a lost broadcast, a dropped partial-agg, or a
+#: candidate-generation blowup — all of which move bytes by >2x.
+BUDGET_FACTOR = 2.0
+
+
+def check_budget(report: dict, budget_path: str) -> list[str]:
+    """Compare ``report`` against a committed prior artifact; return the
+    list of violations (empty = within budget). Queries new since the
+    baseline pass vacuously (they become gated next round)."""
+    with open(budget_path) as fh:
+        base = json.load(fh)
+    violations = []
+    for name, prof in report["queries"].items():
+        old = base.get("queries", {}).get(name)
+        if not old:
+            continue
+        # prefer the app-wide total (can't be hidden by caching); older
+        # artifacts only recorded the consumer-plan bytes
+        old_b = old.get("total_shuffle_bytes", old.get("shuffle_bytes", 0))
+        new_b = prof["total_shuffle_bytes"]
+        if old_b > 0 and new_b > BUDGET_FACTOR * old_b:
+            violations.append(
+                f"{name}: total shuffle {new_b} B > {BUDGET_FACTOR}x "
+                f"recorded {old_b} B"
+            )
+    return violations
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     json_path = next(
         (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")), None
+    )
+    budget_path = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--budget=")), None
     )
 
     from big_data_assignment2_2025_spark.plans import QUERIES
@@ -189,31 +271,51 @@ def main() -> None:
     report: dict = {"sf_dir": sf_dir, "queries": {}, "ab": {}}
 
     for name in QUERIES_TO_PROFILE:
-        prof = profile(QUERIES[name](spark, sf_dir))
+        prof = profile(lambda n=name: QUERIES[n](spark, sf_dir), spark)
         del prof["exchanges"]
         report["queries"][name] = prof
         print(
             f"{name}: {prof['n_exchanges']} exchanges, "
-            f"{prof['shuffle_records']} rec / {prof['shuffle_bytes']} B shuffled, "
+            f"{prof['shuffle_records']} rec / {prof['shuffle_bytes']} B in-plan, "
+            f"{prof['total_shuffle_records']} rec / {prof['total_shuffle_bytes']} B total, "
             f"{prof['scan_rows']} scan rows"
         )
 
     for key, (engine_name, naive_fn) in AB_PAIRS.items():
-        a = profile(QUERIES[engine_name](spark, sf_dir))
-        b = profile(naive_fn(spark, sf_dir))
+        a = profile(lambda: QUERIES[engine_name](spark, sf_dir), spark)
+        b = profile(lambda: naive_fn(spark, sf_dir), spark)
+        keys = (
+            "n_exchanges", "shuffle_records", "shuffle_bytes",
+            "total_shuffle_records", "total_shuffle_bytes",
+        )
         report["ab"][key] = {
-            "engine": {k: a[k] for k in ("n_exchanges", "shuffle_records", "shuffle_bytes")},
-            "naive": {k: b[k] for k in ("n_exchanges", "shuffle_records", "shuffle_bytes")},
+            "engine": {k: a[k] for k in keys},
+            "naive": {k: b[k] for k in keys},
         }
         print(
-            f"A/B {key}: engine {a['shuffle_records']} rec/{a['shuffle_bytes']} B "
-            f"vs naive {b['shuffle_records']} rec/{b['shuffle_bytes']} B"
+            f"A/B {key}: engine {a['total_shuffle_records']} rec/"
+            f"{a['total_shuffle_bytes']} B total "
+            f"vs naive {b['total_shuffle_records']} rec/"
+            f"{b['total_shuffle_bytes']} B total"
         )
+
+    if budget_path:
+        violations = check_budget(report, budget_path)
+        report["budget"] = {
+            "baseline": budget_path,
+            "factor": BUDGET_FACTOR,
+            "violations": violations,
+        }
+        for v in violations:
+            print(f"BUDGET VIOLATION: {v}")
 
     if json_path:
         with open(json_path, "w") as fh:
             json.dump(report, fh, indent=1, sort_keys=True)
         print(f"wrote {json_path}")
+
+    if budget_path and report["budget"]["violations"]:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
