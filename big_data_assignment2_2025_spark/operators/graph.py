@@ -56,6 +56,17 @@ def lineage_checkpointer(
     tolerant) FS, so executor loss mid-peel replays from the last round,
     not from nothing. This is the cluster deployment mode (SCALING §10);
     costs one FS write per round, amortized over round count.
+
+    SESSION-GLOBAL side effect: ``setCheckpointDir`` is per-SparkContext.
+    Calling this repoints the dir for EVERY later ``DataFrame.checkpoint``
+    in the session, and two CONCURRENT loops passing different dirs would
+    race (last-set wins for both — the loser's rounds land in the winner's
+    dir; correctness survives, cleanup/retention policies may not). The
+    contract is therefore sequential use: each loop's ``ckpt()`` calls run
+    eagerly inside the loop body, so by the time another caller repoints
+    the dir this loop's rounds are already persisted. Concurrent loops in
+    one session must share a single dir, or use the default
+    ``localCheckpoint`` mode, which touches no global state.
     """
     if checkpoint_dir is None:
         return lambda df: df.localCheckpoint()

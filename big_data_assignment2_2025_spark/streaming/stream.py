@@ -504,62 +504,83 @@ def run_streaming_dedup_window_chain(spark: SparkSession, sf_dir: str) -> DataFr
     return _drain_to_memory(agg, spark)
 
 
+def rolling_dau_streams(
+    spark: SparkSession, ev: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The two watermarked streaming aggregations behind
+    ``run_streaming_rolling_dau``, exposed so tests can drive them through
+    arbitrary micro-batch schedules / restarts and inspect state metrics.
+
+    Returns ``(dau7_agg, dau1_agg)`` — both UNSTARTED streaming frames
+    with schema ``(day date, dauN long)``.
+
+    - ``dau7_agg``: ONE stateful op — a native sliding event-time window
+      ``window(ts, 7 days, 1 day)`` holding ``collect_set(user_id)`` per
+      open window. Because the grouping key is a real event-time window
+      under the 7-day watermark, the state store EVICTS each window once
+      the watermark passes its end — state is bounded by ~14 days of
+      open windows x active users, never by stream history (the fix for
+      the r6 verdict's complete-mode unbounded-state finding). The day a
+      window reports is its last covered day (``window.end - 1``).
+    - ``dau1_agg``: the 1-day tumbling companion — same eviction story.
+
+    ``collect_set`` is duplicate-idempotent, so no dedup stage is needed
+    ahead of either agg (one stateful operator per query keeps update
+    output mode legal — chained stateful ops would force append, which
+    can never emit the final 7 days of a bounded replay). Exact distinct
+    does not decompose (SURVEY's rolling-DAU note), so the per-window
+    state is the user SET — the honest cost of exactness; the
+    bounded-state-per-key alternative at extreme scale is the HLL twin
+    (``events_rolling_dau_approx``)."""
+    dau7_agg = (
+        ev.withWatermark("ts", "7 days")
+        .groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(F.size(F.collect_set("user_id")).cast("long").alias("dau7"))
+        .select(F.date_sub(F.to_date("w.end"), 1).alias("day"), "dau7")
+    )
+    dau1_agg = (
+        ev.withWatermark("ts", "7 days")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.size(F.collect_set("user_id")).cast("long").alias("dau1"))
+        .select(F.to_date("w.start").alias("day"), "dau1")
+    )
+    return dau7_agg, dau1_agg
+
+
+def reconcile_dau_updates(dau1_rows: DataFrame, dau7_rows: DataFrame) -> DataFrame:
+    """Batch-side reconciliation of the two update-mode emission logs into
+    the final ``(day, dau1, dau7)`` table (same shape as ROLLING_DAU_SQL).
+
+    Update mode emits a row per (window, batch-that-touched-it); a
+    window's distinct-user count is MONOTONE non-decreasing across its
+    emissions (sets only grow; data later than the watermark never
+    reaches an evicted window), so max-per-day is exactly the final
+    value. The inner join keeps a day iff the 1-day tumbling agg saw at
+    least one event row that day — observedness from row EXISTENCE, not
+    from ``dau1 > 0``, so a day whose rows all carry NULL user_id still
+    appears (with dau1 = 0, as in the oracle), and trailing phantom
+    sliding windows (end-day past the last observed day) are trimmed."""
+    dau1 = dau1_rows.groupBy("day").agg(F.max("dau1").alias("dau1"))
+    dau7 = dau7_rows.groupBy("day").agg(F.max("dau7").alias("dau7"))
+    return dau1.join(dau7, "day").select("day", "dau1", "dau7")
+
+
 def run_streaming_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental rolling 7-day distinct DAU — the streaming twin of
     plans.round5_queries.events_rolling_dau (same ROLLING_DAU_SQL oracle;
-    closes SURVEY §9.9, the last buildable functional gap).
+    SURVEY §9.9).
 
-    Chained stateful operators (Spark 3.5+ multi-stateful support):
-
-    1. watermarked ``dropDuplicates([day_ts, user_id])`` — reduces the
-       event stream to the (day, user) DIMENSION incrementally. The
-       event-time column ``day_ts`` (day-truncated ts) is IN the dedup
-       subset, so state per (day, user) pair is evicted once the
-       watermark passes that day — bounded by ~8 days of active pairs,
-       never by history.
-    2. a bounded <=7x fan-out projection (stateless) from each dimension
-       row to the window-end days it contributes to, then ONE stateful
-       aggregation per window-end day. Exact distinct does not decompose
-       (SURVEY's rolling-DAU note), so the per-day state is the user SET
-       (``collect_set``) — the honest cost of exactness; the
-       bounded-state alternative at extreme scale is the HLL twin
-       (``events_rolling_dau_approx``), which swaps the set for a sketch.
-
-    Complete output mode; trailing phantom windows (win_day beyond the
-    observed days) are trimmed against the final state itself — a win_day
-    is OBSERVED iff some user has k=0 for it — keeping the whole query
-    incremental (no static side input)."""
-    ev = read_events_stream(spark, sf_dir)
-    daily = (
-        ev.select(F.date_trunc("day", "ts").alias("day_ts"), "user_id")
-        .withWatermark("day_ts", "7 days")
-        .dropDuplicates(["day_ts", "user_id"])
-    )
-    contrib = daily.select(
-        F.explode(
-            F.sequence(
-                F.to_date("day_ts"), F.date_add(F.to_date("day_ts"), 6)
-            )
-        ).alias("win_day"),
-        F.to_date("day_ts").alias("day"),
-        "user_id",
-    )
-    agg = contrib.groupBy("win_day").agg(
-        F.size(
-            F.collect_set(
-                F.when(F.col("day") == F.col("win_day"), F.col("user_id"))
-            )
-        )
-        .cast("long")
-        .alias("dau1"),
-        F.size(F.collect_set("user_id")).cast("long").alias("dau7"),
-    )
-    out = _drain_to_memory(agg, spark)
-    # observed days have at least one same-day active user; phantom
-    # trailing windows (only k>0 contributions) have dau1 = 0
-    return out.where(F.col("dau1") > 0).select(
-        F.col("win_day").alias("day"), "dau1", "dau7"
-    )
+    Two single-stateful-op streams over native event-time windows (see
+    ``rolling_dau_streams``: sliding 7d/1d for dau7, tumbling 1d for
+    dau1), each drained in UPDATE output mode — closed windows are
+    evicted from the state store as the watermark advances, so a
+    long-running deployment holds only ~2 window-lengths of state —
+    then reconciled batch-side (``reconcile_dau_updates``: max per day
+    over the monotone update log, inner join for observedness)."""
+    dau7_agg, dau1_agg = rolling_dau_streams(spark, read_events_stream(spark, sf_dir))
+    dau7_rows = _drain_to_memory(dau7_agg, spark, output_mode="update")
+    dau1_rows = _drain_to_memory(dau1_agg, spark, output_mode="update")
+    return reconcile_dau_updates(dau1_rows, dau7_rows)
 
 
 def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
