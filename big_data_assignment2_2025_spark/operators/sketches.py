@@ -26,6 +26,27 @@ whole operator reads the fact data exactly twice. Driver state is the
 candidate array (bounded by 1/support), same bounded-collect discipline
 as ``operators/ranking.py``.
 
+MEASURED crossover vs the naive full-key ``GROUP BY .. HAVING``
+(tools/scale_probe.py --hh-crossover, sf0.1 events = 100k rows,
+support=1%, app-wide shuffle bytes, HHCROSSOVER_r7.json): two-pass
+total shuffle is FLAT (~2.7-3.5 KB = candidates+1 partials per task
+plus the freqItems job) while naive grows with the distinct-key
+universe (~25 B/key):
+
+    distinct keys   two-pass      naive
+    31              3,537 B       3,089 B   <- naive wins
+    999             2,691 B      26,845 B   (10x)
+    16,265          2,851 B     400,787 B   (141x)
+    79,910          2,816 B   1,859,845 B   (660x)
+
+Shuffle-byte break-even is ~1-3x of 1/support distinct keys, but the
+two-pass form also SCANS the fact data twice (its local wall time only
+catches up once shuffles spill/cross machines), so
+``heavy_hitters_auto`` switches to two-pass only past a 32x margin
+(distinct > 32/support) — where the measured shuffle saving is >100x
+and comfortably buys back the second scan even on a scan-bound
+cluster.
+
 ``weighted_priority_sample`` draws a deterministic weight-biased sample:
 priority = h/w where ``h`` is a 52-bit integer carved from md5(key) and
 ``w`` the row weight; keep the k smallest priorities. Heavier rows get
@@ -83,6 +104,51 @@ def heavy_hitters(
         .where(F.col("cnt") > F.lit(support) * F.col("n_total"))
         .select(key_col, "cnt", "n_total")
     )
+
+
+def heavy_hitters_naive(
+    df: DataFrame, key_col: str, support: float = 0.01
+) -> DataFrame:
+    """Single-pass full-key ``GROUP BY .. HAVING cnt > support*n`` — the
+    right spelling when the distinct-key universe is SMALL (one scan, one
+    shuffle of every distinct key). Same (key, cnt, n_total) contract and
+    bit-identical output to ``heavy_hitters``."""
+    counts = df.groupBy(F.col(key_col)).agg(F.count("*").alias("cnt"))
+    totals = counts.agg(F.sum("cnt").alias("n_total"))
+    return (
+        counts.where(F.col(key_col).isNotNull())
+        .join(F.broadcast(totals))
+        .where(F.col("cnt") > F.lit(support) * F.col("n_total"))
+        .select(key_col, "cnt", "n_total")
+    )
+
+
+#: heavy_hitters_auto switches to the two-pass form when the estimated
+#: distinct-key universe exceeds this multiple of 1/support — set from the
+#: measured crossover (module docstring): shuffle break-even is ~2.3x, the
+#: 32x margin guarantees a >100x shuffle saving before paying the second
+#: scan the two-pass form costs.
+AUTO_CARDINALITY_FACTOR = 32.0
+
+
+def heavy_hitters_auto(
+    df: DataFrame, key_col: str, support: float = 0.01
+) -> DataFrame:
+    """Cardinality-adaptive exact heavy hitters: estimate the distinct-key
+    universe with one ``approx_count_distinct`` pass, then run the naive
+    full-key aggregation when the universe is small (it shuffles less AND
+    scans once) or the bounded two-pass algorithm when the universe is
+    large (measured 352x shuffle saving at 80k keys — module docstring).
+    Both branches produce bit-identical (key, cnt, n_total) results; the
+    estimate only picks the cheaper physical strategy, never the answer.
+
+    Cost note: the estimator itself is one extra scan with a constant-size
+    (HLL sketch) shuffle — callers that already know their key universe
+    should call ``heavy_hitters``/``heavy_hitters_naive`` directly."""
+    est = df.agg(F.approx_count_distinct(key_col).alias("d")).first()["d"]
+    if est <= AUTO_CARDINALITY_FACTOR / support:
+        return heavy_hitters_naive(df, key_col, support)
+    return heavy_hitters(df, key_col, support)
 
 
 #: 52 bits of md5 as a non-negative long — the uniform-hash numerator of

@@ -10,7 +10,10 @@ from pyspark.sql import functions as F
 
 from big_data_assignment2_2025_spark.functions.text import tokens_of
 from big_data_assignment2_2025_spark.operators.sketches import (
+    AUTO_CARDINALITY_FACTOR,
     heavy_hitters,
+    heavy_hitters_auto,
+    heavy_hitters_naive,
     weighted_priority_sample,
 )
 from big_data_assignment2_2025_spark.sources.readers import load_table
@@ -55,6 +58,49 @@ def test_heavy_hitters_exact_pass_buckets_non_candidates(spark):
     assert "CASE WHEN" in plan
     assert "IN (" in plan or "INSET" in plan.upper() or "isin" in plan.lower()
     assert "HashAggregate" in plan
+
+
+def test_heavy_hitters_auto_picks_naive_on_small_universe(spark):
+    # ~31-term vocabulary << 32/support: auto must run the single-pass
+    # full-key form (no freqItems CASE WHEN bucketing in the plan) and
+    # still match the two-pass result exactly
+    toks = _tokens(spark)
+    auto = heavy_hitters_auto(toks, "term", 0.01)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "CASE WHEN" not in plan, "auto should not bucket on a tiny universe"
+    got = {(r["term"], r["cnt"], r["n_total"]) for r in auto.collect()}
+    want = {
+        (r["term"], r["cnt"], r["n_total"])
+        for r in heavy_hitters(toks, "term", 0.01).collect()
+    }
+    assert got == want and got
+
+
+def test_heavy_hitters_auto_picks_two_pass_on_large_universe(spark):
+    # a synthetic universe of ~4k distinct keys > 32/support (3200 at 1%):
+    # auto must run the bounded two-pass form (CASE WHEN bucketing in the
+    # plan) and agree with the naive spelling bit for bit
+    n_cold = int(AUTO_CARDINALITY_FACTOR / 0.01 * 1.25)
+    df = (
+        spark.range(0, 20_000)
+        .select(
+            F.when(F.col("id") % 10 < 2, F.concat(F.lit("hot_"), F.col("id") % 10))
+            .otherwise(
+                F.concat(F.lit("cold_"), F.pmod(F.xxhash64("id"), F.lit(n_cold)))
+            )
+            .alias("k")
+        )
+    )
+    auto = heavy_hitters_auto(df, "k", 0.01)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "CASE WHEN" in plan, "auto should bucket on a large universe"
+    got = {(r["k"], r["cnt"], r["n_total"]) for r in auto.collect()}
+    want = {
+        (r["k"], r["cnt"], r["n_total"])
+        for r in heavy_hitters_naive(df, "k", 0.01).collect()
+    }
+    assert got == want
+    assert {k for k, _, _ in got} == {"hot_0", "hot_1"}
 
 
 def test_weighted_sample_is_deterministic_topk(spark):

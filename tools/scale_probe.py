@@ -333,7 +333,75 @@ def _bucketed_probe(spark) -> dict:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def hh_crossover_probe(spark, sf_dir: str = SRC) -> dict:
+    """Heavy-hitters strategy crossover: naive full-key GROUP BY..HAVING
+    vs the bounded two-pass algorithm, measured in app-wide shuffle bytes
+    across a distinct-key-cardinality sweep (r6 verdict task 4: the claim
+    "only <=1/support keys shuffle" needs a measured crossover, not an
+    assertion).
+
+    The sweep derives keyed frames from the sf0.1 events fixture: two hot
+    keys carry ~10% of rows each (always above the 1% support), the rest
+    hash into ``m`` cold buckets — m sweeps the universe from far below
+    1/support to ~0.8x row count. Both strategies must return identical
+    hit sets at every cardinality (asserted)."""
+    import time as _t
+
+    from big_data_assignment2_2025_spark.operators.sketches import (
+        heavy_hitters,
+        heavy_hitters_naive,
+    )
+    from tools.shuffle_report import _total_shuffle
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = F.pmod(F.xxhash64(F.col("event_id").cast("string")), F.lit(10))
+    out = {}
+    for m in (29, 997, 16381, 10**9):
+        cold = F.concat(
+            F.lit("cold_"),
+            F.pmod(F.xxhash64(F.col("event_id").cast("string"), F.lit(7)), F.lit(m))
+            .cast("string"),
+        )
+        key = F.when(h < 2, F.concat(F.lit("hot_"), h.cast("string"))).otherwise(cold)
+        df = ev.select(key.alias("k")).persist()
+        distinct = df.distinct().count()
+        row = {"distinct_keys": distinct}
+        results = {}
+        for label, fn in (
+            ("two_pass", lambda: heavy_hitters(df, "k", 0.01)),
+            ("naive", lambda: heavy_hitters_naive(df, "k", 0.01)),
+        ):
+            b0, r0 = _total_shuffle(spark)
+            t0 = _t.perf_counter()
+            rows = fn().collect()
+            sec = _t.perf_counter() - t0
+            b1, r1 = _total_shuffle(spark)
+            results[label] = sorted(tuple(r) for r in rows)
+            row[label] = {
+                "shuffle_bytes": b1 - b0,
+                "shuffle_records": r1 - r0,
+                "sec": round(sec, 2),
+                "hits": len(rows),
+            }
+        assert results["two_pass"] == results["naive"], (
+            f"strategy results diverge at m={m}"
+        )
+        df.unpersist()
+        out[f"m_{m}"] = row
+        print(f"# hh_crossover distinct={distinct}: "
+              f"two_pass {row['two_pass']['shuffle_bytes']} B "
+              f"vs naive {row['naive']['shuffle_bytes']} B", file=sys.stderr)
+    return out
+
+
 def main() -> None:
+    if "--hh-crossover" in sys.argv:
+        spark = get_spark(
+            app_name="hh_crossover",
+            extra_conf={"spark.ui.retainedStages": "100000"},
+        )
+        print(json.dumps({"hh_crossover": hh_crossover_probe(spark)}))
+        return
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark(app_name="scale_probe")
     t0 = time.perf_counter()
