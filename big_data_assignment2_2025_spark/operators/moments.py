@@ -110,8 +110,9 @@ def pca_project(
     component is one ``aggregate(zip_with(...))`` dot product against the
     eigenvector embedded as an array literal, fully inside codegen.
     Deterministic given the data (exact integer Gram -> LAPACK eigh on
-    identical input), but NOT SQL-expressible — registry-gated rows-only,
-    invariants pinned in tests."""
+    identical input), but NOT SQL-expressible — invariants pinned in
+    tests; the registry's hash-gated PCA entry is the 2-feature
+    closed-form twin ``pca2_project``."""
     import numpy as np
 
     rows = gram_matrix(df, vec_col, scale).collect()
@@ -143,6 +144,141 @@ def pca_project(
             ),
         )
     return out.drop(vec_col)
+
+
+def _eig2(a: float, b: float, c: float) -> tuple[float, float, float, float]:
+    """Closed-form sign-fixed eigenvectors of the symmetric 2x2 matrix
+    [[a, b], [b, c]], descending eigenvalue order: returns
+    (v1x, v1y, v2x, v2y).
+
+    Every operation is IEEE-754 exact-rounded (+, -, *, /, sqrt) and the
+    expression ORDER is frozen, so any engine replaying the identical
+    expression tree on identical input doubles produces bit-identical
+    eigenvectors — this function is the literal mirror of the PCA2_SQL
+    oracle's CTE chain (plans/round5_queries.py); change them TOGETHER.
+    Sign fix: the largest-|component| of each eigenvector is positive
+    (ties by taking the x component), so the arbitrary +-v ambiguity
+    can't flip between engines."""
+    import math
+
+    disc = math.sqrt((a - c) * (a - c) + 4.0 * (b * b))
+    l1 = ((a + c) + disc) / 2.0
+    if b != 0.0:
+        ux, uy = b, l1 - a
+    elif a >= c:
+        ux, uy = 1.0, 0.0
+    else:
+        ux, uy = 0.0, 1.0
+    vx = ux / math.sqrt(ux * ux + uy * uy)
+    vy = uy / math.sqrt(ux * ux + uy * uy)
+    if (vx if abs(vx) >= abs(vy) else vy) < 0.0:
+        vx, vy = -vx, -vy
+    wx, wy = -vy, vx
+    if (wx if abs(wx) >= abs(wy) else wy) < 0.0:
+        wx, wy = -wx, -wy
+    return vx, vy, wx, wy
+
+
+def pca2_project(
+    df: DataFrame, vec_col: str = "embedding", scale: float = 1e6
+) -> DataFrame:
+    """Hash-gateable 2-feature PCA: project (dim1, dim2) of ``vec_col``
+    onto the two principal axes of their exact-integer second-moment
+    matrix; scores come back micro-rounded as BIGINT columns
+    ``pc1_micros``/``pc2_micros`` (``vec_col`` dropped).
+
+    This is the ORACLE-EXACT member of the PCA family (r6 verdict task 5):
+    the general-d ``pca_project`` needs LAPACK ``eigh``, which no SQL
+    engine replays bit-identically, so it stays a rows-only registry
+    entry — here the 2x2 eigensystem has a CLOSED FORM (``_eig2``) built
+    purely from IEEE exact-rounded ops in a frozen order, the moment
+    entries are exact integers (``gram_matrix``), and the projection is
+    micro-rounded, so DuckDB running PCA2_SQL reproduces every output
+    bit for bit. Same scale anatomy as ``pca_project``: one bounded
+    driver collect (3 moment entries), literal-embedded codegen'd
+    projection, shuffle independent of row count."""
+    vecs = F.col(vec_col).cast("array<double>")
+    g2 = gram_matrix(df.select(F.slice(vecs, 1, 2).alias("v2")), "v2", scale)
+    ent = {(r["i"], r["j"]): r["s"] for r in g2.collect()}
+    a, b, c = float(ent[(1, 1)]), float(ent[(1, 2)]), float(ent[(2, 2)])
+    v1x, v1y, v2x, v2y = _eig2(a, b, c)
+    e1, e2 = F.element_at(vecs, 1), F.element_at(vecs, 2)
+    return (
+        df.withColumn(
+            "pc1_micros",
+            F.round((F.lit(v1x) * e1 + F.lit(v1y) * e2) * F.lit(1e6)).cast("long"),
+        )
+        .withColumn(
+            "pc2_micros",
+            F.round((F.lit(v2x) * e1 + F.lit(v2y) * e2) * F.lit(1e6)).cast("long"),
+        )
+        .drop(vec_col)
+    )
+
+
+def _det3(a11, a12, a13, a21, a22, a23, a31, a32, a33) -> float:
+    """3x3 determinant by first-row cofactor expansion in a FROZEN
+    operation order — the literal mirror of RIDGE2_SQL's ``w`` CTE
+    (plans/round5_queries.py); change them together."""
+    return (
+        a11 * (a22 * a33 - a23 * a32)
+        - a12 * (a21 * a33 - a23 * a31)
+        + a13 * (a21 * a32 - a22 * a31)
+    )
+
+
+def ridge2_fit_predict(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    target_col: str = "label",
+    reg: float = 0.001,
+    scale: float = 1e6,
+) -> DataFrame:
+    """Hash-gateable 2-feature ridge: closed-form fit of ``target_col``
+    on (dim1, dim2) of ``vec_col`` plus an intercept, scored back over
+    the corpus micro-rounded as BIGINT ``pred_micros``.
+
+    The ORACLE-EXACT member of the ridge family (r6 verdict task 5): the
+    general-d ``ridge_fit_predict`` solves its system with LAPACK, which
+    no SQL engine replays bit-identically — here the 3x3 normal system
+    (2 features + unpenalized intercept) is solved by CRAMER'S RULE with
+    a frozen cofactor-expansion order (``_det3``) over exact-integer
+    augmented-Gram sufficient statistics, so DuckDB running RIDGE2_SQL
+    reproduces every prediction bit for bit. One exact integer pass for
+    the statistics (augmented ``gram_matrix``), one bounded driver solve,
+    literal-embedded codegen'd scoring — same anatomy as the full-d
+    form."""
+    vecs = F.col(vec_col).cast("array<double>")
+    aug = df.select(
+        F.concat(
+            F.slice(vecs, 1, 2),
+            F.array(F.lit(1.0), F.col(target_col).cast("double")),
+        ).alias("v4")
+    )
+    g = {
+        (r["i"], r["j"]): float(r["s"])
+        for r in gram_matrix(aug, "v4", scale).collect()
+    }
+    # normal matrix in original units (micros^2 / 1e12), ridge penalty on
+    # the two feature diagonals only — intercept (3rd) unpenalized
+    m11 = g[(1, 1)] / 1e12 + reg
+    m12 = g[(1, 2)] / 1e12
+    m13 = g[(1, 3)] / 1e12
+    m22 = g[(2, 2)] / 1e12 + reg
+    m23 = g[(2, 3)] / 1e12
+    m33 = g[(3, 3)] / 1e12
+    r1 = g[(1, 4)] / 1e12
+    r2 = g[(2, 4)] / 1e12
+    r3 = g[(3, 4)] / 1e12
+    det = _det3(m11, m12, m13, m12, m22, m23, m13, m23, m33)
+    w1 = _det3(r1, m12, m13, r2, m22, m23, r3, m23, m33) / det
+    w2 = _det3(m11, r1, m13, m12, r2, m23, m13, r3, m33) / det
+    w0 = _det3(m11, m12, r1, m12, m22, r2, m13, m23, r3) / det
+    e1, e2 = F.element_at(vecs, 1), F.element_at(vecs, 2)
+    pred = (F.lit(w1) * e1 + F.lit(w2) * e2) + F.lit(w0)
+    return df.withColumn(
+        "pred_micros", F.round(pred * F.lit(1e6)).cast("long")
+    ).drop(vec_col)
 
 
 def ridge_fit_predict(

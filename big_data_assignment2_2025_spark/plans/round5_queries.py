@@ -41,7 +41,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_of
-from ..operators.moments import gram_matrix, pca_project, ridge_fit_predict
+from ..operators.moments import (
+    gram_matrix,
+    pca2_project,
+    pca_project,
+    ridge2_fit_predict,
+    ridge_fit_predict,
+)
 from ..operators.sketches import heavy_hitters, weighted_priority_sample
 from ..sources.readers import load_table
 
@@ -499,29 +505,34 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-2 principal-component scores per embedding, driven by the exact
-    Gram matrix (``operators.moments.pca_project``). Driver state = one
-    64x64 matrix; the projection itself is codegen'd array arithmetic.
-    Rows-only registry entry (eigendecomposition is not SQL-expressible);
-    variance ordering and energy bounds are pinned in tests."""
+    """Principal-component scores per embedding, HASH-GATED (r6 verdict
+    task 5): the 2-feature closed-form member of the PCA family
+    (``operators.moments.pca2_project`` — exact integer moment entries,
+    frozen-order IEEE eigensystem, sign-fixed eigenvectors, micro-rounded
+    BIGINT scores), which PCA2_SQL replays bit for bit in DuckDB. The
+    general-d LAPACK path (``pca_project``, 64 dims) stays the engine API
+    for real corpora and keeps its invariant tests — eigh is the one step
+    no SQL oracle can reproduce exactly."""
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
     )
-    return pca_project(emb, "embedding", k=2)
+    return pca2_project(emb, "embedding")
 
 
 
 def embedding_ridge_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closed-form ridge fit of ``label`` on the embedding, scored over
-    the corpus (``operators.moments.ridge_fit_predict``). The augmented-
-    Gram trick gets XᵀX, Xᵀy and yᵀy from ONE exact integer pass; driver
-    solves a 65x65 system; scoring is codegen'd arithmetic. Rows-only
-    registry entry (matrix solve is not SQL-expressible); fit-quality and
-    determinism invariants live in tests."""
+    """Ridge fit of ``label`` scored over the corpus, HASH-GATED (r6
+    verdict task 5): the 2-feature closed-form member of the ridge family
+    (``operators.moments.ridge2_fit_predict`` — augmented exact-integer
+    Gram statistics, Cramer 3x3 solve in a frozen cofactor order,
+    micro-rounded BIGINT predictions), which RIDGE2_SQL replays bit for
+    bit in DuckDB. The general-d LAPACK path (``ridge_fit_predict``,
+    65x65 system) stays the engine API and keeps its fit-quality tests —
+    the large solve is the one step no SQL oracle reproduces exactly."""
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull() & F.col("label").isNotNull()
     )
-    return ridge_fit_predict(emb, "embedding", "label")
+    return ridge2_fit_predict(emb, "embedding", "label")
 
 
 
@@ -606,6 +617,106 @@ GROUP BY p.i, p.j
 """
 
 
+# Literal SQL mirror of operators.moments._eig2 + pca2_project: identical
+# IEEE exact-rounded ops in the identical order on identical doubles ->
+# bit-identical eigenvectors and micro-rounded scores. Change together.
+PCA2_SQL = """
+WITH g AS (
+  SELECT CAST(CAST(SUM(x1*x1) AS BIGINT) AS DOUBLE) AS a,
+         CAST(CAST(SUM(x1*x2) AS BIGINT) AS DOUBLE) AS b,
+         CAST(CAST(SUM(x2*x2) AS BIGINT) AS DOUBLE) AS c
+  FROM (
+    SELECT CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS x1,
+           CAST(round(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT) AS x2
+    FROM embeddings WHERE embedding IS NOT NULL
+  )
+),
+eig AS (
+  SELECT a, b, c,
+         ((a + c) + sqrt((a - c)*(a - c) + 4.0*(b*b))) / 2.0 AS l1
+  FROM g
+),
+u AS (
+  SELECT CASE WHEN b <> 0.0 THEN b WHEN a >= c THEN 1.0 ELSE 0.0 END AS ux,
+         CASE WHEN b <> 0.0 THEN l1 - a WHEN a >= c THEN 0.0 ELSE 1.0 END AS uy
+  FROM eig
+),
+v AS (
+  SELECT ux / sqrt(ux*ux + uy*uy) AS vx0,
+         uy / sqrt(ux*ux + uy*uy) AS vy0
+  FROM u
+),
+s1 AS (
+  SELECT CASE WHEN (CASE WHEN abs(vx0) >= abs(vy0) THEN vx0 ELSE vy0 END) < 0.0
+              THEN -vx0 ELSE vx0 END AS v1x,
+         CASE WHEN (CASE WHEN abs(vx0) >= abs(vy0) THEN vx0 ELSE vy0 END) < 0.0
+              THEN -vy0 ELSE vy0 END AS v1y
+  FROM v
+),
+s2 AS (
+  SELECT v1x, v1y,
+         CASE WHEN (CASE WHEN abs(-v1y) >= abs(v1x) THEN -v1y ELSE v1x END) < 0.0
+              THEN v1y ELSE -v1y END AS v2x,
+         CASE WHEN (CASE WHEN abs(-v1y) >= abs(v1x) THEN -v1y ELSE v1x END) < 0.0
+              THEN -v1x ELSE v1x END AS v2y
+  FROM s1
+)
+SELECT e.vec_id, e.label,
+       CAST(round((s2.v1x * CAST(e.embedding[1] AS DOUBLE)
+                   + s2.v1y * CAST(e.embedding[2] AS DOUBLE)) * 1e6) AS BIGINT)
+         AS pc1_micros,
+       CAST(round((s2.v2x * CAST(e.embedding[1] AS DOUBLE)
+                   + s2.v2y * CAST(e.embedding[2] AS DOUBLE)) * 1e6) AS BIGINT)
+         AS pc2_micros
+FROM embeddings e, s2
+WHERE e.embedding IS NOT NULL
+"""
+
+
+# Literal SQL mirror of operators.moments._det3 + ridge2_fit_predict:
+# Cramer's rule with a frozen cofactor-expansion order over exact-integer
+# augmented-Gram statistics. Change together.
+RIDGE2_SQL = """
+WITH m0 AS (
+  SELECT CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS x1,
+         CAST(round(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT) AS x2,
+         CAST(1000000 AS BIGINT) AS xc,
+         CAST(round(CAST(label AS DOUBLE) * 1e6) AS BIGINT) AS xy
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+g AS (
+  SELECT CAST(CAST(SUM(x1*x1) AS BIGINT) AS DOUBLE)/1e12 + 0.001 AS m11,
+         CAST(CAST(SUM(x1*x2) AS BIGINT) AS DOUBLE)/1e12 AS m12,
+         CAST(CAST(SUM(x1*xc) AS BIGINT) AS DOUBLE)/1e12 AS m13,
+         CAST(CAST(SUM(x2*x2) AS BIGINT) AS DOUBLE)/1e12 + 0.001 AS m22,
+         CAST(CAST(SUM(x2*xc) AS BIGINT) AS DOUBLE)/1e12 AS m23,
+         CAST(CAST(SUM(xc*xc) AS BIGINT) AS DOUBLE)/1e12 AS m33,
+         CAST(CAST(SUM(x1*xy) AS BIGINT) AS DOUBLE)/1e12 AS r1,
+         CAST(CAST(SUM(x2*xy) AS BIGINT) AS DOUBLE)/1e12 AS r2,
+         CAST(CAST(SUM(xc*xy) AS BIGINT) AS DOUBLE)/1e12 AS r3
+  FROM m0
+),
+w AS (
+  SELECT (m11*(m22*m33 - m23*m23) - m12*(m12*m33 - m23*m13)
+          + m13*(m12*m23 - m22*m13)) AS det,
+         (r1*(m22*m33 - m23*m23) - m12*(r2*m33 - m23*r3)
+          + m13*(r2*m23 - m22*r3)) AS d1,
+         (m11*(r2*m33 - m23*r3) - r1*(m12*m33 - m23*m13)
+          + m13*(m12*r3 - r2*m13)) AS d2,
+         (m11*(m22*r3 - r2*m23) - m12*(m12*r3 - r2*m13)
+          + r1*(m12*m23 - m22*m13)) AS d3
+  FROM g
+),
+coef AS (SELECT d1/det AS w1, d2/det AS w2, d3/det AS w0 FROM w)
+SELECT e.vec_id, e.label,
+       CAST(round(((c.w1 * CAST(e.embedding[1] AS DOUBLE)
+                    + c.w2 * CAST(e.embedding[2] AS DOUBLE)) + c.w0) * 1e6)
+            AS BIGINT) AS pred_micros
+FROM embeddings e, coef c
+WHERE e.embedding IS NOT NULL AND e.label IS NOT NULL
+"""
+
+
 FUNNEL_LATENCY_SQL = """
 WITH firsts AS (
   SELECT user_id,
@@ -630,6 +741,8 @@ FROM conv
 ORACLES = {
     "events_funnel_latency": FUNNEL_LATENCY_SQL,
     "embedding_gram_matrix": GRAM_SQL,
+    "embedding_pca_project": PCA2_SQL,
+    "embedding_ridge_label": RIDGE2_SQL,
     "events_type_stats_arrow": ARROW_STATS_SQL,
     "events_rolling_dau": ROLLING_DAU_SQL,
     "fk_integrity_audit": FK_AUDIT_SQL,

