@@ -109,8 +109,138 @@ def _candidates(sh):
     )
 
 
+def streaming_probe(spark) -> dict:
+    """Streaming hot-key probe (r6 verdict task 7 — SKEWPROBE covered
+    batch only): ONE user carries 10% of all events through a per-user
+    stateful hourly aggregation. Two fixtures (uniform = the real sf0.1
+    user distribution, hot10pct = 10% of rows re-keyed to user 0), each
+    drained with availableNow; recorded per variant:
+
+    - ``shuffle_records``/``bytes`` (app-wide delta): streaming aggs run
+      PARTIAL aggregation before the state-store exchange, so the hot
+      user's rows collapse to one partial row per map task per (hour,
+      user) — routed volume must NOT scale with the hot user's row share.
+    - ``state_rows`` (stateOperators numRowsTotal): hourly-window state
+      is one row per (hour, user) KEY, so a hot user adds zero state
+      skew — state size tracks key cardinality, not row counts.
+    - ``straggler`` max/median task seconds over the run's stages.
+    - analytic partition balance at shuffle_partitions=32: state KEYS
+      and pre-partial INPUT ROWS per partition via the same
+      murmur3-hash-mod the state store uses (max vs median) — shows the
+      one remaining imbalance (row routing) is bounded by the map-side
+      partial, not by 10% of the stream landing on one partition.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from tools.shuffle_report import _total_shuffle
+
+    n_parts = 32
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    out: dict = {"shuffle_partitions": n_parts, "variants": {}}
+    seen: set[int] = set()
+    _, seen = _straggler_ratio(seen)  # swallow pre-existing stages
+
+    for variant in ("uniform", "hot10pct"):
+        user = F.col("user_id")
+        if variant == "hot10pct":
+            user = F.when(
+                F.pmod(F.abs(F.hash("event_id")), 10) == 0, F.lit(0)
+            ).otherwise(F.col("user_id"))
+        src = tempfile.mkdtemp(prefix=f"skew_stream_{variant}_")
+        ckpt = tempfile.mkdtemp(prefix="skew_ckpt_")
+        fixture = ev.select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            user.alias("user_id"),
+            "value",
+        )
+        fixture.repartition(4).write.mode("overwrite").parquet(src)
+
+        static = spark.read.parquet(src)
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        )
+        b0, r0 = _total_shuffle(spark)
+        t0 = time.perf_counter()
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(f"skew_{uuid.uuid4().hex[:8]}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sec = round(time.perf_counter() - t0, 2)
+        b1, r1 = _total_shuffle(spark)
+        state_rows = 0
+        for p in q.recentProgress:
+            d = json.loads(p.json) if hasattr(p, "json") else p
+            if d.get("stateOperators"):
+                state_rows = d["stateOperators"][0]["numRowsTotal"]
+        straggler, seen = _straggler_ratio(seen)
+
+        # analytic partition balance: murmur3(group key) mod partitions,
+        # the same routing HashPartitioning applies
+        part = F.pmod(
+            F.hash(F.window("ts", "1 hour"), F.col("user_id")), F.lit(n_parts)
+        ).alias("p")
+        rows_per_part = [
+            r["n"]
+            for r in static.select(part)
+            .groupBy("p").agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        keys_per_part = [
+            r["n"]
+            for r in static.select(
+                F.window("ts", "1 hour").alias("w"), "user_id"
+            )
+            .distinct()
+            .select(F.pmod(F.hash("w", "user_id"), F.lit(n_parts)).alias("p"))
+            .groupBy("p").agg(F.count("*").alias("n"))
+            .collect()
+        ]
+
+        def _bal(v):
+            s = sorted(v)
+            med = s[len(s) // 2] if s else 0
+            return {
+                "max": max(s, default=0),
+                "median": med,
+                "ratio": round(max(s, default=0) / max(med, 1), 2),
+            }
+
+        out["variants"][variant] = {
+            "sec": sec,
+            "shuffle_records": r1 - r0,
+            "shuffle_bytes": b1 - b0,
+            "state_rows": state_rows,
+            "straggler": straggler,
+            "input_rows_per_partition": _bal(rows_per_part),
+            "state_keys_per_partition": _bal(keys_per_part),
+        }
+        print(f"# streaming/{variant}: {out['variants'][variant]}",
+              file=sys.stderr)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = _session()
+    if "--streaming" in sys.argv:
+        print(json.dumps({"streaming": streaming_probe(spark)}))
+        return
     from big_data_assignment2_2025_spark.operators.dedup import shingles_df
     from big_data_assignment2_2025_spark.sources.readers import load_table
 
