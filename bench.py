@@ -88,6 +88,10 @@ HEADLINE = [
     "streaming_ohlc_bars",
     "embedding_ridge_label",
     "events_funnel_latency",
+    # round-7: the evictable streaming rolling-DAU twin and the hash-gated
+    # closed-form PCA entry
+    "streaming_rolling_dau",
+    "embedding_pca_project",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

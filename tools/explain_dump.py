@@ -348,6 +348,24 @@ COMMENTARY = {
         "microseconds — truncated-seconds vs rounded-epoch diverges "
         "between engines; micros are exact on both."
     ),
+    "embedding_pca_project": (
+        "Hash-gated closed-form PCA (round 7): the only shuffle is the "
+        "bounded Gram aggregate (3 moment entries for the 2-feature "
+        "variant); the projection itself is literal-embedded double "
+        "arithmetic inside WholeStageCodegen — eigenvectors computed once "
+        "on the driver from exact integer statistics, no broadcast, no "
+        "second shuffle. The same anatomy holds for the general-d LAPACK "
+        "path (pca_project): shuffle is O(batches x d^2), projection is "
+        "codegen'd, driver state is d^2 longs."
+    ),
+    "embedding_ridge_label": (
+        "Hash-gated closed-form ridge (round 7): one exact-integer "
+        "augmented-Gram pass (the only exchange), Cramer 3x3 solve on the "
+        "driver in a frozen operation order (bit-reproducible by the SQL "
+        "oracle), then a codegen'd literal dot-product scoring pass over "
+        "the corpus. Adding features moves work into the bounded Gram "
+        "aggregate, never into the scoring scan."
+    ),
 }
 
 
