@@ -71,18 +71,39 @@ def _drain_to_memory(
 ) -> DataFrame:
     """Run the streaming query to completion (availableNow) into a memory
     sink; return the sink contents as a static DataFrame."""
-    name = f"sink_{uuid.uuid4().hex[:12]}"
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    return _drain_many_to_memory([result], spark, output_mode)[0]
+
+
+def _drain_many_to_memory(
+    results: list[DataFrame], spark: SparkSession, output_mode: str = "complete"
+) -> list[DataFrame]:
+    """Start SEVERAL availableNow memory-sink queries, then await them all:
+    independent streaming aggregations over the same source overlap their
+    micro-batch scheduling and source scans instead of paying the harness
+    latency serially (the multi-aggregation pattern a real deployment runs
+    as concurrent jobs off one topic)."""
+    started = []
+    try:
+        for result in results:
+            name = f"sink_{uuid.uuid4().hex[:12]}"
+            ckpt = tempfile.mkdtemp(prefix="ckpt_")
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            started.append((name, ckpt, q))
+        for _, _, q in started:
+            q.awaitTermination()
+    finally:
+        import shutil
+
+        for _, ckpt, _ in started:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    return [spark.table(name) for name, _, _ in started]
 
 
 def run_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,8 +599,9 @@ def run_streaming_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     then reconciled batch-side (``reconcile_dau_updates``: max per day
     over the monotone update log, inner join for observedness)."""
     dau7_agg, dau1_agg = rolling_dau_streams(spark, read_events_stream(spark, sf_dir))
-    dau7_rows = _drain_to_memory(dau7_agg, spark, output_mode="update")
-    dau1_rows = _drain_to_memory(dau1_agg, spark, output_mode="update")
+    dau7_rows, dau1_rows = _drain_many_to_memory(
+        [dau7_agg, dau1_agg], spark, output_mode="update"
+    )
     return reconcile_dau_updates(dau1_rows, dau7_rows)
 
 

@@ -78,6 +78,11 @@ QUERIES_TO_PROFILE = [
     "index_term_freq",
     "events_rolling_dau",
     "embedding_gram_matrix",
+    # round 7: the evictable streaming DAU twin (totals capture its
+    # state-store exchanges; the in-plan walk sees only the final
+    # reconciliation join) and the hash-gated closed-form PCA
+    "streaming_rolling_dau",
+    "embedding_pca_project",
 ]
 
 
