@@ -160,6 +160,119 @@ def _hash52(col) -> F.Column:
     )
 
 
+#: Deterministic HyperLogLog defaults: p=9 -> 512 registers (rsd
+#: 1.04/sqrt(512) ~ 4.6%), value word = the remaining 43 hash bits, so
+#: rho ranges 1..44 and the scaled register sum
+#: S = sum_j 2^(44 - M_j) <= 512 * 2^44 = 2^53 stays integer-exact in a
+#: BIGINT on every engine.
+HLL_P = 9
+HLL_M = 1 << HLL_P
+HLL_W = 52 - HLL_P
+HLL_RHO_MAX = HLL_W + 1
+HLL_SCALE = 1 << HLL_RHO_MAX
+#: Standard HLL bias constant for m >= 128, computed with the exact
+#: literal expression the oracle SQL spells: one IEEE division chain.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / float(HLL_M))
+
+
+def hll_registers(df: DataFrame, group_cols: list, value_col: str) -> DataFrame:
+    """Deterministic HLL register rows per group: (group_cols..., bucket, r).
+
+    Spark's built-in ``approx_count_distinct`` is the same HyperLogLog++
+    family but its sketch is engine-opaque — the estimate cannot be
+    reproduced outside the JVM, so a query built on it can never be
+    value-verified cross-engine. This operator re-expresses the sketch
+    from public primitives only: ``bucket`` = low ``HLL_P`` bits of a
+    52-bit integer carved from ``md5(value)`` (the same hash convention
+    as ``weighted_priority_sample``), ``r`` = max over the group's values
+    of ``rho(w)`` = position of the leftmost 1-bit in the remaining
+    ``HLL_W``-bit word ``w`` (``rho = HLL_RHO_MAX - length(bin(w))``,
+    ``HLL_RHO_MAX`` when ``w = 0``). Every step is integer arithmetic on
+    a cross-engine-stable hash, so the registers — and everything derived
+    from them — are bit-identical on any engine, RNG-free, and
+    independent of partitioning or evaluation order.
+
+    Scale shape: ``max`` is a decomposable aggregate, so the groupBy is
+    map-side partial — each task emits at most groups x 512 register
+    rows regardless of input volume, and duplicates need no pre-distinct
+    (``max`` is idempotent over repeats). NULL values hash to NULL and
+    are dropped, matching COUNT(DISTINCT) semantics."""
+    bucket, rho = hll_bucket_rho(value_col)
+    proj = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols, bucket, rho
+    )
+    return proj.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("r"))
+
+
+def hll_bucket_rho(value_col: str) -> tuple:
+    """The stateless per-row sketch projection shared by the batch and
+    streaming register builders: (``bucket``, ``rho``) columns from the
+    52-bit md5 hash of ``value_col`` — low ``HLL_P`` bits index the
+    register, ``rho`` = leftmost-1-bit position of the remaining word
+    (``HLL_RHO_MAX`` for the all-zero word)."""
+    h = _hash52(F.col(value_col))
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    return (h % F.lit(HLL_M)).alias("bucket"), rho.alias("rho")
+
+
+def hll_merge(reg_df: DataFrame, group_cols: list) -> DataFrame:
+    """Merge register sets across a re-grouping (window fan-out, shard
+    union, incremental append): per-bucket ``max`` IS the HLL merge
+    operator — associative, commutative, idempotent — which is exactly
+    why the sketch decomposes across any partitioning where exact
+    distinct cannot."""
+    return reg_df.groupBy(*group_cols, "bucket").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(
+    reg_df: DataFrame, group_cols: list, out_col: str = "est_micro"
+) -> DataFrame:
+    """Raw HLL estimate per group from merged registers:
+    (group_cols..., v_empty, reg_sum, ``out_col``).
+
+    ``reg_sum`` = sum over ALL m buckets of 2^(HLL_RHO_MAX - M_j) with
+    absent buckets at M_j = 0 — an exact BIGINT (<= 2^53). The estimate
+    alpha * m^2 * 2^HLL_RHO_MAX / reg_sum (the 2^HLL_RHO_MAX rescale
+    cancels the scaling of reg_sum) is ONE frozen-order IEEE chain —
+    multiply, divide, round — with no transcendentals, so the
+    micro-rounded BIGINT output is bit-identical cross-engine (the
+    frozen-order convention of ``operators/moments.py``).
+
+    Deliberately RAW: the standard small-range linear-counting correction
+    (E <= 2.5m and v_empty > 0 -> m * ln(m / v_empty)) needs ``ln``,
+    whose last-ulp behavior differs across libm builds — so the operator
+    emits ``v_empty`` and leaves the correction to the caller as a
+    trivial post-step on already-final values (tests apply it
+    driver-side when bounding accuracy against the exact aggregate)."""
+    agg = reg_df.groupBy(*group_cols).agg(
+        F.count("*").alias("_nb"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - r)")
+        ).alias("_s"),
+    )
+    v_empty = (F.lit(HLL_M).cast("long") - F.col("_nb")).alias("v_empty")
+    reg_sum = (
+        F.col("_s") + (F.lit(HLL_M).cast("long") - F.col("_nb")) * F.lit(HLL_SCALE).cast("long")
+    ).alias("reg_sum")
+    est = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M))
+        * F.lit(float(HLL_M))
+        * F.lit(float(HLL_SCALE))
+        / F.col("reg_sum").cast("double")
+        * F.lit(1e6)
+    )
+    return agg.select(*group_cols, v_empty, reg_sum).select(
+        *group_cols,
+        "v_empty",
+        "reg_sum",
+        F.round(est).cast("long").alias(out_col),
+    )
+
+
 def weighted_priority_sample(
     df: DataFrame, key_col: str, weight_col: str, k: int
 ) -> DataFrame:

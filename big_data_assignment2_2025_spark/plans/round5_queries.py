@@ -32,7 +32,8 @@ Later round-5 additions in this module: ``heavy_hitter_terms`` /
 
 No counterpart in the reference (index+query only); LLM-pipeline
 extensions per SURVEY.md §7.6, each hash-gated against a DuckDB oracle
-(the HLL twin is rows-only by design).
+(since round 7 including the HLL twin, via the deterministic sketch of
+``operators/sketches.py``).
 """
 
 from __future__ import annotations
@@ -48,7 +49,13 @@ from ..operators.moments import (
     ridge2_fit_predict,
     ridge_fit_predict,
 )
-from ..operators.sketches import heavy_hitters, weighted_priority_sample
+from ..operators.sketches import (
+    heavy_hitters,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+    weighted_priority_sample,
+)
 from ..sources.readers import load_table
 
 
@@ -423,28 +430,81 @@ LEFT JOIN (SELECT DISTINCT n_nationkey AS __k FROM nation) p ON c.c_nationkey = 
 
 
 def events_rolling_dau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL-sketch twin of ``events_rolling_dau``: approx_count_distinct
-    (HyperLogLog++, rsd 2%) over the same bounded fan-out. This is the
-    decomposable path for EXTREME scale — sketches merge associatively,
-    so per-day partial sketches could be maintained incrementally and
-    merged across any partitioning, where exact distinct cannot. No DuckDB
-    oracle by design (HLL estimates are engine-specific);
-    tests/test_round5.py bounds it against the exact form instead."""
+    """HLL-sketch twin of ``events_rolling_dau``, built on the
+    DETERMINISTIC HyperLogLog of ``operators/sketches.py`` (md5-carved
+    52-bit hash, 512 registers) instead of Spark's engine-opaque
+    ``approx_count_distinct`` — same HLL++ family, but the registers are
+    reproducible from the data alone, so the query is value-verifiable
+    cross-engine (hash-gated oracle) where the built-in never could be.
+
+    This is the decomposable path for EXTREME scale, and the plan shows
+    it: facts reduce to per-day registers FIRST (map-side-partial max,
+    <= days x 512 rows out of the scan — independent of user count),
+    the bounded 7-day fan-out then replicates REGISTERS, not users, and
+    the window merge is another partial max. Total shuffle is
+    O(days x 512) rows whatever the event volume — compare the exact
+    twin's 7 x daily-active rows. Emits the raw estimator plus the
+    (v_empty, reg_sum) sketch state; the ln-based small-range correction
+    is a driver-side post-step (see ``hll_estimate``). Days observed only
+    through NULL user_ids carry an empty window sketch and are emitted by
+    neither engine (the raw estimator is degenerate on an empty sketch)."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
-    contrib = daily.select(
+    base = ev.select(F.to_date("ts").alias("day"), "user_id")
+    day_reg = hll_registers(base, ["day"], "user_id")
+    fan = day_reg.select(
         F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
             "win_day"
         ),
-        "user_id",
+        "bucket",
+        "r",
     )
-    observed = daily.select(F.col("day").alias("win_day")).distinct()
-    return (
-        contrib.join(observed, "win_day")
-        .groupBy("win_day")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("dau7_approx"))
-        .select(F.col("win_day").alias("day"), "dau7_approx")
+    observed = ev.select(F.to_date("ts").alias("win_day")).distinct()
+    win_reg = hll_merge(fan.join(observed, "win_day"), ["win_day"])
+    return hll_estimate(win_reg, ["win_day"], out_col="dau7_hll_micro").select(
+        F.col("win_day").alias("day"), "v_empty", "reg_sum", "dau7_hll_micro"
     )
+
+
+# Literal SQL mirror of hll_registers/hll_merge/hll_estimate: same 52-bit
+# md5 hash, same integer register algebra, same frozen-order IEEE estimate
+# chain (((alpha * m) * m) * 2^44 / S) * 1e6 — bit-identical by
+# construction (operators/sketches.py docstrings).
+HLL_ROLLING_DAU_SQL = """
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+br AS (
+  SELECT day, hv % 512 AS bucket,
+         CASE WHEN (hv >> 9) = 0 THEN 44
+              ELSE 44 - length(bin(hv >> 9)) END AS rho
+  FROM h
+),
+day_reg AS (SELECT day, bucket, MAX(rho) AS r FROM br GROUP BY day, bucket),
+fan AS (
+  SELECT day + CAST(t.k AS INTEGER) AS win_day, bucket, r
+  FROM day_reg, range(7) t(k)
+),
+obs AS (SELECT DISTINCT CAST(ts AS DATE) AS win_day FROM events),
+win_reg AS (
+  SELECT f.win_day, f.bucket, MAX(f.r) AS r
+  FROM fan f JOIN obs USING (win_day)
+  GROUP BY f.win_day, f.bucket
+),
+agg AS (
+  SELECT win_day,
+         CAST(512 - COUNT(*) AS BIGINT) AS v_empty,
+         CAST(CAST(SUM(CAST(1 AS BIGINT) << (44 - r)) AS BIGINT)
+              + (512 - COUNT(*)) * 17592186044416 AS BIGINT) AS reg_sum
+  FROM win_reg GROUP BY win_day
+)
+SELECT win_day AS day, v_empty, reg_sum,
+       CAST(round((0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+                  * 17592186044416.0 / CAST(reg_sum AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS dau7_hll_micro
+FROM agg
+"""
 
 
 
@@ -745,6 +805,7 @@ ORACLES = {
     "embedding_ridge_label": RIDGE2_SQL,
     "events_type_stats_arrow": ARROW_STATS_SQL,
     "events_rolling_dau": ROLLING_DAU_SQL,
+    "events_rolling_dau_approx": HLL_ROLLING_DAU_SQL,
     "fk_integrity_audit": FK_AUDIT_SQL,
     "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
     "heavy_hitter_terms": HEAVY_HITTERS_SQL,

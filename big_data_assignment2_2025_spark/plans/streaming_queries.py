@@ -23,6 +23,7 @@ from ..streaming import (
     run_streaming_hourly,
     run_streaming_ohlc,
     run_streaming_rolling_dau,
+    run_streaming_rolling_dau_hll,
     run_streaming_sessions,
     run_streaming_sliding_window,
     run_streaming_stateful_counter,
@@ -30,7 +31,7 @@ from ..streaming import (
     run_streaming_stream_join,
 )
 from .events_queries import EVENTS_HOURLY_SQL, EVENTS_SLIDING_SQL
-from .round5_queries import OHLC_SQL, ROLLING_DAU_SQL
+from .round5_queries import HLL_ROLLING_DAU_SQL, OHLC_SQL, ROLLING_DAU_SQL
 
 
 def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,6 +49,12 @@ def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained stateful dedup -> exact sliding-distinct count (SURVEY §9.9)."""
     return run_streaming_rolling_dau(spark, sf_dir)
+
+
+def streaming_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-HLL rolling DAU: per-window state is 512 integer
+    registers, not a user set — the bounded-state long-running shape."""
+    return run_streaming_rolling_dau_hll(spark, sf_dir)
 
 
 def streaming_dedup_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,6 +208,7 @@ QUERIES = {
     "streaming_sliding_window": streaming_sliding_window,
     "streaming_ohlc_bars": streaming_ohlc_bars,
     "streaming_rolling_dau": streaming_rolling_dau,
+    "streaming_rolling_dau_hll": streaming_rolling_dau_hll,
 }
 
 ORACLES = {
@@ -222,4 +230,7 @@ ORACLES = {
     # chained dropDuplicates -> exact-distinct aggregation: final state
     # equals the batch rolling-DAU query (same oracle)
     "streaming_rolling_dau": ROLLING_DAU_SQL,
+    # the sketch is deterministic, so the streaming drain's final state is
+    # BIT-identical to the batch HLL query — one oracle serves both twins
+    "streaming_rolling_dau_hll": HLL_ROLLING_DAU_SQL,
 }

@@ -605,6 +605,78 @@ def run_streaming_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reconcile_dau_updates(dau1_rows, dau7_rows)
 
 
+def rolling_dau_hll_streams(
+    spark: SparkSession, ev: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The two streams behind ``run_streaming_rolling_dau_hll``:
+    ``(reg_agg, obs_agg)``, both unstarted.
+
+    - ``reg_agg``: the stateless ``hll_bucket_rho`` projection feeding ONE
+      stateful op — ``max(rho)`` per (sliding 7d/1d event-time window,
+      bucket) under a 7-day watermark. This is the BOUNDED-state
+      long-running shape the exact twin cannot offer: state is at most
+      open-windows x 512 integer registers — independent of user
+      cardinality — where the exact twin's state is the per-window user
+      SET. Closed windows evict as the watermark advances; ``max`` is
+      duplicate-idempotent, so at-least-once replay needs no dedup stage.
+    - ``obs_agg``: 1-day tumbling ``count(*)`` — observedness from row
+      EXISTENCE (NULL-user days still emit), same convention as the exact
+      twin and the batch oracle."""
+    from ..operators.sketches import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho("user_id")
+    hashed = ev.where(F.col("user_id").isNotNull()).select("ts", bucket, rho)
+    reg_agg = (
+        hashed.withWatermark("ts", "7 days")
+        .groupBy(F.window("ts", "7 days", "1 day").alias("w"), "bucket")
+        .agg(F.max("rho").alias("r"))
+        .select(F.date_sub(F.to_date("w.end"), 1).alias("day"), "bucket", "r")
+    )
+    obs_agg = (
+        ev.withWatermark("ts", "7 days")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.to_date("w.start").alias("day"), "n_rows")
+    )
+    return reg_agg, obs_agg
+
+
+def reconcile_dau_hll_updates(
+    reg_rows: DataFrame, obs_rows: DataFrame
+) -> DataFrame:
+    """Batch-side reconciliation of the update-mode HLL emission logs into
+    the final (day, v_empty, reg_sum, dau7_hll_micro) table — the same
+    shape and BIT-IDENTICAL values as the batch
+    ``events_rolling_dau_approx`` (HLL_ROLLING_DAU_SQL oracle), because
+    the sketch is deterministic: a register only ever grows across a
+    window's emissions (monotone max), so max-per-(day,bucket) over the
+    log is the final register set, and the estimate is the same
+    frozen-order IEEE chain."""
+    from ..operators.sketches import hll_estimate, hll_merge
+
+    obs = obs_rows.select("day").distinct()
+    win_reg = hll_merge(reg_rows.join(obs, "day"), ["day"])
+    return hll_estimate(win_reg, ["day"], out_col="dau7_hll_micro").select(
+        "day", "v_empty", "reg_sum", "dau7_hll_micro"
+    )
+
+
+def run_streaming_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rolling 7-day DAU by deterministic HyperLogLog — the
+    streaming twin of ``plans.round5_queries.events_rolling_dau_approx``
+    (same HLL_ROLLING_DAU_SQL oracle) and the long-running deployment
+    shape for rolling distinct at extreme scale: per-window state is 512
+    integers, not a user set (see ``rolling_dau_hll_streams``). Both
+    streams drain in update mode and reconcile batch-side."""
+    reg_agg, obs_agg = rolling_dau_hll_streams(
+        spark, read_events_stream(spark, sf_dir)
+    )
+    reg_rows, obs_rows = _drain_many_to_memory(
+        [reg_agg, obs_agg], spark, output_mode="update"
+    )
+    return reconcile_dau_hll_updates(reg_rows, obs_rows)
+
+
 def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time session windows (30-min gap) per user via Spark's native
     ``session_window`` — the streaming counterpart of the batch lag/cumsum

@@ -135,6 +135,18 @@ def test_fk_audit_is_clean_on_consistent_fixture(spark):
     assert all(orph == 0 for _, orph in rows.values())
 
 
+def _hll_corrected(row, m=512):
+    """Standard small-range correction, applied driver-side on the final
+    (v_empty, raw-estimate) values — the one ``ln`` the engine-side query
+    deliberately avoids (operators/sketches.py hll_estimate docstring)."""
+    import math
+
+    raw = row["dau7_hll_micro"] / 1e6
+    if raw <= 2.5 * m and row["v_empty"] > 0:
+        return m * math.log(m / row["v_empty"])
+    return raw
+
+
 def test_rolling_dau_approx_tracks_exact_within_rsd(spark):
     from big_data_assignment2_2025_spark.plans.round5_queries import (
         events_rolling_dau,
@@ -143,12 +155,63 @@ def test_rolling_dau_approx_tracks_exact_within_rsd(spark):
 
     exact = {r["day"]: r["dau7"] for r in
              events_rolling_dau(spark, SF_SMALL).collect()}
-    approx = {r["day"]: r["dau7_approx"] for r in
-              events_rolling_dau_approx(spark, SF_SMALL).collect()}
-    assert set(exact) == set(approx)
+    approx_rows = {r["day"]: r for r in
+                   events_rolling_dau_approx(spark, SF_SMALL).collect()}
+    assert set(exact) == set(approx_rows)
     for day, e in exact.items():
-        # 2% rsd -> 5 sigma guard band (HLL error is well-behaved)
-        assert abs(approx[day] - e) <= max(5, 0.10 * e), (day, approx[day], e)
+        # m=512 -> rsd ~4.6%; linear counting dominates at fixture scale
+        # and is tighter, but keep a 3-sigma-ish guard band
+        a = _hll_corrected(approx_rows[day])
+        assert abs(a - e) <= max(5, 0.15 * e), (day, a, e)
+
+
+def test_hll_registers_match_python_simulation(spark):
+    """The sketch is DETERMINISTIC: an independent pure-Python replay of
+    the hash/bucket/rho algebra over the exact per-day user sets must
+    reproduce reg_sum and v_empty bit for bit — this is what makes the
+    cross-engine oracle possible at all."""
+    import hashlib
+
+    from big_data_assignment2_2025_spark.plans.round5_queries import (
+        events_rolling_dau_approx,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    pairs = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+        .collect()
+    )
+    by_day: dict = {}
+    for r in pairs:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    days = sorted(by_day)
+
+    def registers(users):
+        regs = [0] * 512
+        for u in users:
+            h = int(hashlib.md5(str(u).encode()).hexdigest()[:13], 16)
+            bucket, w = h % 512, h >> 9
+            rho = 44 if w == 0 else 44 - w.bit_length()
+            regs[bucket] = max(regs[bucket], rho)
+        return regs
+
+    expected = {}
+    for d in days:
+        window_users = set()
+        for past in days:
+            if 0 <= (d - past).days <= 6:
+                window_users |= by_day[past]
+        regs = registers(window_users)
+        expected[d] = (
+            sum(1 for g in regs if g == 0),
+            sum(1 << (44 - g) for g in regs),
+        )
+
+    got = {r["day"]: (r["v_empty"], r["reg_sum"])
+           for r in events_rolling_dau_approx(spark, SF_SMALL).collect()}
+    assert got == expected
 
 
 def test_arrow_grouped_map_is_arrow_not_pandas(spark):

@@ -83,6 +83,10 @@ QUERIES_TO_PROFILE = [
     # reconciliation join) and the hash-gated closed-form PCA
     "streaming_rolling_dau",
     "embedding_pca_project",
+    # round 7b: the deterministic-HLL DAU twin — its profile row IS the
+    # scale claim (register shuffle O(days x 512), independent of user
+    # volume; compare events_rolling_dau's 7 x daily-active fan-out)
+    "events_rolling_dau_approx",
 ]
 
 
