@@ -92,6 +92,11 @@ HEADLINE = [
     # closed-form PCA entry
     "streaming_rolling_dau",
     "embedding_pca_project",
+    # round-7b: deterministic sketches — HLL rolling-DAU (batch register
+    # fan-out + bounded-state streaming twin) and histogram quantiles
+    "events_rolling_dau_approx",
+    "streaming_rolling_dau_hll",
+    "events_value_quantiles_hist",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

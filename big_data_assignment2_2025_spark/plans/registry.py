@@ -25,6 +25,7 @@ from . import (
     round3b_queries,
     round4_queries,
     round5_queries,
+    round7_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -55,6 +56,7 @@ _MODULES = [
     round3b_queries,
     round4_queries,
     round5_queries,
+    round7_queries,
     storage_queries,
 ]
 

@@ -1,0 +1,97 @@
+"""Round-7 sketch surfaces. The oracle gate pins value parity; these
+tests pin what the oracle can't see: the quantile estimate's one-bin
+error bound against the EXACT percentile, saturation semantics at the
+domain edges, and plan shape (partial-aggregating counts, partitioned
+window)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_assignment2_2025_spark.operators.sketches import (
+    hist_quantile_sketch,
+)
+from big_data_assignment2_2025_spark.plans.round7_queries import (
+    VALUE_BINS,
+    VALUE_HI_MICRO,
+    VALUE_LO_MICRO,
+    events_value_quantiles_hist,
+)
+from big_data_assignment2_2025_spark.sources.readers import load_table
+from tests.conftest import SF_SMALL
+
+BIN_WIDTH_MICRO = (VALUE_HI_MICRO - VALUE_LO_MICRO) // VALUE_BINS
+
+
+def test_hist_quantile_bin_contains_selecting_order_statistic(spark):
+    """The sketch's contract is EXACT, not fuzzy: quantile p reports the
+    bin holding the ceil(n*p/100)-th order statistic (clamped into the
+    domain). Verified against a driver-side sort of the true values —
+    the one-bin error bound versus any interpolated percentile follows."""
+    got = {
+        (r["event_type"], r["p_pct"]): (r["n"], r["q_lo_micro"])
+        for r in events_value_quantiles_hist(spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events").where(F.col("value").isNotNull())
+    by_type: dict = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r["event_type"], []).append(
+            int(round(r["value"] * 1e6))
+        )
+    assert got, "sketch produced no rows"
+    for vals in by_type.values():
+        vals.sort()
+    for (et, p), (n, q_lo) in got.items():
+        vals = by_type[et]
+        assert n == len(vals)
+        k = -(-n * p // 100)  # ceil(n*p/100), matches (n*p+99) div 100
+        stat = min(max(vals[k - 1], 0), 512_000_000 - 1)
+        assert q_lo <= stat < q_lo + BIN_WIDTH_MICRO, (et, p, q_lo, stat)
+
+
+def test_hist_quantile_saturates_out_of_range(spark):
+    """Values outside [lo, hi) land in the end bins instead of vanishing
+    or erroring — fixed-range histogram semantics."""
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", 1e9), ("g", 1.0)], "grp string, v double"
+    )
+    rows = hist_quantile_sketch(
+        df, ["grp"], "v", 0, 512_000_000, 256, [50, 99]
+    ).collect()
+    by_p = {r["p_pct"]: r for r in rows}
+    assert by_p[50]["n"] == 3
+    # p50 -> 2nd value in sorted order (1.0) -> bin 0; p99 -> the
+    # saturated 1e9 -> last bin
+    assert by_p[50]["qbin"] == 0
+    assert by_p[99]["qbin"] == 255
+    assert by_p[99]["q_lo_micro"] == 255 * BIN_WIDTH_MICRO
+
+
+def test_hist_counts_merge_across_splits(spark):
+    """The sketch state is bin counts — additive, so the quantile over
+    the full table equals the quantile computed from any partitioned
+    union (here: the query is invariant to an 8-way repartition+shuffle,
+    which is what 'mergeable' means operationally in Spark)."""
+    ev = load_table(spark, SF_SMALL, "events")
+    full = {
+        (r["event_type"], r["p_pct"]): (r["n"], r["qbin"])
+        for r in hist_quantile_sketch(
+            ev, ["event_type"], "value", 0, 512_000_000, 256, [50, 90, 99]
+        ).collect()
+    }
+    reparted = {
+        (r["event_type"], r["p_pct"]): (r["n"], r["qbin"])
+        for r in hist_quantile_sketch(
+            ev.repartition(8, "value"),
+            ["event_type"], "value", 0, 512_000_000, 256, [50, 90, 99],
+        ).collect()
+    }
+    assert full == reparted
+
+
+def test_hist_rejects_non_integral_bin_width(spark):
+    import pytest
+
+    ev = load_table(spark, SF_SMALL, "events")
+    with pytest.raises(ValueError, match="divisible"):
+        hist_quantile_sketch(ev, ["event_type"], "value", 0, 1000, 3, [50])
