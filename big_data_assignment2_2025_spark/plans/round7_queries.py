@@ -3,7 +3,7 @@
 The round-7 theme is sketches whose STATE is engine-reproducible — the
 HLL rolling-DAU twins live with their families
 (``plans/round5_queries.py``, ``plans/streaming_queries.py``); this
-module holds the histogram quantile sketch:
+module holds the histogram quantile sketch and the HLL set algebra:
 
 - **histogram quantiles** (``events_value_quantiles_hist``): per-type
   p50/p90/p99 of ``events.value`` via the mergeable fixed-range
@@ -13,6 +13,10 @@ module holds the histogram quantile sketch:
   cumulative-count inversion, error bounded by one bin width. The
   monitoring shape a 100 TB pipeline runs hourly, where the exact
   rank-based path (``operators/ranking.py``) would re-rank the world.
+- **HLL set algebra** (``events_audience_overlap_hll``): distinct-user
+  union by per-bucket register max, intersection by inclusion-exclusion
+  on the micro-rounded estimates — audience overlap without ever
+  shuffling a user set.
 
 No counterpart in the reference (index+query only); LLM-pipeline
 extension per SURVEY.md §7.6, hash-gated against a literal DuckDB
@@ -22,8 +26,14 @@ mirror (integer-only algebra — no floats anywhere in the plan).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..operators.sketches import hist_quantile_sketch
+from ..operators.sketches import (
+    hist_quantile_sketch,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
 from ..sources.readers import load_table
 
 #: events.value sits in (0, ~500]; the sketch domain is the fixed range
@@ -89,10 +99,124 @@ FROM cand GROUP BY event_type, p_pct, n
 """
 
 
+def events_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra WITHOUT moving user sets: how many distinct
+    users viewed, purchased, did either, did both — from per-segment HLL
+    registers only.
+
+    This is the operation that justifies sketches at 100 TB: the exact
+    answer needs a distinct-user shuffle per segment PLUS an intersection
+    join; the sketch answer merges two 512-register arrays (per-bucket
+    max = union is the one set operation HLL supports natively) and gets
+    the intersection by inclusion-exclusion on the three estimates —
+    |A∩B| = |A| + |B| - |A∪B| — as BIGINT subtraction of already-rounded
+    micro estimates, so the whole query stays hash-gated. Standard
+    caveat, inherited from HLL itself: the intersection's ERROR scales
+    with the union size, so it is a monitoring number for
+    comparably-sized audiences, not a precision instrument for tiny
+    overlaps (tests bound it against the exact intersection). Per-segment
+    ``v_empty`` is emitted alongside the raw estimates so callers can
+    apply the ln-based small-range correction driver-side (the
+    ``hll_estimate`` contract) — at fixture scale the correction is the
+    difference between 374 and the true 15, so tests correct first.
+
+    One register build (groupBy event_type — map-side partial, 2 x 512
+    rows), one merge, three estimates, one row out."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(
+        ev.where(F.col("event_type").isin("view", "purchase")),
+        ["event_type"],
+        "user_id",
+    )
+    tagged = regs.select(
+        F.col("event_type").alias("s"), "bucket", "r"
+    ).unionAll(
+        hll_merge(regs, []).select(F.lit("union").alias("s"), "bucket", "r")
+    )
+    est = hll_estimate(tagged, ["s"], out_col="est_micro")
+
+    def _pick(seg: str, col: str):
+        return F.max(F.when(F.col("s") == seg, F.col(col)))
+
+    wide = est.groupBy().agg(
+        _pick("view", "est_micro").alias("view_users_micro"),
+        _pick("purchase", "est_micro").alias("purchase_users_micro"),
+        _pick("union", "est_micro").alias("either_users_micro"),
+        _pick("view", "v_empty").alias("view_v_empty"),
+        _pick("purchase", "v_empty").alias("purchase_v_empty"),
+        _pick("union", "v_empty").alias("either_v_empty"),
+    )
+    return wide.select(
+        "view_users_micro",
+        "purchase_users_micro",
+        "either_users_micro",
+        (
+            F.col("view_users_micro")
+            + F.col("purchase_users_micro")
+            - F.col("either_users_micro")
+        ).alias("both_users_micro"),
+        "view_v_empty",
+        "purchase_v_empty",
+        "either_v_empty",
+    )
+
+
+# Literal mirror: per-type registers, union by per-bucket max over both
+# sets, the frozen-order estimate chain per segment, inclusion-exclusion
+# as BIGINT subtraction of the micro-rounded estimates.
+AUDIENCE_OVERLAP_SQL = """
+WITH br AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT % 512
+           AS bucket,
+         CASE WHEN ((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT) >> 9) = 0 THEN 44
+              ELSE 44 - length(bin((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT) >> 9)) END
+           AS rho
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')
+),
+regs AS (
+  SELECT event_type AS s, bucket, MAX(rho) AS r
+  FROM br GROUP BY event_type, bucket
+),
+tagged AS (
+  SELECT s, bucket, r FROM regs
+  UNION ALL
+  SELECT 'union' AS s, bucket, MAX(r) AS r FROM regs GROUP BY bucket
+),
+agg AS (
+  SELECT s,
+         CAST(512 - COUNT(*) AS BIGINT) AS v_empty,
+         CAST(CAST(SUM(CAST(1 AS BIGINT) << (44 - r)) AS BIGINT)
+              + (512 - COUNT(*)) * 17592186044416 AS BIGINT) AS reg_sum
+  FROM tagged GROUP BY s
+),
+est AS (
+  SELECT s, v_empty,
+         CAST(round((0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+                    * 17592186044416.0 / CAST(reg_sum AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS est_micro
+  FROM agg
+)
+SELECT MAX(CASE WHEN s = 'view' THEN est_micro END) AS view_users_micro,
+       MAX(CASE WHEN s = 'purchase' THEN est_micro END) AS purchase_users_micro,
+       MAX(CASE WHEN s = 'union' THEN est_micro END) AS either_users_micro,
+       MAX(CASE WHEN s = 'view' THEN est_micro END)
+         + MAX(CASE WHEN s = 'purchase' THEN est_micro END)
+         - MAX(CASE WHEN s = 'union' THEN est_micro END) AS both_users_micro,
+       MAX(CASE WHEN s = 'view' THEN v_empty END) AS view_v_empty,
+       MAX(CASE WHEN s = 'purchase' THEN v_empty END) AS purchase_v_empty,
+       MAX(CASE WHEN s = 'union' THEN v_empty END) AS either_v_empty
+FROM est
+"""
+
+
 QUERIES = {
     "events_value_quantiles_hist": events_value_quantiles_hist,
+    "events_audience_overlap_hll": events_audience_overlap_hll,
 }
 
 ORACLES = {
     "events_value_quantiles_hist": HIST_QUANTILES_SQL,
+    "events_audience_overlap_hll": AUDIENCE_OVERLAP_SQL,
 }

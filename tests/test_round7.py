@@ -89,6 +89,47 @@ def test_hist_counts_merge_across_splits(spark):
     assert full == reparted
 
 
+def test_audience_overlap_tracks_exact_sets(spark):
+    """Inclusion-exclusion over the deterministic HLL must track the
+    exact audience sets within sketch tolerance — each estimate's rsd is
+    ~4.6% (p=9), and the intersection inherits error proportional to the
+    UNION size (the documented caveat), so the band is on the union."""
+    from big_data_assignment2_2025_spark.plans.round7_queries import (
+        events_audience_overlap_hll,
+    )
+
+    import math
+
+    row = events_audience_overlap_hll(spark, SF_SMALL).collect()[0]
+    ev = load_table(spark, SF_SMALL, "events").where(F.col("user_id").isNotNull())
+    view = {r["user_id"] for r in
+            ev.where(F.col("event_type") == "view")
+            .select("user_id").distinct().collect()}
+    purchase = {r["user_id"] for r in
+                ev.where(F.col("event_type") == "purchase")
+                .select("user_id").distinct().collect()}
+    union_n = len(view | purchase)
+
+    def corrected(est_col, v_col, m=512):
+        raw = row[est_col] / 1e6
+        v = row[v_col]
+        if raw <= 2.5 * m and v > 0:
+            return m * math.log(m / v)
+        return raw
+
+    c_view = corrected("view_users_micro", "view_v_empty")
+    c_purchase = corrected("purchase_users_micro", "purchase_v_empty")
+    c_union = corrected("either_users_micro", "either_v_empty")
+    band = max(10, 0.2 * union_n)
+    for est, exact in (
+        (c_view, len(view)),
+        (c_purchase, len(purchase)),
+        (c_union, union_n),
+        (c_view + c_purchase - c_union, len(view & purchase)),
+    ):
+        assert abs(est - exact) <= band, (est, exact, band)
+
+
 def test_hist_rejects_non_integral_bin_width(spark):
     import pytest
 
