@@ -97,6 +97,7 @@ HEADLINE = [
     "events_rolling_dau_approx",
     "streaming_rolling_dau_hll",
     "events_value_quantiles_hist",
+    "streaming_value_quantiles",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

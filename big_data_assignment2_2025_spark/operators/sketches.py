@@ -314,37 +314,71 @@ def hist_quantile_sketch(
             f"not divisible by {n_bins} bins"
         )
     width = (hi_micro - lo_micro) // n_bins
-    from pyspark.sql import Window
-
     proj = df.where(F.col(value_col).isNotNull()).select(
         *group_cols,
-        F.expr(
-            f"CAST((least(greatest(CAST(round({value_col} * 1e6) AS BIGINT), "
-            f"{lo_micro}), {hi_micro - 1}) - {lo_micro}) div {width} AS BIGINT)"
-        ).alias("bin"),
+        hist_bin_expr(value_col, lo_micro, hi_micro, width).alias("bin"),
     )
     counts = proj.groupBy(*group_cols, "bin").agg(F.count("*").alias("cnt"))
+    return hist_quantiles_from_counts(
+        counts, group_cols, lo_micro, width, percents
+    )
+
+
+def hist_bin_expr(
+    value_col: str, lo_micro: int, hi_micro: int, width: int
+) -> F.Column:
+    """The stateless binning projection: micro-round, clamp into
+    [lo_micro, hi_micro) (saturating end bins), integer-divide by the
+    bin width. Shared by the batch sketch and the streaming twin."""
+    return F.expr(
+        f"CAST((least(greatest(CAST(round({value_col} * 1e6) AS BIGINT), "
+        f"{lo_micro}), {hi_micro - 1}) - {lo_micro}) div {width} AS BIGINT)"
+    )
+
+
+def hist_quantiles_from_counts(
+    counts: DataFrame,
+    group_cols: list,
+    lo_micro: int,
+    width: int,
+    percents: list,
+) -> DataFrame:
+    """Quantile recovery from (group_cols..., bin, cnt) sketch state —
+    the merge-side half of the histogram sketch, reused wherever the
+    counts come from (one batch pass, a streaming update log reconciled
+    by max, or summed partials from many shards). Integer cumulative
+    counts over the <= n_bins rows per group, quantile p = first bin
+    reaching the integer ceil (n*p+99) div 100."""
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = counts.withColumn("cum", F.sum("cnt").over(w))
-    totals = counts.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    w_full = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # n comes from a full-frame max over the SAME <=n_bins-row window
+    # partition instead of a totals self-join — one shuffle serves both,
+    # and no join means no lineage conflict when the counts arrive from a
+    # streaming sink view (which cannot auto-dedup attribute ids)
+    cum = counts.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.max(F.col("cum")).over(w_full)
+    )
     # the percent list fans out via a Generate (explode of a literal
     # array), not a cross join — nothing for the plan lint to frown at
-    cand = (
-        cum.select(
-            *group_cols,
-            "bin",
-            "cum",
-            F.explode(
-                F.array(*[F.lit(int(p)).cast("long") for p in percents])
-            ).alias("p_pct"),
-        )
-        .join(totals, list(group_cols))
-        .where(F.col("cum") >= F.expr("(n * p_pct + 99) div 100"))
-    )
+    cand = cum.select(
+        *group_cols,
+        "bin",
+        "cum",
+        "n",
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("long") for p in percents])
+        ).alias("p_pct"),
+    ).where(F.col("cum") >= F.expr("(n * p_pct + 99) div 100"))
     return (
         cand.groupBy(*group_cols, "p_pct", "n")
         .agg(F.min("bin").alias("qbin"))

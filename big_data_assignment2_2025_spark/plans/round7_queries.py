@@ -211,6 +211,42 @@ FROM est
 """
 
 
+# Per-day variant of the histogram-quantile mirror — the oracle for the
+# STREAMING twin (streaming/stream.py run_streaming_value_quantiles): the
+# update-log reconciliation (max per (day, bin)) recovers exactly these
+# batch counts, so one SQL serves the incremental deployment.
+DAILY_HIST_QUANTILES_SQL = """
+WITH b AS (
+  SELECT CAST(ts AS DATE) AS day,
+         (least(greatest(CAST(round(value * 1e6) AS BIGINT), 0), 511999999)
+          - 0) // 2000000 AS bin
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT day, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM b GROUP BY day, bin
+),
+cum AS (
+  SELECT day, bin, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY day ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM counts
+),
+tot AS (SELECT day, CAST(SUM(cnt) AS BIGINT) AS n FROM counts GROUP BY day),
+cand AS (
+  SELECT c.day, CAST(p.p_pct AS BIGINT) AS p_pct, t.n, c.bin
+  FROM cum c
+  JOIN tot t USING (day)
+  CROSS JOIN (VALUES (50), (90), (99)) p(p_pct)
+  WHERE c.cum >= (t.n * p.p_pct + 99) // 100
+)
+SELECT day, p_pct, n, MIN(bin) AS qbin,
+       CAST(MIN(bin) * 2000000 + 0 AS BIGINT) AS q_lo_micro
+FROM cand GROUP BY day, p_pct, n
+"""
+
+
 QUERIES = {
     "events_value_quantiles_hist": events_value_quantiles_hist,
     "events_audience_overlap_hll": events_audience_overlap_hll,

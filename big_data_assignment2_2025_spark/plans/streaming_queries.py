@@ -25,6 +25,7 @@ from ..streaming import (
     run_streaming_rolling_dau,
     run_streaming_rolling_dau_hll,
     run_streaming_sessions,
+    run_streaming_value_quantiles,
     run_streaming_sliding_window,
     run_streaming_stateful_counter,
     run_streaming_static_join,
@@ -32,6 +33,7 @@ from ..streaming import (
 )
 from .events_queries import EVENTS_HOURLY_SQL, EVENTS_SLIDING_SQL
 from .round5_queries import HLL_ROLLING_DAU_SQL, OHLC_SQL, ROLLING_DAU_SQL
+from .round7_queries import DAILY_HIST_QUANTILES_SQL
 
 
 def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,6 +57,12 @@ def streaming_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic-HLL rolling DAU: per-window state is 512 integer
     registers, not a user set — the bounded-state long-running shape."""
     return run_streaming_rolling_dau_hll(spark, sf_dir)
+
+
+def streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day histogram-sketch quantiles maintained incrementally:
+    <=256 counters of state per open window, whatever the volume."""
+    return run_streaming_value_quantiles(spark, sf_dir)
 
 
 def streaming_dedup_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,6 +217,7 @@ QUERIES = {
     "streaming_ohlc_bars": streaming_ohlc_bars,
     "streaming_rolling_dau": streaming_rolling_dau,
     "streaming_rolling_dau_hll": streaming_rolling_dau_hll,
+    "streaming_value_quantiles": streaming_value_quantiles,
 }
 
 ORACLES = {
@@ -233,4 +242,7 @@ ORACLES = {
     # the sketch is deterministic, so the streaming drain's final state is
     # BIT-identical to the batch HLL query — one oracle serves both twins
     "streaming_rolling_dau_hll": HLL_ROLLING_DAU_SQL,
+    # the histogram counts are deterministic integers, so the streaming
+    # drain's reconciled state equals the per-day batch sketch exactly
+    "streaming_value_quantiles": DAILY_HIST_QUANTILES_SQL,
 }

@@ -677,6 +677,49 @@ def run_streaming_rolling_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame
     return reconcile_dau_hll_updates(reg_rows, obs_rows)
 
 
+def run_streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the histogram quantile sketch: per-day
+    p50/p90/p99 of ``value`` maintained incrementally
+    (plans.round7_queries.DAILY_HIST_QUANTILES_SQL oracle).
+
+    The stateless ``hist_bin_expr`` projection feeds ONE stateful op —
+    ``count(*)`` per (1-day tumbling window, bin) — whose state is at
+    most 256 counters per open window, evicted under the watermark:
+    bounded whatever the event volume, which is the point of the sketch.
+    A (window, bin) counter is MONOTONE non-decreasing across update-mode
+    emissions, so the reconciliation is max per (day, bin) — the same
+    update-log convention as the DAU twins — and the quantile inversion
+    (``hist_quantiles_from_counts``) runs batch-side on the final counts,
+    exactly as it would on summed shard partials."""
+    from ..operators.sketches import hist_bin_expr, hist_quantiles_from_counts
+    from ..plans.round7_queries import (
+        VALUE_BINS,
+        VALUE_HI_MICRO,
+        VALUE_LO_MICRO,
+        VALUE_PERCENTS,
+    )
+
+    width = (VALUE_HI_MICRO - VALUE_LO_MICRO) // VALUE_BINS
+    ev = read_events_stream(spark, sf_dir)
+    proj = ev.where(F.col("value").isNotNull()).select(
+        "ts",
+        hist_bin_expr("value", VALUE_LO_MICRO, VALUE_HI_MICRO, width).alias(
+            "bin"
+        ),
+    )
+    agg = (
+        proj.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), "bin")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.to_date("w.start").alias("day"), "bin", "cnt")
+    )
+    rows = _drain_to_memory(agg, spark, output_mode="update")
+    final = rows.groupBy("day", "bin").agg(F.max("cnt").alias("cnt"))
+    return hist_quantiles_from_counts(
+        final, ["day"], VALUE_LO_MICRO, width, VALUE_PERCENTS
+    )
+
+
 def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time session windows (30-min gap) per user via Spark's native
     ``session_window`` — the streaming counterpart of the batch lag/cumsum

@@ -130,6 +130,31 @@ def test_audience_overlap_tracks_exact_sets(spark):
         assert abs(est - exact) <= band, (est, exact, band)
 
 
+def test_streaming_quantiles_bit_identical_to_batch_sketch(spark):
+    """The histogram counts are deterministic integers, so the streaming
+    drain (update-mode log reconciled by max) must equal the per-day
+    batch sketch exactly — the same lambda-reconciliation-collapses-to-
+    equality property as the HLL twins."""
+    from big_data_assignment2_2025_spark.streaming.stream import (
+        run_streaming_value_quantiles,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    batch = {
+        (str(r["day"]), r["p_pct"]): (r["n"], r["qbin"], r["q_lo_micro"])
+        for r in hist_quantile_sketch(
+            ev, ["day"], "value", 0, 512_000_000, 256, [50, 90, 99]
+        ).collect()
+    }
+    stream = {
+        (str(r["day"]), r["p_pct"]): (r["n"], r["qbin"], r["q_lo_micro"])
+        for r in run_streaming_value_quantiles(spark, SF_SMALL).collect()
+    }
+    assert batch == stream
+
+
 def test_hist_rejects_non_integral_bin_width(spark):
     import pytest
 
