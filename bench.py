@@ -98,6 +98,7 @@ HEADLINE = [
     "streaming_rolling_dau_hll",
     "events_value_quantiles_hist",
     "streaming_value_quantiles",
+    "orders_bloom_prune",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

@@ -47,6 +47,17 @@ catches up once shuffles spill/cross machines), so
 and comfortably buys back the second scan even on a scan-bound
 cluster.
 
+Round 7 adds three DETERMINISTIC sketch families (SCALING §13) — each
+rebuilt from public integer primitives (md5 bit-slices, bit algebra,
+frozen-order IEEE tails) so the sketch state is engine-reproducible and
+the queries on top hash-gate where Spark's opaque built-ins never could:
+``hll_registers``/``hll_merge``/``hll_estimate`` (HyperLogLog: 512
+integer registers, merge = per-bucket max), ``hist_quantile_sketch`` /
+``hist_quantiles_from_counts`` (fixed-range histogram: additive bin
+counts, integer cumulative inversion), and ``bloom_bitmap`` /
+``bloom_probe_flag`` (Bloom semi-join pruning: 4 KB bit_or bitmap,
+literal-map codegen probe).
+
 ``weighted_priority_sample`` draws a deterministic weight-biased sample:
 priority = h/w where ``h`` is a 52-bit integer carved from md5(key) and
 ``w`` the row weight; keep the k smallest priorities. Heavier rows get
@@ -391,6 +402,109 @@ def hist_quantiles_from_counts(
              + F.lit(lo_micro).cast("long")).alias("q_lo_micro"),
         )
     )
+
+
+#: Deterministic Bloom filter defaults: 512 words x 63 usable bits
+#: (bit 63 stays clear — DuckDB raises on 1<<63 where the JVM wraps, so
+#: the sign bit is the one position the two engines disagree on), k=2
+#: hash probes by double hashing two INDEPENDENT 52-bit md5 slices
+#: (hex chars 1-13 and 14-26 of the same digest).
+BLOOM_WORDS = 512
+BLOOM_WORD_BITS = 63
+BLOOM_M = BLOOM_WORDS * BLOOM_WORD_BITS
+BLOOM_K = 2
+
+
+def _bloom_positions(col: F.Column) -> list:
+    """The k bit positions of a key: pos_i = (h1 + i*h2) mod m (classic
+    double hashing — Kirsch/Mitzenmacher: two independent hashes simulate
+    k with no loss in the false-positive bound)."""
+    s = col.cast("string")
+    h1 = F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(s), 14, 13), 16, 10).cast("long")
+    return [(h1 + F.lit(i) * h2) % F.lit(BLOOM_M) for i in range(BLOOM_K)]
+
+
+def bloom_bitmap(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the Bloom bitmap over ``key_col``: (word, bits) rows,
+    <= BLOOM_WORDS of them — small enough to BROADCAST however large the
+    build side's row count is.
+
+    This is the runtime-filter / semi-join-prune pattern at 100 TB: an
+    exact semi-join moves (or at minimum hashes) every distinct build key
+    to every probe task; the Bloom bitmap is a fixed 4 KB whatever the
+    key count, probe-side membership is two broadcast-join lookups inside
+    codegen, and the price is a DETERMINISTIC false-positive set (same
+    hash → same fps on every engine, which is what lets Bloom-pruned
+    queries hash-gate — see ``plans/round7_queries.py``). ``bit_or`` is
+    associative/commutative/idempotent, so bitmap construction is
+    map-side partial and bitmaps from different shards/days merge by
+    ``bit_or`` just like HLL registers merge by ``max``."""
+    pos_rows = []
+    for pos in _bloom_positions(F.col(key_col)):
+        pos_rows.append(
+            df.where(F.col(key_col).isNotNull()).select(pos.alias("pos"))
+        )
+    allpos = pos_rows[0]
+    for extra in pos_rows[1:]:
+        allpos = allpos.unionAll(extra)
+    return (
+        allpos.select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("val"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("val").alias("bits"))
+    )
+
+
+def bloom_probe_flag(
+    df: DataFrame, key_col: str, bitmap: DataFrame, flag_col: str = "bloom_pass"
+) -> DataFrame:
+    """Append boolean ``flag_col``: Bloom membership of ``key_col`` in
+    ``bitmap``. NO false negatives (a true member always passes); false
+    positives at the standard (1 - e^(-kn/m))^k rate — and because the
+    hashes are deterministic, the false-positive SET is identical on
+    every engine, so Bloom-pruned results hash-gate.
+
+    Probe cost: the <= BLOOM_WORDS (word, bits) rows are collected ONCE
+    (bounded driver state — same discipline as ``heavy_hitters``'
+    candidate array) and embedded as a literal map, so membership is a
+    pure codegen expression: k map lookups + bitwise tests. ZERO joins,
+    ZERO exchanges, zero recomputation of the build side — the probe scan
+    is never shuffled, exploded, or re-grouped (the whole point of
+    pruning a 100 TB scan; this is how engine-native runtime filters ship
+    their bitmaps too). NULL keys fail the probe (semi-join semantics)."""
+    entries = bitmap.collect()
+    if not entries:
+        return df.withColumn(flag_col, F.lit(False))
+    pairs = []
+    for r in entries:
+        pairs += [F.lit(int(r["word"])), F.lit(int(r["bits"]))]
+    mp = F.create_map(*pairs)
+    out = df
+    hits = []
+    for i, pos in enumerate(_bloom_positions(F.col(key_col))):
+        p = f"_bp{i}"
+        out = out.withColumn(p, pos)
+        word = F.expr(f"{p} div {BLOOM_WORD_BITS}")
+        val = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST({p} % {BLOOM_WORD_BITS} AS INT))"
+        )
+        # element_at on a map yields NULL for an absent word -> coalesce
+        # to a probe miss
+        hits.append(
+            F.coalesce(F.element_at(mp, word).bitwiseAND(val) != 0, F.lit(False))
+        )
+    member = hits[0]
+    for h in hits[1:]:
+        member = member & h
+    out = out.withColumn(flag_col, member)
+    return out.drop(*[f"_bp{i}" for i in range(BLOOM_K)])
 
 
 def weighted_priority_sample(

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketches import (
+    bloom_bitmap,
+    bloom_probe_flag,
     hist_quantile_sketch,
     hll_estimate,
     hll_merge,
@@ -247,12 +249,110 @@ FROM cand GROUP BY day, p_pct, n
 """
 
 
+def orders_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning readout: how many orders rows a
+    4 KB broadcast bitmap keeps versus the exact semi-join against
+    BUILDING-segment customers — the runtime-filter pattern that prunes a
+    100 TB probe scan without shuffling it.
+
+    Build side: the segment's customer keys fold into <= 512 (word, bits)
+    rows by an idempotent ``bit_or`` (map-side partial; bitmaps from
+    different shards merge by ``bit_or`` exactly like HLL registers merge
+    by ``max``), collected once as bounded driver state. Probe side:
+    orders evaluates a literal-map lookup + bitwise test per hash, all
+    inside codegen — ZERO joins and ZERO exchanges in the probe plan
+    (test-asserted). Because the k=2
+    double-hash positions are deterministic md5 bit-slices, the
+    false-positive SET (not just its rate) is engine-reproducible, which
+    is what lets this query hash-gate. Output pins the pruning quality:
+    (n_orders, n_bloom_pass, n_true_match, n_false_positives); no false
+    negatives by construction (test-asserted row-level)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    seg = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bm = bloom_bitmap(seg, "c_custkey")
+    probed = bloom_probe_flag(orders.select("o_custkey"), "o_custkey", bm)
+    truth = seg.distinct().withColumn("_true", F.lit(True))
+    flagged = probed.join(
+        F.broadcast(truth),
+        probed["o_custkey"] == truth["c_custkey"],
+        "left",
+    )
+    return flagged.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias(
+            "n_bloom_pass"
+        ),
+        F.sum(F.when(F.col("_true").isNotNull(), 1).otherwise(0)).alias(
+            "n_true_match"
+        ),
+        F.sum(
+            F.when(F.col("bloom_pass") & F.col("_true").isNull(), 1).otherwise(0)
+        ).alias("n_false_positives"),
+    )
+
+
+# Literal mirror of bloom_bitmap/bloom_probe_flag: same md5 slices, same
+# double-hash positions (h1 + i*h2 mod 32256), 63-bit words (bit 63 is
+# the one position DuckDB's checked shift and the JVM's wrapping shift
+# disagree on, so neither engine ever sets it), bit_or fold, two probe
+# lookups per key.
+BLOOM_PRUNE_SQL = """
+WITH seg AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+hp AS (
+  SELECT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13))::BIGINT AS h1,
+         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 14, 13))::BIGINT AS h2
+  FROM seg
+),
+pos AS (
+  SELECT (h1 + CAST(t.k AS BIGINT) * h2) % 32256 AS pos
+  FROM hp, range(2) t(k)
+),
+bm AS (
+  SELECT pos // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+  FROM pos GROUP BY pos // 63
+),
+op AS (
+  SELECT o_custkey,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13))::BIGINT AS h1,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 14, 13))::BIGINT AS h2
+  FROM orders
+),
+probed AS (
+  SELECT o.o_custkey,
+         COALESCE((b0.bits
+            & (CAST(1 AS BIGINT) << CAST((o.h1 % 32256) % 63 AS INTEGER)))
+            != 0, FALSE)
+         AND COALESCE((b1.bits
+            & (CAST(1 AS BIGINT) << CAST(((o.h1 + o.h2) % 32256) % 63 AS INTEGER)))
+            != 0, FALSE) AS bloom_pass
+  FROM op o
+  LEFT JOIN bm b0 ON (o.h1 % 32256) // 63 = b0.word
+  LEFT JOIN bm b1 ON ((o.h1 + o.h2) % 32256) // 63 = b1.word
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN p.bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pass,
+       CAST(SUM(CASE WHEN s.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_match,
+       CAST(SUM(CASE WHEN p.bloom_pass AND s.c_custkey IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives
+FROM probed p
+LEFT JOIN (SELECT DISTINCT c_custkey FROM seg) s ON p.o_custkey = s.c_custkey
+"""
+
+
 QUERIES = {
     "events_value_quantiles_hist": events_value_quantiles_hist,
     "events_audience_overlap_hll": events_audience_overlap_hll,
+    "orders_bloom_prune": orders_bloom_prune,
 }
 
 ORACLES = {
+    "orders_bloom_prune": BLOOM_PRUNE_SQL,
     "events_value_quantiles_hist": HIST_QUANTILES_SQL,
     "events_audience_overlap_hll": AUDIENCE_OVERLAP_SQL,
 }

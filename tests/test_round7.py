@@ -155,6 +155,59 @@ def test_streaming_quantiles_bit_identical_to_batch_sketch(spark):
     assert batch == stream
 
 
+def test_bloom_has_no_false_negatives_and_sane_fp_rate(spark):
+    """Row-level Bloom guarantees on the fixture: every true member
+    passes the probe (no false negatives — the structural guarantee),
+    and the false-positive rate stays within ~5x of the theoretical
+    (1 - e^(-kn/m))^k bound."""
+    import math
+
+    from big_data_assignment2_2025_spark.operators.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_bitmap,
+        bloom_probe_flag,
+    )
+
+    cust = load_table(spark, SF_SMALL, "customer")
+    orders = load_table(spark, SF_SMALL, "orders")
+    seg = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    keys = {r["c_custkey"] for r in seg.distinct().collect()}
+    bm = bloom_bitmap(seg, "c_custkey")
+    probed = bloom_probe_flag(orders.select("o_custkey"), "o_custkey", bm)
+    rows = probed.collect()
+    assert rows
+    n_fp = 0
+    for r in rows:
+        if r["o_custkey"] in keys:
+            assert r["bloom_pass"], f"FALSE NEGATIVE for {r['o_custkey']}"
+        elif r["bloom_pass"]:
+            n_fp += 1
+    n_nonmember = sum(1 for r in rows if r["o_custkey"] not in keys)
+    theo = (1.0 - math.exp(-BLOOM_K * len(keys) / BLOOM_M)) ** BLOOM_K
+    assert n_fp <= max(5, 5 * theo * n_nonmember), (n_fp, theo, n_nonmember)
+
+
+def test_bloom_probe_side_never_shuffles(spark):
+    """The probe is a pure codegen expression over the literal bitmap
+    map — the probe plan contains NO join and NO exchange of any kind
+    (the bitmap build ran once, at collect time)."""
+    from big_data_assignment2_2025_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_probe_flag,
+    )
+
+    cust = load_table(spark, SF_SMALL, "customer")
+    orders = load_table(spark, SF_SMALL, "orders")
+    seg = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    probed = bloom_probe_flag(
+        orders.select("o_custkey"), "o_custkey", bloom_bitmap(seg, "c_custkey")
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
 def test_hist_rejects_non_integral_bin_width(spark):
     import pytest
 

@@ -366,6 +366,26 @@ COMMENTARY = {
         "the corpus. Adding features moves work into the bounded Gram "
         "aggregate, never into the scoring scan."
     ),
+    "events_rolling_dau_approx": (
+        "Deterministic HLL rolling DAU (round 7): facts reduce to per-day "
+        "registers FIRST (map-side-partial max — <= days x 512 rows leave "
+        "the scan, independent of user cardinality), the 7-day fan-out "
+        "explodes REGISTERS rather than users, and the window merge is a "
+        "second partial max. Total shuffle O(days x 512) at any volume — "
+        "vs the exact twin's 7 x daily-active rows. The estimate is one "
+        "frozen-order IEEE chain over an exact BIGINT register sum, which "
+        "is why this sketch hash-gates where approx_count_distinct never "
+        "could."
+    ),
+    "events_value_quantiles_hist": (
+        "Mergeable histogram quantiles (round 7): the binning is pure "
+        "integer codegen projection; ONE partial+final HashAggregate "
+        "emits <= groups x 256 count rows per task whatever the event "
+        "volume; quantile recovery is a partitioned window over those "
+        "<= 256 rows per group plus a Generate for the percent fan-out. "
+        "No floats anywhere in the plan — the whole query is integer "
+        "algebra, bit-identical on any engine and any partitioning."
+    ),
 }
 
 

@@ -394,7 +394,81 @@ def hh_crossover_probe(spark, sf_dir: str = SRC) -> dict:
     return out
 
 
+def dau_sketch_probe(spark, sf_dir: str = SRC) -> dict:
+    """Exact vs deterministic-HLL rolling DAU, measured in app-wide
+    shuffle volume across a user-cardinality sweep (SCALING §13's scale
+    claim, measured: the exact twin's shuffle grows with daily actives —
+    distinct (day,user) rows plus the 7x fan-out — while the sketch's is
+    pinned at O(days x 512) register rows whatever the user count).
+
+    Each sweep point rewrites the sf0.1 events fixture (100k rows) with
+    ``user_id = hash(event_id) % U`` into a throwaway /tmp dir, then runs
+    BOTH registry queries against it unmodified."""
+    import time as _t
+
+    from big_data_assignment2_2025_spark.plans.round5_queries import (
+        events_rolling_dau,
+        events_rolling_dau_approx,
+    )
+    from tools.shuffle_report import _total_shuffle
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "event_id"
+    )
+    out = {}
+    root = "/tmp/spark_graft_dau_probe"
+    for u in (1_000, 10_000, 100_000):
+        dst = f"{root}/u_{u}"
+        shutil.rmtree(dst, ignore_errors=True)
+        ev.select(
+            "ts",
+            F.pmod(
+                F.xxhash64(F.col("event_id").cast("string")), F.lit(u)
+            ).alias("user_id"),
+        ).write.mode("overwrite").parquet(f"{dst}/events.parquet")
+        actives = (
+            spark.read.parquet(f"{dst}/events.parquet")
+            .select(F.to_date("ts"), "user_id")
+            .distinct()
+            .count()
+        )
+        row = {"daily_active_rows": actives}
+        for label, fn in (
+            ("exact", events_rolling_dau),
+            ("hll", events_rolling_dau_approx),
+        ):
+            b0, r0 = _total_shuffle(spark)
+            t0 = _t.perf_counter()
+            n = len(fn(spark, dst).collect())
+            sec = _t.perf_counter() - t0
+            b1, r1 = _total_shuffle(spark)
+            row[label] = {
+                "shuffle_bytes": b1 - b0,
+                "shuffle_records": r1 - r0,
+                "sec": round(sec, 2),
+                "rows": n,
+            }
+        out[f"users_{u}"] = row
+        print(
+            f"# dau_sketch daily_actives={actives}: exact "
+            f"{row['exact']['shuffle_records']} rec / "
+            f"{row['exact']['shuffle_bytes']} B vs hll "
+            f"{row['hll']['shuffle_records']} rec / "
+            f"{row['hll']['shuffle_bytes']} B",
+            file=sys.stderr,
+        )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
+    if "--dau-sketch" in sys.argv:
+        spark = get_spark(
+            app_name="dau_sketch_probe",
+            extra_conf={"spark.ui.retainedStages": "100000"},
+        )
+        print(json.dumps({"dau_sketch": dau_sketch_probe(spark)}))
+        return
     if "--hh-crossover" in sys.argv:
         spark = get_spark(
             app_name="hh_crossover",

@@ -87,6 +87,9 @@ QUERIES_TO_PROFILE = [
     # scale claim (register shuffle O(days x 512), independent of user
     # volume; compare events_rolling_dau's 7 x daily-active fan-out)
     "events_rolling_dau_approx",
+    # round 7b: histogram quantile sketch — the profile pins the
+    # groups x 256 count-row bound on its one aggregate exchange
+    "events_value_quantiles_hist",
 ]
 
 
