@@ -377,6 +377,16 @@ COMMENTARY = {
         "is why this sketch hash-gates where approx_count_distinct never "
         "could."
     ),
+    "orders_bloom_prune": (
+        "Deterministic Bloom semi-join pruning (round 7): the probe side "
+        "of the plan has ZERO joins and ZERO exchanges — membership is a "
+        "literal-map lookup + bitwise test inside WholeStageCodegen (the "
+        "<=512-word bitmap was collected once as bounded driver state, "
+        "the runtime-filter shape). The only shuffles in the whole query "
+        "belong to the tiny bitmap-build aggregate and the final 1-row "
+        "readout; the exact-truth comparison join broadcasts the segment "
+        "keys. The fact scan is never shuffled however large it grows."
+    ),
     "events_value_quantiles_hist": (
         "Mergeable histogram quantiles (round 7): the binning is pure "
         "integer codegen projection; ONE partial+final HashAggregate "
