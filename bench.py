@@ -99,6 +99,7 @@ HEADLINE = [
     "events_value_quantiles_hist",
     "streaming_value_quantiles",
     "orders_bloom_prune",
+    "events_rolling_quantiles_hist",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

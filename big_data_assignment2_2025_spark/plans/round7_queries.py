@@ -249,6 +249,100 @@ FROM cand GROUP BY day, p_pct, n
 """
 
 
+def events_rolling_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day p50/p99 of ``value`` per day — the quantile analog
+    of the rolling-DAU pair, and the reason the histogram sketch earns
+    its place: EXACT quantiles do not decompose over sliding windows (a
+    window's percentile cannot be computed from per-day percentiles, only
+    from re-ranking the window's raw rows — 7x the fact volume per day),
+    but histogram COUNTS add. So: per-day bin counts (map-side partial,
+    <= days x 256 rows off the scan), a bounded 7-day fan-out of COUNT
+    rows, one summing merge per (window, bin), and the integer inversion.
+    Shuffle O(days x 256 x 7) whatever the event volume — same shape the
+    deterministic HLL gives rolling distinct (SCALING §13, measured in
+    DAUSKETCH_r7.json). Observedness mirrors the DAU queries: a day is
+    emitted iff observed (row existence) and its window holds >= 1 count."""
+    width = (VALUE_HI_MICRO - VALUE_LO_MICRO) // VALUE_BINS
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.sketches import hist_bin_expr, hist_quantiles_from_counts
+
+    proj = ev.where(F.col("value").isNotNull()).select(
+        F.to_date("ts").alias("day"),
+        hist_bin_expr("value", VALUE_LO_MICRO, VALUE_HI_MICRO, width).alias(
+            "bin"
+        ),
+    )
+    day_counts = proj.groupBy("day", "bin").agg(F.count("*").alias("cnt"))
+    fan = day_counts.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "win_day"
+        ),
+        "bin",
+        "cnt",
+    )
+    observed = ev.select(F.to_date("ts").alias("win_day")).distinct()
+    win_counts = (
+        fan.join(observed, "win_day")
+        .groupBy("win_day", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return hist_quantiles_from_counts(
+        win_counts, ["win_day"], VALUE_LO_MICRO, width, [50, 99]
+    ).select(
+        F.col("win_day").alias("day"), "p_pct", "n", "qbin", "q_lo_micro"
+    )
+
+
+# Literal mirror of the rolling composition: day counts -> bounded count
+# fan-out -> summing window merge -> the same integer inversion as
+# HIST_QUANTILES_SQL (n from a full-frame MAX of cum, matching
+# hist_quantiles_from_counts).
+ROLLING_HIST_QUANTILES_SQL = """
+WITH b AS (
+  SELECT CAST(ts AS DATE) AS day,
+         (least(greatest(CAST(round(value * 1e6) AS BIGINT), 0), 511999999)
+          - 0) // 2000000 AS bin
+  FROM events WHERE value IS NOT NULL
+),
+dc AS (
+  SELECT day, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM b GROUP BY day, bin
+),
+fan AS (
+  SELECT day + CAST(t.k AS INTEGER) AS win_day, bin, cnt
+  FROM dc, range(7) t(k)
+),
+obs AS (SELECT DISTINCT CAST(ts AS DATE) AS win_day FROM events),
+wc AS (
+  SELECT f.win_day, f.bin, CAST(SUM(f.cnt) AS BIGINT) AS cnt
+  FROM fan f JOIN obs USING (win_day)
+  GROUP BY f.win_day, f.bin
+),
+cum AS (
+  SELECT win_day, bin,
+         CAST(SUM(cnt) OVER (PARTITION BY win_day ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM wc
+),
+cum2 AS (
+  SELECT win_day, bin, cum,
+         MAX(cum) OVER (PARTITION BY win_day ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n
+  FROM cum
+),
+cand AS (
+  SELECT c.win_day, CAST(p.p_pct AS BIGINT) AS p_pct, c.n, c.bin
+  FROM cum2 c
+  CROSS JOIN (VALUES (50), (99)) p(p_pct)
+  WHERE c.cum >= (c.n * p.p_pct + 99) // 100
+)
+SELECT win_day AS day, p_pct, n, MIN(bin) AS qbin,
+       CAST(MIN(bin) * 2000000 + 0 AS BIGINT) AS q_lo_micro
+FROM cand GROUP BY win_day, p_pct, n
+"""
+
+
 def orders_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join pruning readout: how many orders rows a
     4 KB broadcast bitmap keeps versus the exact semi-join against
@@ -349,10 +443,12 @@ QUERIES = {
     "events_value_quantiles_hist": events_value_quantiles_hist,
     "events_audience_overlap_hll": events_audience_overlap_hll,
     "orders_bloom_prune": orders_bloom_prune,
+    "events_rolling_quantiles_hist": events_rolling_quantiles_hist,
 }
 
 ORACLES = {
     "orders_bloom_prune": BLOOM_PRUNE_SQL,
+    "events_rolling_quantiles_hist": ROLLING_HIST_QUANTILES_SQL,
     "events_value_quantiles_hist": HIST_QUANTILES_SQL,
     "events_audience_overlap_hll": AUDIENCE_OVERLAP_SQL,
 }

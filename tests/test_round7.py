@@ -89,6 +89,41 @@ def test_hist_counts_merge_across_splits(spark):
     assert full == reparted
 
 
+def test_rolling_hist_quantile_contains_window_order_statistic(spark):
+    """Same exact contract as the per-group test, but over the 7-day
+    trailing window union — proving the count-addition merge recovers the
+    window's true distribution (exact quantiles cannot compose this way;
+    additive counts can)."""
+    from big_data_assignment2_2025_spark.plans.round7_queries import (
+        events_rolling_quantiles_hist,
+    )
+
+    got = {
+        (str(r["day"]), r["p_pct"]): (r["n"], r["q_lo_micro"])
+        for r in events_rolling_quantiles_hist(spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events").where(F.col("value").isNotNull())
+    by_day: dict = {}
+    for r in ev.select(F.to_date("ts").alias("day"), "value").collect():
+        by_day.setdefault(r["day"], []).append(int(round(r["value"] * 1e6)))
+    days = sorted(by_day)
+    assert got
+    for (day_s, p), (n, q_lo) in got.items():
+        import datetime as dt
+
+        day = dt.date.fromisoformat(day_s)
+        window = sorted(
+            v
+            for past in days
+            if 0 <= (day - past).days <= 6
+            for v in by_day[past]
+        )
+        assert n == len(window)
+        k = -(-n * p // 100)
+        stat = min(max(window[k - 1], 0), 512_000_000 - 1)
+        assert q_lo <= stat < q_lo + BIN_WIDTH_MICRO, (day_s, p, q_lo, stat)
+
+
 def test_audience_overlap_tracks_exact_sets(spark):
     """Inclusion-exclusion over the deterministic HLL must track the
     exact audience sets within sketch tolerance — each estimate's rsd is
