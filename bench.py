@@ -100,6 +100,7 @@ HEADLINE = [
     "streaming_value_quantiles",
     "orders_bloom_prune",
     "events_rolling_quantiles_hist",
+    "lineitem_distinct_profile_hll",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

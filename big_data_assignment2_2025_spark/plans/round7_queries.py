@@ -439,14 +439,88 @@ LEFT JOIN (SELECT DISTINCT c_custkey FROM seg) s ON p.o_custkey = s.c_custkey
 """
 
 
+#: Columns profiled by lineitem_distinct_profile_hll — a mix of key-like
+#: (high-cardinality) and enum-like columns, so the readout exercises
+#: both HLL regimes.
+PROFILE_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+                "l_linestatus"]
+
+
+def lineitem_distinct_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan data profiling: approximate distinct-value count for five
+    lineitem columns from a SINGLE pass — the table-profiling tool a
+    100 TB warehouse runs after every load, where five exact
+    COUNT(DISTINCT)s would be five full-key shuffles (or one 5-way Expand
+    that quintuples the scan's output rows into one giant shuffle).
+
+    The ``stack`` generator unpivots the five columns to (col, val)
+    STRING pairs in-projection; ``hll_registers`` folds them map-side to
+    <= 5 x 512 register rows — the only shuffle, independent of row count
+    and of every column's cardinality. Emits the usual
+    (v_empty, reg_sum, raw estimate) triple per column; small-range
+    correction driver-side as always."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in PROFILE_COLS
+    )
+    unpivoted = li.select(
+        F.expr(f"stack({len(PROFILE_COLS)}, {pairs}) AS (col, val)")
+    )
+    regs = hll_registers(unpivoted, ["col"], "val")
+    return hll_estimate(regs, ["col"], out_col="n_distinct_micro").select(
+        "col", "v_empty", "reg_sum", "n_distinct_micro"
+    )
+
+
+# Literal mirror: UNION ALL unpivot (same CAST-to-string values), same
+# register algebra and frozen estimate chain as HLL_ROLLING_DAU_SQL.
+DISTINCT_PROFILE_SQL = """
+WITH unpv AS (
+  SELECT 'l_orderkey' AS col, CAST(l_orderkey AS VARCHAR) AS val FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', CAST(l_returnflag AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem
+),
+br AS (
+  SELECT col,
+         ('0x' || substr(md5(val), 1, 13))::BIGINT % 512 AS bucket,
+         CASE WHEN ((('0x' || substr(md5(val), 1, 13))::BIGINT) >> 9) = 0
+              THEN 44
+              ELSE 44 - length(bin((('0x' || substr(md5(val), 1, 13))::BIGINT) >> 9))
+         END AS rho
+  FROM unpv WHERE val IS NOT NULL
+),
+regs AS (SELECT col, bucket, MAX(rho) AS r FROM br GROUP BY col, bucket),
+agg AS (
+  SELECT col,
+         CAST(512 - COUNT(*) AS BIGINT) AS v_empty,
+         CAST(CAST(SUM(CAST(1 AS BIGINT) << (44 - r)) AS BIGINT)
+              + (512 - COUNT(*)) * 17592186044416 AS BIGINT) AS reg_sum
+  FROM regs GROUP BY col
+)
+SELECT col, v_empty, reg_sum,
+       CAST(round((0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+                  * 17592186044416.0 / CAST(reg_sum AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS n_distinct_micro
+FROM agg
+"""
+
+
 QUERIES = {
     "events_value_quantiles_hist": events_value_quantiles_hist,
     "events_audience_overlap_hll": events_audience_overlap_hll,
     "orders_bloom_prune": orders_bloom_prune,
     "events_rolling_quantiles_hist": events_rolling_quantiles_hist,
+    "lineitem_distinct_profile_hll": lineitem_distinct_profile_hll,
 }
 
 ORACLES = {
+    "lineitem_distinct_profile_hll": DISTINCT_PROFILE_SQL,
     "orders_bloom_prune": BLOOM_PRUNE_SQL,
     "events_rolling_quantiles_hist": ROLLING_HIST_QUANTILES_SQL,
     "events_value_quantiles_hist": HIST_QUANTILES_SQL,

@@ -243,6 +243,62 @@ def test_bloom_probe_side_never_shuffles(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_distinct_profile_tracks_exact_per_column(spark):
+    """One-scan profiling readout: each column's corrected estimate must
+    track its exact distinct count within sketch tolerance (~4.6% rsd;
+    enum-like columns land in the linear-counting regime and are near
+    exact)."""
+    import math
+
+    from big_data_assignment2_2025_spark.plans.round7_queries import (
+        PROFILE_COLS,
+        lineitem_distinct_profile_hll,
+    )
+
+    got = {r["col"]: r for r in
+           lineitem_distinct_profile_hll(spark, SF_SMALL).collect()}
+    assert set(got) == set(PROFILE_COLS)
+    li = load_table(spark, SF_SMALL, "lineitem")
+    for c in PROFILE_COLS:
+        exact = li.select(c).where(F.col(c).isNotNull()).distinct().count()
+        raw = got[c]["n_distinct_micro"] / 1e6
+        v = got[c]["v_empty"]
+        est = 512 * math.log(512 / v) if (raw <= 2.5 * 512 and v > 0) else raw
+        assert abs(est - exact) <= max(5, 0.2 * exact), (c, est, exact)
+
+
+def test_hll_register_state_roundtrips_through_parquet(spark, tmp_path):
+    """SCALING §13's 'you will eventually need to MOVE it' claim,
+    exercised: day registers persisted to parquet, read back, merged with
+    a later batch's registers — final state bit-equal to a recompute over
+    the union. This is the incremental daily-drop shape for sketches
+    (history state is ~days x 512 rows; the new day never rescans it)."""
+    from big_data_assignment2_2025_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    cutoff = days[len(days) // 2]
+    hist, batch = ev.where(F.col("day") < F.lit(cutoff)), ev.where(
+        F.col("day") >= F.lit(cutoff)
+    )
+    state_path = str(tmp_path / "hll_state")
+    hll_registers(hist, ["day"], "user_id").write.parquet(state_path)
+
+    restored = spark.read.parquet(state_path)
+    merged = hll_merge(
+        restored.unionAll(hll_registers(batch, ["day"], "user_id")), ["day"]
+    )
+    full = hll_registers(ev, ["day"], "user_id")
+    to_set = lambda df: {(str(r["day"]), r["bucket"], r["r"])
+                         for r in df.collect()}
+    assert to_set(merged) == to_set(full)
+
+
 def test_hist_rejects_non_integral_bin_width(spark):
     import pytest
 

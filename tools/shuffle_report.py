@@ -90,6 +90,11 @@ QUERIES_TO_PROFILE = [
     # round 7b: histogram quantile sketch — the profile pins the
     # groups x 256 count-row bound on its one aggregate exchange
     "events_value_quantiles_hist",
+    # round 7b: rolling sketch composition + the bounded-state streaming
+    # HLL twin + Bloom pruning (expect: bitmap-build-only shuffle)
+    "events_rolling_quantiles_hist",
+    "streaming_rolling_dau_hll",
+    "orders_bloom_prune",
 ]
 
 
