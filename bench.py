@@ -101,6 +101,8 @@ HEADLINE = [
     "orders_bloom_prune",
     "events_rolling_quantiles_hist",
     "lineitem_distinct_profile_hll",
+    "events_user_freq_cms",
+    "streaming_user_freq_cms",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

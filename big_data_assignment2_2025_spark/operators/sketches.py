@@ -47,16 +47,21 @@ catches up once shuffles spill/cross machines), so
 and comfortably buys back the second scan even on a scan-bound
 cluster.
 
-Round 7 adds three DETERMINISTIC sketch families (SCALING §13) — each
+Round 7 adds four DETERMINISTIC sketch families (SCALING §13) — each
 rebuilt from public integer primitives (md5 bit-slices, bit algebra,
 frozen-order IEEE tails) so the sketch state is engine-reproducible and
 the queries on top hash-gate where Spark's opaque built-ins never could:
 ``hll_registers``/``hll_merge``/``hll_estimate`` (HyperLogLog: 512
 integer registers, merge = per-bucket max), ``hist_quantile_sketch`` /
 ``hist_quantiles_from_counts`` (fixed-range histogram: additive bin
-counts, integer cumulative inversion), and ``bloom_bitmap`` /
+counts, integer cumulative inversion), ``bloom_bitmap`` /
 ``bloom_probe_flag`` (Bloom semi-join pruning: 4 KB bit_or bitmap,
-literal-map codegen probe).
+literal-map codegen probe), and ``cms_counters`` /
+``cms_estimate_for_keys`` (Count-Min: 3 x 1024 additive counters,
+sum-merge, never-undercount point estimates). Merge operators: max
+(HLL), + (histogram/CMS), bit_or (Bloom) — all associative,
+commutative, and partial-aggregation-friendly, which is the entire
+scale story.
 
 ``weighted_priority_sample`` draws a deterministic weight-biased sample:
 priority = h/w where ``h`` is a 52-bit integer carved from md5(key) and
@@ -505,6 +510,86 @@ def bloom_probe_flag(
         member = member & h
     out = out.withColumn(flag_col, member)
     return out.drop(*[f"_bp{i}" for i in range(BLOOM_K)])
+
+
+#: Deterministic Count-Min defaults: depth 3 x width 1024 counters.
+#: Same double-hashing trick as the Bloom filter (two independent 52-bit
+#: md5 slices); counters are ADDITIVE, so sketch construction is
+#: map-side partial (<= d x w rows per task at any volume) and sketches
+#: merge by element-wise sum.
+CMS_DEPTH = 3
+CMS_WIDTH = 1024
+
+
+def _cms_positions(col: F.Column) -> list:
+    s = col.cast("string")
+    h1 = F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(s), 14, 13), 16, 10).cast("long")
+    return [(h1 + F.lit(i) * h2) % F.lit(CMS_WIDTH) for i in range(CMS_DEPTH)]
+
+
+def cms_counters(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the Count-Min counter table over ``key_col``: (row, bucket,
+    cnt), <= CMS_DEPTH x CMS_WIDTH rows.
+
+    The frequency-sketch sibling of the HLL registers: where exact
+    per-key counts shuffle the full key universe, the CMS shuffles at
+    most d x w counter rows — each map task emits its partial counters
+    and they merge by sum. Point estimates (``cms_estimate``) carry the
+    classic one-sided guarantee: NEVER an undercount, overcount bounded
+    by collisions (~n/w per row, min over d rows). Deterministic md5
+    double hashing makes every counter — and therefore every estimate —
+    bit-identical across engines and partitionings."""
+    proj = df.where(F.col(key_col).isNotNull()).select(
+        F.posexplode(
+            F.array(*_cms_positions(F.col(key_col)))
+        ).alias("row", "bucket")
+    )
+    # ONE fact scan: the d positions fan out in the projection
+    # (posexplode), then the partial aggregate folds them back to
+    # <= d x w counter rows per task before anything shuffles
+    return proj.groupBy(
+        F.col("row").cast("long").alias("row"), "bucket"
+    ).agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate_for_keys(
+    counters: DataFrame, keys_df: DataFrame, key_col: str, by: list | None = None
+) -> DataFrame:
+    """Point-estimate the frequency of each key in ``keys_df`` from the
+    counter table: est = min over the d rows of the key's counter
+    (absent counter = 0). The counter table is <= d x w rows — literal
+    broadcast-scale — so each lookup is a broadcast join; the keys frame
+    is expected to be small (a watchlist), the sketch side is what
+    scaled.
+
+    ``by`` names extra grouping columns present in BOTH frames (e.g. a
+    per-day counter table probed by a (day, key) watchlist): lookups then
+    join on (group, bucket), so one call estimates every group's
+    watchlist at once. The counter side stays broadcast-scale at
+    groups x d x w rows."""
+    by = list(by or [])
+    out = keys_df
+    ests = []
+    for i, pos in enumerate(_cms_positions(F.col(key_col))):
+        b = f"_cms{i}"
+        ct = counters.where(F.col("row") == i).select(
+            *[F.col(c).alias(f"_cg{i}_{c}") for c in by],
+            F.col("bucket").alias(f"_cb{i}"),
+            F.col("cnt").alias(b),
+        )
+        cond = F.col(f"_cp{i}") == F.col(f"_cb{i}")
+        for c in by:
+            cond = cond & (F.col(c) == F.col(f"_cg{i}_{c}"))
+        out = out.withColumn(f"_cp{i}", pos).join(F.broadcast(ct), cond, "left")
+        ests.append(F.coalesce(F.col(b), F.lit(0).cast("long")))
+    est = ests[0]
+    for e in ests[1:]:
+        est = F.least(est, e)
+    out = out.withColumn("est_cnt", est)
+    drop = [c for i in range(CMS_DEPTH) for c in (f"_cp{i}", f"_cb{i}", f"_cms{i}")]
+    drop += [f"_cg{i}_{c}" for i in range(CMS_DEPTH) for c in by]
+    return out.drop(*drop)
 
 
 def weighted_priority_sample(

@@ -1,9 +1,9 @@
 """Round-7 queries: deterministic-sketch observability surfaces.
 
-The round-7 theme is sketches whose STATE is engine-reproducible — the
-HLL rolling-DAU twins live with their families
+The round-7 theme is sketches whose STATE is engine-reproducible
+(SCALING §13) — the HLL rolling-DAU twins live with their families
 (``plans/round5_queries.py``, ``plans/streaming_queries.py``); this
-module holds the histogram quantile sketch and the HLL set algebra:
+module holds the rest of the deterministic-sketch surface:
 
 - **histogram quantiles** (``events_value_quantiles_hist``): per-type
   p50/p90/p99 of ``events.value`` via the mergeable fixed-range
@@ -13,14 +13,22 @@ module holds the histogram quantile sketch and the HLL set algebra:
   cumulative-count inversion, error bounded by one bin width. The
   monitoring shape a 100 TB pipeline runs hourly, where the exact
   rank-based path (``operators/ranking.py``) would re-rank the world.
+- **rolling quantiles** (``events_rolling_quantiles_hist``): 7-day
+  sliding p50/p99 by ADDING day histograms over a bounded count fan-out
+  — exact quantiles don't decompose over sliding windows; counts do.
 - **HLL set algebra** (``events_audience_overlap_hll``): distinct-user
   union by per-bucket register max, intersection by inclusion-exclusion
   on the micro-rounded estimates — audience overlap without ever
   shuffling a user set.
+- **one-scan profiling** (``lineitem_distinct_profile_hll``): per-column
+  approx distinct via a stack unpivot feeding per-column registers.
+- **Bloom semi-join pruning** (``orders_bloom_prune``): 4 KB bit_or
+  bitmap build, literal-map codegen probe with zero joins/exchanges on
+  the fact side, deterministic false-positive set.
 
 No counterpart in the reference (index+query only); LLM-pipeline
 extension per SURVEY.md §7.6, hash-gated against a literal DuckDB
-mirror (integer-only algebra — no floats anywhere in the plan).
+mirror (integer algebra + frozen-order IEEE tails only).
 """
 
 from __future__ import annotations
@@ -511,15 +519,165 @@ FROM agg
 """
 
 
+#: Watchlist for the CMS point-estimate readout: a fixed literal key set
+#: (user ids 1..10) so the lookup is IN-list-pushed on the exact side
+#: and pure arithmetic on the sketch side.
+CMS_WATCH_USERS = list(range(1, 11))
+
+
+def events_user_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-frequency estimates for a fixed watchlist from a
+    Count-Min sketch built in ONE scan — the frequency-monitoring shape
+    (abuse/rate watchlists) where exact per-key counts would shuffle the
+    full user universe every run.
+
+    The counter build shuffles <= 3 x 1024 rows whatever the event
+    volume (``cms_counters``); the watchlist lookup is d broadcast joins
+    against the counter table plus a min — and the exact side, run here
+    for the readout, is an IN-list-pushed filtered aggregate that never
+    touches the rest of the key universe. Output pins the one-sided CMS
+    guarantee row by row: est_cnt >= true_cnt always (never an
+    undercount, test-asserted), overcount bounded by bucket collisions.
+    Deterministic md5 double hashing → the estimates (collisions and
+    all) are bit-identical on any engine: hash-gated."""
+    from ..operators.sketches import cms_counters, cms_estimate_for_keys
+
+    ev = load_table(spark, sf_dir, "events")
+    counters = cms_counters(ev, "user_id")
+    watch = spark.createDataFrame(
+        [(int(u),) for u in CMS_WATCH_USERS], "user_id long"
+    )
+    est = cms_estimate_for_keys(counters, watch, "user_id")
+    true_cnt = (
+        ev.where(F.col("user_id").isin(CMS_WATCH_USERS))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    return (
+        est.join(true_cnt, "user_id", "left")
+        .select(
+            "user_id",
+            "est_cnt",
+            F.coalesce(F.col("true_cnt"), F.lit(0).cast("long")).alias(
+                "true_cnt"
+            ),
+        )
+    )
+
+
+# Literal mirror: one-scan counter build (3 positions per row via the
+# range(3) fan-out, folded by GROUP BY), per-key min-over-rows lookup,
+# IN-list exact counts for the same watchlist.
+CMS_USER_FREQ_SQL = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h1,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 14, 13))::BIGINT AS h2
+  FROM events WHERE user_id IS NOT NULL
+),
+counters AS (
+  SELECT CAST(t.k AS BIGINT) AS row,
+         (h1 + CAST(t.k AS BIGINT) * h2) % 1024 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM h, range(3) t(k)
+  GROUP BY CAST(t.k AS BIGINT), (h1 + CAST(t.k AS BIGINT) * h2) % 1024
+),
+watch AS (
+  SELECT CAST(t.k + 1 AS BIGINT) AS user_id,
+         ('0x' || substr(md5(CAST(t.k + 1 AS VARCHAR)), 1, 13))::BIGINT AS h1,
+         ('0x' || substr(md5(CAST(t.k + 1 AS VARCHAR)), 14, 13))::BIGINT AS h2
+  FROM range(10) t(k)
+),
+est AS (
+  SELECT w.user_id,
+         least(
+           COALESCE(c0.cnt, 0),
+           COALESCE(c1.cnt, 0),
+           COALESCE(c2.cnt, 0)
+         ) AS est_cnt
+  FROM watch w
+  LEFT JOIN counters c0 ON c0.row = 0 AND c0.bucket = (w.h1 + 0 * w.h2) % 1024
+  LEFT JOIN counters c1 ON c1.row = 1 AND c1.bucket = (w.h1 + 1 * w.h2) % 1024
+  LEFT JOIN counters c2 ON c2.row = 2 AND c2.bucket = (w.h1 + 2 * w.h2) % 1024
+),
+tc AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM events
+  WHERE user_id IN (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+  GROUP BY user_id
+)
+SELECT e.user_id, CAST(e.est_cnt AS BIGINT) AS est_cnt,
+       COALESCE(t.true_cnt, 0) AS true_cnt
+FROM est e LEFT JOIN tc t USING (user_id)
+"""
+
+
+# Per-day variant of the Count-Min mirror — the oracle for the STREAMING
+# twin (streaming/stream.py run_streaming_user_freq_cms): counters are
+# additive integers, so the update-log reconciliation (max per
+# (day, row, bucket)) recovers exactly these batch counters, and the
+# deterministic md5 positions make the estimates bit-identical. A day
+# exists iff it produced at least one counter row (non-NULL-user event) —
+# observedness from counter existence, mirrored by the DISTINCT day scan.
+DAILY_CMS_SQL = """
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h1,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 14, 13))::BIGINT AS h2
+  FROM events WHERE user_id IS NOT NULL
+),
+counters AS (
+  SELECT day, CAST(t.k AS BIGINT) AS row,
+         (h1 + CAST(t.k AS BIGINT) * h2) % 1024 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM h, range(3) t(k)
+  GROUP BY day, CAST(t.k AS BIGINT), (h1 + CAST(t.k AS BIGINT) * h2) % 1024
+),
+watch AS (
+  SELECT CAST(t.k + 1 AS BIGINT) AS user_id,
+         ('0x' || substr(md5(CAST(t.k + 1 AS VARCHAR)), 1, 13))::BIGINT AS h1,
+         ('0x' || substr(md5(CAST(t.k + 1 AS VARCHAR)), 14, 13))::BIGINT AS h2
+  FROM range(10) t(k)
+),
+days AS (SELECT DISTINCT day FROM counters),
+est AS (
+  SELECT d.day, w.user_id,
+         least(
+           COALESCE(c0.cnt, 0),
+           COALESCE(c1.cnt, 0),
+           COALESCE(c2.cnt, 0)
+         ) AS est_cnt
+  FROM days d CROSS JOIN watch w
+  LEFT JOIN counters c0
+    ON c0.day = d.day AND c0.row = 0 AND c0.bucket = (w.h1 + 0 * w.h2) % 1024
+  LEFT JOIN counters c1
+    ON c1.day = d.day AND c1.row = 1 AND c1.bucket = (w.h1 + 1 * w.h2) % 1024
+  LEFT JOIN counters c2
+    ON c2.day = d.day AND c2.row = 2 AND c2.bucket = (w.h1 + 2 * w.h2) % 1024
+),
+tc AS (
+  SELECT CAST(ts AS DATE) AS day, user_id,
+         CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM events
+  WHERE user_id IN (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+  GROUP BY CAST(ts AS DATE), user_id
+)
+SELECT e.day, e.user_id, CAST(e.est_cnt AS BIGINT) AS est_cnt,
+       COALESCE(t.true_cnt, 0) AS true_cnt
+FROM est e LEFT JOIN tc t USING (day, user_id)
+"""
+
+
 QUERIES = {
     "events_value_quantiles_hist": events_value_quantiles_hist,
     "events_audience_overlap_hll": events_audience_overlap_hll,
     "orders_bloom_prune": orders_bloom_prune,
     "events_rolling_quantiles_hist": events_rolling_quantiles_hist,
     "lineitem_distinct_profile_hll": lineitem_distinct_profile_hll,
+    "events_user_freq_cms": events_user_freq_cms,
 }
 
 ORACLES = {
+    "events_user_freq_cms": CMS_USER_FREQ_SQL,
     "lineitem_distinct_profile_hll": DISTINCT_PROFILE_SQL,
     "orders_bloom_prune": BLOOM_PRUNE_SQL,
     "events_rolling_quantiles_hist": ROLLING_HIST_QUANTILES_SQL,

@@ -30,10 +30,11 @@ from ..streaming import (
     run_streaming_stateful_counter,
     run_streaming_static_join,
     run_streaming_stream_join,
+    run_streaming_user_freq_cms,
 )
 from .events_queries import EVENTS_HOURLY_SQL, EVENTS_SLIDING_SQL
 from .round5_queries import HLL_ROLLING_DAU_SQL, OHLC_SQL, ROLLING_DAU_SQL
-from .round7_queries import DAILY_HIST_QUANTILES_SQL
+from .round7_queries import DAILY_CMS_SQL, DAILY_HIST_QUANTILES_SQL
 
 
 def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,6 +64,13 @@ def streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day histogram-sketch quantiles maintained incrementally:
     <=256 counters of state per open window, whatever the volume."""
     return run_streaming_value_quantiles(spark, sf_dir)
+
+
+def streaming_user_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Count-Min watchlist estimates maintained incrementally:
+    <=3x1024 additive counters of state per open window (plus 10 exact
+    watchlist counters), whatever the volume or user cardinality."""
+    return run_streaming_user_freq_cms(spark, sf_dir)
 
 
 def streaming_dedup_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,6 +226,7 @@ QUERIES = {
     "streaming_rolling_dau": streaming_rolling_dau,
     "streaming_rolling_dau_hll": streaming_rolling_dau_hll,
     "streaming_value_quantiles": streaming_value_quantiles,
+    "streaming_user_freq_cms": streaming_user_freq_cms,
 }
 
 ORACLES = {
@@ -245,4 +254,8 @@ ORACLES = {
     # the histogram counts are deterministic integers, so the streaming
     # drain's reconciled state equals the per-day batch sketch exactly
     "streaming_value_quantiles": DAILY_HIST_QUANTILES_SQL,
+    # additive counters + deterministic md5 positions: the streaming
+    # drain's reconciled counters equal the batch per-day sketch, so the
+    # estimates are bit-identical — one SQL serves both deployments
+    "streaming_user_freq_cms": DAILY_CMS_SQL,
 }

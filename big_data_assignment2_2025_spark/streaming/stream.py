@@ -720,6 +720,80 @@ def run_streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def run_streaming_user_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Count-Min watchlist monitor: per-day
+    frequency estimates for a fixed user watchlist maintained
+    incrementally (plans.round7_queries.DAILY_CMS_SQL oracle).
+
+    Two bounded-state stateful ops, the live abuse/rate-monitoring shape:
+
+    - the stateless md5 position fan-out (posexplode of the d=3 bucket
+      positions) feeds ``count(*)`` per (1-day tumbling window, row,
+      bucket) — at most 3 x 1024 counters of state per open window,
+      whatever the event volume or user cardinality, evicted under the
+      watermark. Counters are MONOTONE non-decreasing across update-mode
+      emissions, so the reconciliation is max per (day, row, bucket) —
+      additive merge algebra means the reconciled log equals the batch
+      counters exactly, and the deterministic positions make every
+      estimate bit-identical to the batch sketch (hash-gated).
+    - the exact side, filtered to the 10-key watchlist BEFORE the
+      stateful op, holds at most 10 counters per open window — the
+      one-sided guarantee (est >= true, never an undercount) is then
+      observable live, day by day, in the output.
+
+    The estimate itself (min over d broadcast lookups against the
+    <= days x 3 x 1024 counter table) runs batch-side on the reconciled
+    counters via ``cms_estimate_for_keys(by=["day"])``."""
+    from ..operators.sketches import _cms_positions, cms_estimate_for_keys
+    from ..plans.round7_queries import CMS_WATCH_USERS
+
+    ev = read_events_stream(spark, sf_dir)
+    proj = ev.where(F.col("user_id").isNotNull()).select(
+        "ts",
+        F.posexplode(F.array(*_cms_positions(F.col("user_id")))).alias(
+            "row", "bucket"
+        ),
+    )
+    cnt_agg = (
+        proj.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), "row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.to_date("w.start").alias("day"),
+            F.col("row").cast("long").alias("row"),
+            "bucket",
+            "cnt",
+        )
+    )
+    true_agg = (
+        ev.where(F.col("user_id").isin(CMS_WATCH_USERS))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.count("*").alias("true_cnt"))
+        .select(F.to_date("w.start").alias("day"), "user_id", "true_cnt")
+    )
+    cnt_rows, true_rows = _drain_many_to_memory(
+        [cnt_agg, true_agg], spark, output_mode="update"
+    )
+    counters = cnt_rows.groupBy("day", "row", "bucket").agg(
+        F.max("cnt").alias("cnt")
+    )
+    true = true_rows.groupBy("day", "user_id").agg(
+        F.max("true_cnt").alias("true_cnt")
+    )
+    watch = spark.createDataFrame(
+        [(int(u),) for u in CMS_WATCH_USERS], "user_id long"
+    )
+    keys = counters.select("day").distinct().crossJoin(F.broadcast(watch))
+    est = cms_estimate_for_keys(counters, keys, "user_id", by=["day"])
+    return est.join(true, ["day", "user_id"], "left").select(
+        "day",
+        "user_id",
+        "est_cnt",
+        F.coalesce(F.col("true_cnt"), F.lit(0).cast("long")).alias("true_cnt"),
+    )
+
+
 def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time session windows (30-min gap) per user via Spark's native
     ``session_window`` — the streaming counterpart of the batch lag/cumsum

@@ -299,6 +299,94 @@ def test_hll_register_state_roundtrips_through_parquet(spark, tmp_path):
     assert to_set(merged) == to_set(full)
 
 
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    """The CMS one-sided guarantee row by row: est >= true ALWAYS (the
+    structural property), and the overcount stays within a generous
+    multiple of the expected collision mass n/w per row."""
+    from big_data_assignment2_2025_spark.operators.sketches import (
+        CMS_WIDTH,
+        cms_counters,
+        cms_estimate_for_keys,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    n = ev.where(F.col("user_id").isNotNull()).count()
+    counters = cms_counters(ev, "user_id")
+    # estimate EVERY distinct user, not just a watchlist — the guarantee
+    # must hold pointwise
+    keys = ev.select("user_id").where(F.col("user_id").isNotNull()).distinct()
+    est = {r["user_id"]: r["est_cnt"]
+           for r in cms_estimate_for_keys(counters, keys, "user_id").collect()}
+    true = {r["user_id"]: r["cnt"]
+            for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+            .collect() if r["user_id"] is not None}
+    assert set(est) == set(true)
+    slack = max(20, 10 * n // CMS_WIDTH)
+    for u, t in true.items():
+        assert est[u] >= t, f"CMS undercounted user {u}: {est[u]} < {t}"
+        assert est[u] <= t + slack, (u, est[u], t, slack)
+
+
+def test_streaming_cms_bit_identical_to_batch_daily_sketch(spark):
+    """Counters are deterministic additive integers, so the streaming
+    drain (update-mode log reconciled by max) must equal the per-day
+    batch sketch estimates EXACTLY — and the one-sided guarantee
+    est >= true must hold live, per (day, user)."""
+    from big_data_assignment2_2025_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate_for_keys,
+    )
+    from big_data_assignment2_2025_spark.plans.round7_queries import (
+        CMS_WATCH_USERS,
+    )
+    from big_data_assignment2_2025_spark.streaming.stream import (
+        run_streaming_user_freq_cms,
+    )
+
+    stream = {
+        (str(r["day"]), r["user_id"]): (r["est_cnt"], r["true_cnt"])
+        for r in run_streaming_user_freq_cms(spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    # batch mirror: the same operators run day by day — slow but simple,
+    # the fixture has only a handful of days
+    per_day = []
+    days = [r["day"] for r in ev.select("day").distinct().collect()]
+    watch = spark.createDataFrame(
+        [(int(u),) for u in CMS_WATCH_USERS], "user_id long"
+    )
+    for d in days:
+        day_ev = ev.where(F.col("day") == F.lit(d))
+        cts = cms_counters(day_ev, "user_id")
+        for r in cms_estimate_for_keys(cts, watch, "user_id").collect():
+            per_day.append(((str(d), r["user_id"]), r["est_cnt"]))
+    batch = dict(per_day)
+    assert set(stream) == set(batch)
+    for k, (est, true) in stream.items():
+        assert est == batch[k], (k, est, batch[k])
+        assert est >= true, f"CMS undercounted {k}: {est} < {true}"
+
+
+def test_cms_counters_merge_by_addition(spark):
+    """Sketch merge = element-wise counter sum: counters built on two
+    disjoint halves, summed, equal the single-pass counters."""
+    from big_data_assignment2_2025_spark.operators.sketches import cms_counters
+
+    ev = load_table(spark, SF_SMALL, "events")
+    a = cms_counters(ev.where(F.col("event_id") % 2 == 0), "user_id")
+    b = cms_counters(ev.where(F.col("event_id") % 2 == 1), "user_id")
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in a.unionAll(b).groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    full = {(r["row"], r["bucket"]): r["cnt"]
+            for r in cms_counters(ev, "user_id").collect()}
+    assert merged == full
+
+
 def test_hist_rejects_non_integral_bin_width(spark):
     import pytest
 

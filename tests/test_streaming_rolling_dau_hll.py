@@ -141,6 +141,31 @@ def test_registers_merge_across_batches_and_dups_are_idempotent(spark):
         assert got == expected
 
 
+def test_register_state_survives_checkpoint_restart(spark):
+    """Users seen only BEFORE the restart must still shape windows
+    extended by post-restart days — register state restored from the
+    checkpoint, not rebuilt from incarnation 2's own input; a duplicate
+    of a pre-restart observation must be absorbed (max idempotence)."""
+    import datetime as dt
+
+    with tempfile.TemporaryDirectory() as root:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        _write_file(src, "a.parquet", [("2024-03-01 09:00:00", 1),
+                                       ("2024-03-01 10:00:00", 2)])
+        got, _ = _run_both(spark, src, root)
+        assert got == _sim({dt.date(2024, 3, 1): {1, 2}})
+
+        _write_file(src, "b.parquet", [("2024-03-03 09:00:00", 3),
+                                       ("2024-03-01 23:00:00", 1)])
+        got, _ = _run_both(spark, src, root)
+        expected = _sim({dt.date(2024, 3, 1): {1, 2},
+                         dt.date(2024, 3, 3): {3}})
+        # day 3's window must carry the RESTORED day-1 registers {1,2}
+        # alongside the new user 3
+        assert got == expected
+
+
 def test_closed_windows_evict_from_register_state(spark):
     import datetime as dt
 

@@ -377,6 +377,24 @@ COMMENTARY = {
         "is why this sketch hash-gates where approx_count_distinct never "
         "could."
     ),
+    "events_rolling_quantiles_hist": (
+        "Rolling quantiles by histogram-count addition (round 7): exact "
+        "quantiles cannot compose over sliding windows, so the plan never "
+        "re-ranks raw rows — per-day bin counts leave the scan as ONE "
+        "partial aggregate (<= days x 256 rows), the 7x fan-out is a "
+        "Generate over COUNT rows (bounded by window length, independent "
+        "of event volume), and the merge is a second partial sum. The "
+        "inversion is a partitioned window over <= 256 rows per day."
+    ),
+    "lineitem_distinct_profile_hll": (
+        "One-scan table profiling (round 7): the stack Generate unpivots "
+        "five columns in-projection, and the per-column HLL register "
+        "reduce is the ONLY shuffle — <= 5 x 512 rows whatever the table "
+        "size. Five exact COUNT(DISTINCT)s would each shuffle a full key "
+        "universe (or fuse into one Expand that quintuples the scan "
+        "output); the sketch pins the profiling cost to the register "
+        "bound."
+    ),
     "orders_bloom_prune": (
         "Deterministic Bloom semi-join pruning (round 7): the probe side "
         "of the plan has ZERO joins and ZERO exchanges — membership is a "
@@ -395,6 +413,18 @@ COMMENTARY = {
         "<= 256 rows per group plus a Generate for the percent fan-out. "
         "No floats anywhere in the plan — the whole query is integer "
         "algebra, bit-identical on any engine and any partitioning."
+    ),
+    "events_user_freq_cms": (
+        "Deterministic Count-Min watchlist (round 7): the counter build "
+        "is ONE fact scan whose posexplode fan-out folds back map-side — "
+        "the only full-volume exchange carries <= 3 x 1024 counter rows "
+        "per task whatever the event count, vs an exact per-key count "
+        "that shuffles the whole user universe. The watchlist lookup is "
+        "three BroadcastHashJoins against the bounded counter table plus "
+        "a codegen least(); the exact-truth readout side is an IN-list "
+        "pushed filter (10 keys) so it never aggregates beyond the "
+        "watchlist. Additive counters merge by sum — partial-aggregation "
+        "friendly, the same scale story as the HLL max-merge."
     ),
 }
 

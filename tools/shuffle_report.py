@@ -95,6 +95,9 @@ QUERIES_TO_PROFILE = [
     "events_rolling_quantiles_hist",
     "streaming_rolling_dau_hll",
     "orders_bloom_prune",
+    # round 7b: Count-Min watchlist — expect the d x w counter-row bound
+    # on the build exchange, broadcast-only lookups
+    "events_user_freq_cms",
 ]
 
 
