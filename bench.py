@@ -103,6 +103,7 @@ HEADLINE = [
     "lineitem_distinct_profile_hll",
     "events_user_freq_cms",
     "streaming_user_freq_cms",
+    "events_audience_diff_kmv",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

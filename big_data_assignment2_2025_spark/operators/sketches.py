@@ -47,7 +47,7 @@ catches up once shuffles spill/cross machines), so
 and comfortably buys back the second scan even on a scan-bound
 cluster.
 
-Round 7 adds four DETERMINISTIC sketch families (SCALING §13) — each
+Round 7 adds five DETERMINISTIC sketch families (SCALING §13) — each
 rebuilt from public integer primitives (md5 bit-slices, bit algebra,
 frozen-order IEEE tails) so the sketch state is engine-reproducible and
 the queries on top hash-gate where Spark's opaque built-ins never could:
@@ -56,12 +56,17 @@ integer registers, merge = per-bucket max), ``hist_quantile_sketch`` /
 ``hist_quantiles_from_counts`` (fixed-range histogram: additive bin
 counts, integer cumulative inversion), ``bloom_bitmap`` /
 ``bloom_probe_flag`` (Bloom semi-join pruning: 4 KB bit_or bitmap,
-literal-map codegen probe), and ``cms_counters`` /
+literal-map codegen probe), ``cms_counters`` /
 ``cms_estimate_for_keys`` (Count-Min: 3 x 1024 additive counters,
-sum-merge, never-undercount point estimates). Merge operators: max
-(HLL), + (histogram/CMS), bit_or (Bloom) — all associative,
-commutative, and partial-aggregation-friendly, which is the entire
-scale story.
+sum-merge, never-undercount point estimates), and ``kmv_sketch`` /
+``kmv_merge`` / ``kmv_theta`` (K-minimum-values / theta-style distinct
+sketch: the 256 smallest distinct 52-bit hashes, merge = k-smallest of
+the union — the one family whose sample supports set DIFFERENCE and
+intersection with union-scaled error, where HLL stops at
+inclusion-exclusion). Merge operators: max (HLL), + (histogram/CMS),
+bit_or (Bloom), k-smallest (KMV) — all associative, commutative, and
+(except the KMV re-rank) partial-aggregation-friendly, which is the
+entire scale story.
 
 ``weighted_priority_sample`` draws a deterministic weight-biased sample:
 priority = h/w where ``h`` is a 52-bit integer carved from md5(key) and
@@ -590,6 +595,102 @@ def cms_estimate_for_keys(
     drop = [c for i in range(CMS_DEPTH) for c in (f"_cp{i}", f"_cb{i}", f"_cms{i}")]
     drop += [f"_cg{i}_{c}" for i in range(CMS_DEPTH) for c in by]
     return out.drop(*drop)
+
+
+#: Deterministic KMV defaults: keep the 256 smallest distinct hashes.
+#: rsd ~ 1/sqrt(k-1) ~ 6.3%. KMV_DOMAIN = 2^52 (the hash range), an
+#: exact double, so the estimator chain cnt * 2^52 / theta * 1e6 is one
+#: frozen-order IEEE sequence reproducible on any engine.
+KMV_K = 256
+KMV_DOMAIN = 1 << 52
+
+
+def _kmv_topk(df: DataFrame, group_cols: list) -> DataFrame:
+    """The k-smallest-distinct-h reduction shared by build and merge:
+    distinct (group, h), then ``row_number() <= k`` ordered by ``h``.
+    Spark's WindowGroupLimit rewrite pushes the rank predicate below the
+    window exchange (each task forwards at most k rows per group), so
+    the re-rank never shuffles more than tasks x groups x k rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        df.select(*group_cols, "h")
+        .distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= KMV_K)
+        .select(*group_cols, "h")
+    )
+
+
+def kmv_sketch(df: DataFrame, group_cols: list, value_col: str) -> DataFrame:
+    """K-minimum-values sample per group: the ``KMV_K`` smallest DISTINCT
+    52-bit md5 hashes of ``value_col`` — (group_cols..., h), <= k rows
+    per group.
+
+    The theta-sketch family member: where HLL keeps 512 lossy registers,
+    KMV keeps an actual uniform SAMPLE of the distinct-value universe
+    (every distinct value whose hash lands below the group's k-th
+    smallest), which is what buys the set operations HLL cannot express:
+    a hash below both thetas is in A's sample iff it is in A AT ALL, so
+    intersection and DIFFERENCE counts are exact sample lookups, scaled
+    by the union estimator (``events_audience_diff_kmv``). When a group
+    has fewer than k distinct values the sample is the complete distinct
+    set and every derived estimate is EXACT.
+
+    Scale shape: the build reduces to the distinct (group, hash)
+    dimension once (map-side partial distinct — same shuffle class as
+    the exact rolling-DAU reduce, NOT the raw fact volume), then the
+    k-smallest re-rank is WindowGroupLimit-pruned. What you persist,
+    merge, and ship afterwards is <= k BIGINTs per group
+    (``kmv_merge``): incremental appends cost k-row merges, never a
+    history re-scan. If only a union CARDINALITY is needed, prefer the
+    HLL (register reduce, no distinct-dimension shuffle); KMV earns its
+    build cost when difference/intersection membership matters.
+    Deterministic md5 => the sample — and every estimate from it — is
+    bit-identical on any engine and partitioning."""
+    proj = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols, _hash52(F.col(value_col)).alias("h")
+    )
+    return _kmv_topk(proj, group_cols)
+
+
+def kmv_merge(sketches: DataFrame, group_cols: list) -> DataFrame:
+    """Merge KMV samples across a re-grouping (shard union, incremental
+    append, segment union): the k smallest distinct hashes of the
+    concatenation — associative, commutative, idempotent, and equal to
+    the sketch built from the concatenated raw data (test-asserted),
+    because min-k of min-k's is min-k."""
+    return _kmv_topk(sketches, group_cols)
+
+
+def kmv_theta(sketches: DataFrame, group_cols: list) -> DataFrame:
+    """Per-group sample size and threshold: (group_cols..., n_sample,
+    theta). ``theta`` = the k-th smallest hash when the sample is full
+    (the group has >= k distinct values), else ``KMV_DOMAIN`` (the
+    sample is the complete distinct set). The estimator convention is
+    strict-below: est = count(h < theta) * KMV_DOMAIN / theta — which
+    collapses to the textbook (k-1) * 2^52 / h_(k) when truncated and
+    to the EXACT n_sample when complete."""
+    return sketches.groupBy(*group_cols).agg(
+        F.count("*").alias("n_sample"),
+        F.when(F.count("*") < KMV_K, F.lit(KMV_DOMAIN).cast("long"))
+        .otherwise(F.max("h"))
+        .alias("theta"),
+    )
+
+
+def kmv_est_micro(cnt: F.Column, theta: F.Column) -> F.Column:
+    """The frozen-order KMV estimator chain, micro-rounded to a BIGINT:
+    round(cnt * 2^52 / theta * 1e6). cnt <= 2k and 2^52 are exact
+    doubles; one multiply, one divide, one multiply, one round — the
+    same cross-engine-stable IEEE discipline as ``hll_estimate``."""
+    return F.round(
+        cnt.cast("double")
+        * F.lit(float(KMV_DOMAIN))
+        / theta.cast("double")
+        * F.lit(1e6)
+    ).cast("long")
 
 
 def weighted_priority_sample(

@@ -611,6 +611,170 @@ FROM est e LEFT JOIN tc t USING (user_id)
 """
 
 
+def events_audience_diff_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra WITH set difference: how many distinct users
+    viewed, purchased, did either, did both, viewed-but-never-purchased,
+    purchased-but-never-viewed — from two <=256-row KMV samples.
+
+    The query HLL structurally cannot answer: inclusion-exclusion gives
+    |A∩B| but A∖B membership needs an actual SAMPLE of the distinct
+    universe, and the KMV threshold property provides one — a hash below
+    both thetas is in A's sample iff it is in A at all, so the
+    difference counts are exact lookups over the <=512 joined sample
+    rows, scaled by the shared union estimator (theta-sketch a-not-b).
+    When both audiences have < k distinct users the samples are complete
+    and every output is EXACT (the sf0.001 fixture regime). All counts
+    are integers and each estimate is one frozen-order IEEE chain
+    (``kmv_est_micro``), so the whole row hash-gates.
+
+    One distinct-dimension reduce (map-side partial), one
+    WindowGroupLimit-pruned re-rank, then a <=512-row full-outer join
+    and a single-row aggregate."""
+    from ..operators.sketches import KMV_K, kmv_est_micro, kmv_sketch, kmv_theta
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(
+        ev.where(F.col("event_type").isin("view", "purchase")),
+        ["event_type"],
+        "user_id",
+    )
+    th = kmv_theta(sk, ["event_type"])
+
+    def _pick(seg: str, col: str):
+        return F.max(F.when(F.col("event_type") == seg, F.col(col)))
+
+    th_wide = th.groupBy().agg(
+        _pick("view", "theta").alias("ta"),
+        _pick("view", "n_sample").alias("na"),
+        _pick("purchase", "theta").alias("tb"),
+        _pick("purchase", "n_sample").alias("nb"),
+    )
+    a = sk.where(F.col("event_type") == "view").select(
+        "h", F.lit(True).alias("in_a")
+    )
+    b = sk.where(F.col("event_type") == "purchase").select(
+        "h", F.lit(True).alias("in_b")
+    )
+    m = (
+        a.join(b, ["h"], "full")
+        .select(
+            "h",
+            F.coalesce("in_a", F.lit(False)).alias("in_a"),
+            F.coalesce("in_b", F.lit(False)).alias("in_b"),
+        )
+        .crossJoin(F.broadcast(th_wide))
+    )
+    below = F.col("h") < F.least("ta", "tb")
+
+    def _cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    c = m.groupBy().agg(
+        _cnt(below).alias("cnt_union"),
+        _cnt(below & F.col("in_a") & F.col("in_b")).alias("cnt_inter"),
+        _cnt(below & F.col("in_a") & ~F.col("in_b")).alias("cnt_anotb"),
+        _cnt(below & F.col("in_b") & ~F.col("in_a")).alias("cnt_bnota"),
+        F.max("ta").alias("ta"),
+        F.max("na").alias("na"),
+        F.max("tb").alias("tb"),
+        F.max("nb").alias("nb"),
+    )
+    theta = F.least("ta", "tb")
+    cnt_a = F.when(F.col("na") == KMV_K, F.lit(KMV_K - 1)).otherwise(
+        F.col("na")
+    )
+    cnt_b = F.when(F.col("nb") == KMV_K, F.lit(KMV_K - 1)).otherwise(
+        F.col("nb")
+    )
+    return c.select(
+        kmv_est_micro(cnt_a, F.col("ta")).alias("view_users_micro"),
+        kmv_est_micro(cnt_b, F.col("tb")).alias("purchase_users_micro"),
+        kmv_est_micro(F.col("cnt_union"), theta).alias("either_users_micro"),
+        kmv_est_micro(F.col("cnt_inter"), theta).alias("both_users_micro"),
+        kmv_est_micro(F.col("cnt_anotb"), theta).alias(
+            "view_only_users_micro"
+        ),
+        kmv_est_micro(F.col("cnt_bnota"), theta).alias(
+            "purchase_only_users_micro"
+        ),
+        F.col("na").alias("view_sample_n"),
+        F.col("nb").alias("purchase_sample_n"),
+    )
+
+
+# Literal mirror of the KMV pipeline: distinct (segment, hash), ranked
+# k-smallest samples, thresholds with the complete-sample sentinel
+# 2^52, a full-outer sample join, and the same frozen-order estimator
+# chain cnt * 2^52 / theta * 1e6 per output column.
+AUDIENCE_DIFF_KMV_SQL = """
+WITH base AS (
+  SELECT DISTINCT event_type AS s,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')
+),
+rk AS (
+  SELECT s, h, ROW_NUMBER() OVER (PARTITION BY s ORDER BY h) AS rk FROM base
+),
+sk AS (SELECT s, h FROM rk WHERE rk <= 256),
+perseg AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+         CASE WHEN COUNT(*) < 256 THEN CAST(4503599627370496 AS BIGINT)
+              ELSE MAX(h) END AS theta
+  FROM sk GROUP BY s
+),
+th AS (
+  SELECT MAX(CASE WHEN s = 'view' THEN theta END) AS ta,
+         MAX(CASE WHEN s = 'view' THEN n END) AS na,
+         MAX(CASE WHEN s = 'purchase' THEN theta END) AS tb,
+         MAX(CASE WHEN s = 'purchase' THEN n END) AS nb
+  FROM perseg
+),
+m AS (
+  SELECT COALESCE(a.h, b.h) AS h,
+         a.h IS NOT NULL AS in_a,
+         b.h IS NOT NULL AS in_b
+  FROM (SELECT h FROM sk WHERE s = 'view') a
+  FULL JOIN (SELECT h FROM sk WHERE s = 'purchase') b ON a.h = b.h
+),
+c AS (
+  SELECT
+    CAST(SUM(CASE WHEN h < least(ta, tb) THEN 1 ELSE 0 END) AS BIGINT)
+      AS cnt_union,
+    CAST(SUM(CASE WHEN h < least(ta, tb) AND in_a AND in_b
+             THEN 1 ELSE 0 END) AS BIGINT) AS cnt_inter,
+    CAST(SUM(CASE WHEN h < least(ta, tb) AND in_a AND NOT in_b
+             THEN 1 ELSE 0 END) AS BIGINT) AS cnt_anotb,
+    CAST(SUM(CASE WHEN h < least(ta, tb) AND in_b AND NOT in_a
+             THEN 1 ELSE 0 END) AS BIGINT) AS cnt_bnota,
+    MAX(ta) AS ta, MAX(na) AS na, MAX(tb) AS tb, MAX(nb) AS nb
+  FROM m CROSS JOIN th
+)
+SELECT
+  CAST(round(CAST(CASE WHEN na = 256 THEN 255 ELSE na END AS DOUBLE)
+             * 4503599627370496.0 / CAST(ta AS DOUBLE) * 1000000.0)
+       AS BIGINT) AS view_users_micro,
+  CAST(round(CAST(CASE WHEN nb = 256 THEN 255 ELSE nb END AS DOUBLE)
+             * 4503599627370496.0 / CAST(tb AS DOUBLE) * 1000000.0)
+       AS BIGINT) AS purchase_users_micro,
+  CAST(round(CAST(cnt_union AS DOUBLE)
+             * 4503599627370496.0 / CAST(least(ta, tb) AS DOUBLE)
+             * 1000000.0) AS BIGINT) AS either_users_micro,
+  CAST(round(CAST(cnt_inter AS DOUBLE)
+             * 4503599627370496.0 / CAST(least(ta, tb) AS DOUBLE)
+             * 1000000.0) AS BIGINT) AS both_users_micro,
+  CAST(round(CAST(cnt_anotb AS DOUBLE)
+             * 4503599627370496.0 / CAST(least(ta, tb) AS DOUBLE)
+             * 1000000.0) AS BIGINT) AS view_only_users_micro,
+  CAST(round(CAST(cnt_bnota AS DOUBLE)
+             * 4503599627370496.0 / CAST(least(ta, tb) AS DOUBLE)
+             * 1000000.0) AS BIGINT) AS purchase_only_users_micro,
+  na AS view_sample_n,
+  nb AS purchase_sample_n
+FROM c
+"""
+
+
 # Per-day variant of the Count-Min mirror — the oracle for the STREAMING
 # twin (streaming/stream.py run_streaming_user_freq_cms): counters are
 # additive integers, so the update-log reconciliation (max per
@@ -674,10 +838,12 @@ QUERIES = {
     "events_rolling_quantiles_hist": events_rolling_quantiles_hist,
     "lineitem_distinct_profile_hll": lineitem_distinct_profile_hll,
     "events_user_freq_cms": events_user_freq_cms,
+    "events_audience_diff_kmv": events_audience_diff_kmv,
 }
 
 ORACLES = {
     "events_user_freq_cms": CMS_USER_FREQ_SQL,
+    "events_audience_diff_kmv": AUDIENCE_DIFF_KMV_SQL,
     "lineitem_distinct_profile_hll": DISTINCT_PROFILE_SQL,
     "orders_bloom_prune": BLOOM_PRUNE_SQL,
     "events_rolling_quantiles_hist": ROLLING_HIST_QUANTILES_SQL,

@@ -369,6 +369,110 @@ def test_streaming_cms_bit_identical_to_batch_daily_sketch(spark):
         assert est >= true, f"CMS undercounted {k}: {est} < {true}"
 
 
+def test_kmv_merge_of_halves_equals_full_sketch(spark):
+    """The KMV merge law, bit-for-bit: k-smallest of (k-smallest(A) union
+    k-smallest(B)) over an arbitrary split equals the sketch of the whole
+    — the property that makes the <=k-row sample the thing you persist
+    and ship instead of re-scanning history."""
+    from big_data_assignment2_2025_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    full = {r["h"] for r in kmv_sketch(ev, [], "user_id").collect()}
+    a = kmv_sketch(ev.where(F.col("event_id") % 2 == 0), [], "user_id")
+    b = kmv_sketch(ev.where(F.col("event_id") % 2 == 1), [], "user_id")
+    merged = {r["h"] for r in kmv_merge(a.unionAll(b), []).collect()}
+    assert merged == full
+
+
+def test_kmv_audience_exact_when_distinct_below_k(spark):
+    """With fewer than k=256 distinct users per segment the samples are
+    COMPLETE, so every estimate must equal the exact set-op answer times
+    1e6 — including the set differences HLL cannot produce at all."""
+    from big_data_assignment2_2025_spark.plans.round7_queries import (
+        events_audience_diff_kmv,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    view = {
+        r["user_id"]
+        for r in ev.where(F.col("event_type") == "view")
+        .select("user_id").distinct().collect()
+    }
+    purchase = {
+        r["user_id"]
+        for r in ev.where(F.col("event_type") == "purchase")
+        .select("user_id").distinct().collect()
+    }
+    assert len(view) < 256 and len(purchase) < 256, "fixture regime changed"
+    row = events_audience_diff_kmv(spark, SF_SMALL).collect()[0]
+    assert row["view_sample_n"] == len(view)
+    assert row["purchase_sample_n"] == len(purchase)
+    assert row["view_users_micro"] == len(view) * 1_000_000
+    assert row["purchase_users_micro"] == len(purchase) * 1_000_000
+    assert row["either_users_micro"] == len(view | purchase) * 1_000_000
+    assert row["both_users_micro"] == len(view & purchase) * 1_000_000
+    assert row["view_only_users_micro"] == len(view - purchase) * 1_000_000
+    assert row["purchase_only_users_micro"] == (
+        len(purchase - view) * 1_000_000
+    )
+
+
+def test_kmv_audience_accuracy_at_truncating_scale(spark):
+    """At sf0.01 the samples truncate (distinct users >> k); every
+    estimate must land within a generous multiple of the theoretical
+    rsd ~ 1/sqrt(k-1) of the UNION size (intersection/difference error
+    scales with the union for theta sketches, like HLL's
+    inclusion-exclusion)."""
+    from big_data_assignment2_2025_spark.plans.round7_queries import (
+        events_audience_diff_kmv,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events").where(F.col("user_id").isNotNull())
+    view = {
+        r["user_id"]
+        for r in ev.where(F.col("event_type") == "view")
+        .select("user_id").distinct().collect()
+    }
+    purchase = {
+        r["user_id"]
+        for r in ev.where(F.col("event_type") == "purchase")
+        .select("user_id").distinct().collect()
+    }
+    row = events_audience_diff_kmv(spark, sf).collect()[0]
+    union_n = len(view | purchase)
+    band = max(10.0, 5 * union_n / (255 ** 0.5))  # 5 x rsd of the union
+    for col, exact in (
+        ("view_users_micro", len(view)),
+        ("purchase_users_micro", len(purchase)),
+        ("either_users_micro", union_n),
+        ("both_users_micro", len(view & purchase)),
+        ("view_only_users_micro", len(view - purchase)),
+        ("purchase_only_users_micro", len(purchase - view)),
+    ):
+        est = row[col] / 1e6
+        assert abs(est - exact) <= band, (col, est, exact, band)
+
+
+def test_kmv_build_plan_is_window_group_limited(spark):
+    """The k-smallest re-rank must be WindowGroupLimit-pruned (each task
+    forwards <= k rows per group below the window exchange) — without
+    the rewrite the full distinct dimension crosses the window shuffle."""
+    from big_data_assignment2_2025_spark.operators.sketches import kmv_sketch
+
+    ev = load_table(spark, SF_SMALL, "events")
+    plan = (
+        kmv_sketch(ev, ["event_type"], "user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
 def test_cms_counters_merge_by_addition(spark):
     """Sketch merge = element-wise counter sum: counters built on two
     disjoint halves, summed, equal the single-pass counters."""

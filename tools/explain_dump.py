@@ -414,6 +414,17 @@ COMMENTARY = {
         "No floats anywhere in the plan — the whole query is integer "
         "algebra, bit-identical on any engine and any partitioning."
     ),
+    "events_audience_diff_kmv": (
+        "KMV / theta-sketch set algebra (round 7): the only data-sized "
+        "exchange is the distinct (segment, hash) reduce — map-side "
+        "partial, same shuffle class as an exact distinct-count — and "
+        "the k-smallest re-rank shows WindowGroupLimit, so each task "
+        "forwards <= 256 rows per segment into the window exchange. "
+        "Everything downstream (full-outer sample join, scalar theta "
+        "cross join, one-row aggregate) moves <= 512 rows. This is the "
+        "sketch that answers viewed-but-never-purchased: set DIFFERENCE "
+        "needs sample membership, which registers (HLL) cannot provide."
+    ),
     "events_user_freq_cms": (
         "Deterministic Count-Min watchlist (round 7): the counter build "
         "is ONE fact scan whose posexplode fan-out folds back map-side — "

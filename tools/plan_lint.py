@@ -86,6 +86,7 @@ WHITELIST: dict[str, dict[str, str]] = {
     "corpus_divergence_kl": {"bnlj": "1-row totals/vocab-size scalar joined onto the per-language aggregate"},
     "heavy_hitter_terms": {"bnlj": "1-row token-total scalar joined onto the bounded (<=1/support keys) verification aggregate"},
     "pipeline_clean_corpus": {"bnlj": "1-row rollup scalar"},
+    "events_audience_diff_kmv": {"bnlj": "1-row theta/sample-size scalar cross-joined onto the <=512-row KMV sample frame"},
     # ---- unpartitioned windows over PROVABLY BOUNDED aggregates ----
     "revenue_growth_mom": {
         "unpartitioned_window": "input = per-month aggregate (80 rows; bounded by calendar)",

@@ -98,6 +98,10 @@ QUERIES_TO_PROFILE = [
     # round 7b: Count-Min watchlist — expect the d x w counter-row bound
     # on the build exchange, broadcast-only lookups
     "events_user_freq_cms",
+    # round 7b: KMV set algebra — the distinct-dimension reduce is the
+    # only data-sized exchange; the re-rank is WindowGroupLimit-pruned
+    # and everything after moves <= 2k sample rows
+    "events_audience_diff_kmv",
 ]
 
 
