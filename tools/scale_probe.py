@@ -461,7 +461,82 @@ def dau_sketch_probe(spark, sf_dir: str = SRC) -> dict:
     return out
 
 
+def cms_sketch_probe(spark, sf_dir: str = SRC) -> dict:
+    """Exact per-key counts vs the deterministic Count-Min watchlist,
+    measured in app-wide shuffle volume across a user-cardinality sweep
+    (the CMS scale claim in SCALING §13, measured): the exact GROUP BY
+    shuffles the full key universe every run, while the CMS counter
+    build is pinned at <= tasks x 3 x 1024 partial counter rows whatever
+    the cardinality — the watchlist estimate on top moves only the
+    bounded counter table through broadcast lookups.
+
+    Same harness as ``dau_sketch_probe``: each sweep point rewrites the
+    sf0.1 events fixture (100k rows) with ``user_id = hash(event_id) %
+    U`` into a throwaway /tmp dir, then runs the registry query
+    unmodified next to the naive exact aggregate."""
+    import time as _t
+
+    from big_data_assignment2_2025_spark.plans.round7_queries import (
+        events_user_freq_cms,
+    )
+    from tools.shuffle_report import _total_shuffle
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "event_id"
+    )
+    out = {}
+    root = "/tmp/spark_graft_cms_probe"
+    for u in (1_000, 10_000, 100_000):
+        dst = f"{root}/u_{u}"
+        shutil.rmtree(dst, ignore_errors=True)
+        ev.select(
+            "ts",
+            F.pmod(
+                F.xxhash64(F.col("event_id").cast("string")), F.lit(u)
+            ).alias("user_id"),
+        ).write.mode("overwrite").parquet(f"{dst}/events.parquet")
+        src = spark.read.parquet(f"{dst}/events.parquet")
+        row = {}
+
+        def _run(label, thunk):
+            b0, r0 = _total_shuffle(spark)
+            t0 = _t.perf_counter()
+            n = thunk()
+            sec = _t.perf_counter() - t0
+            b1, r1 = _total_shuffle(spark)
+            row[label] = {
+                "shuffle_bytes": b1 - b0,
+                "shuffle_records": r1 - r0,
+                "sec": round(sec, 2),
+                "rows": n,
+            }
+
+        _run(
+            "exact_groupby",
+            lambda: src.groupBy("user_id").agg(F.count("*").alias("c")).count(),
+        )
+        _run("cms", lambda: len(events_user_freq_cms(spark, dst).collect()))
+        out[f"users_{u}"] = row
+        print(
+            f"# cms_sketch U={u}: exact "
+            f"{row['exact_groupby']['shuffle_records']} rec / "
+            f"{row['exact_groupby']['shuffle_bytes']} B vs cms "
+            f"{row['cms']['shuffle_records']} rec / "
+            f"{row['cms']['shuffle_bytes']} B",
+            file=sys.stderr,
+        )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
+    if "--cms-sketch" in sys.argv:
+        spark = get_spark(
+            app_name="cms_sketch_probe",
+            extra_conf={"spark.ui.retainedStages": "100000"},
+        )
+        print(json.dumps({"cms_sketch": cms_sketch_probe(spark)}))
+        return
     if "--dau-sketch" in sys.argv:
         spark = get_spark(
             app_name="dau_sketch_probe",
