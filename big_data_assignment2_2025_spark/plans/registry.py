@@ -26,6 +26,7 @@ from . import (
     round4_queries,
     round5_queries,
     round7_queries,
+    round7b_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -57,6 +58,7 @@ _MODULES = [
     round4_queries,
     round5_queries,
     round7_queries,
+    round7b_queries,
     storage_queries,
 ]
 

@@ -119,6 +119,11 @@ WHITELIST: dict[str, dict[str, str]] = {
     "text_bigram_topk": {"unpartitioned_window": "input = top-k bigram aggregate after count filter (bounded by k-oriented HAVING)"},
     "graph_degree_distribution": {"unpartitioned_window": "input = per-degree counts (bounded by max degree)"},
     "events_variant_extract": {"unpartitioned_window": "input = per-type aggregate (bounded by type domain)"},
+    "search_rrf_fusion": {
+        "bnlj": "two 1-row corpus-stats scalars (BM25 avgdl + TF-IDF doc_n rankers)",
+        "unpartitioned_window": "rank assignment over the TakeOrderedAndProject top-20 frames (LIMIT-bounded, 20 rows each)",
+        "single_partition_sort": "same LIMIT-20 frames",
+    },
     # ---- sanctioned VECTORIZED Python boundaries (never row-at-a-time) ----
     "events_user_zscore": {"arrow_python": "applyInPandas grouped z-score — the sanctioned custom-grouped-transform surface (Arrow batches)"},
     "multimodal_decode_features": {"arrow_python": "mapInPandas media decode — Python by nature (codec), Arrow-batched"},
