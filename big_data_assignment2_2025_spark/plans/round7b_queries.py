@@ -520,12 +520,248 @@ ORDER BY o_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# 6. Deterministic per-group sample
+# --------------------------------------------------------------------------
+
+_GROUP_SAMPLE_K = 5
+
+
+def orders_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible k-per-group sample: 5 orders per market segment by
+    md5-hash priority — the per-stratum companion of the global
+    ``corpus_hash_sample`` / weighted priority sampler.
+
+    The priority is a pure function of the key (52 bits of md5), so the
+    sample is stable across runs, engines, and partitionings — the
+    property that makes pipeline reruns and A/B eval sets reproducible.
+    One broadcast join (customer dim → segment) + one PARTITIONED window
+    (row_number per segment over hash order): no global sort, no driver
+    collect; per-group state at 100 TB is the k-row heap Spark keeps per
+    window partition."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    pri = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("priority").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .withColumn("priority", pri)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _GROUP_SAMPLE_K)
+        .select(
+            "c_mktsegment",
+            F.col("rn").cast("int").alias("rn"),
+            "o_orderkey",
+            "priority",
+        )
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+GROUP_SAMPLE_SQL = f"""
+WITH pri AS (
+  SELECT c.c_mktsegment, o.o_orderkey,
+         ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 13))::BIGINT
+           AS priority
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, o_orderkey, priority,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY priority ASC, o_orderkey ASC) AS rn
+  FROM pri
+)
+SELECT c_mktsegment, CAST(rn AS INTEGER) AS rn, o_orderkey, priority
+FROM ranked WHERE rn <= {_GROUP_SAMPLE_K}
+ORDER BY c_mktsegment, rn
+"""
+
+
+# --------------------------------------------------------------------------
+# 7. CDC snapshot diff
+# --------------------------------------------------------------------------
+
+_CDC_SPLIT = "2000-01-01"
+
+
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: emit one row per
+    INSERT / UPDATE / DELETE with old and new values.
+
+    Snapshots are derived deterministically from ``orders`` (A = the full
+    pre-2000 state; B = today's state, where every 13th pre-2000 key has
+    been deleted, post-2000 keys inserted, and every 7th open order's
+    price touched up), then diffed with ONE
+    hash-partitioned full outer join on the primary key — the change
+    feed a lakehouse derives when the source system has no native CDC.
+    Unchanged rows are dropped AFTER the join by column compare; at
+    100 TB the standard refinement is comparing a persisted per-row
+    digest instead of N columns (same join shape, narrower shuffle), and
+    partition-level pruning skips partitions whose aggregate checksum
+    (``table_checksum``'s partial) is unchanged. Money is exact integer
+    cents end to end."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.round(F.col("o_totalprice").cast("double") * 100).cast("long").alias(
+            "cents"
+        ),
+    )
+    split = F.lit(_CDC_SPLIT).cast("date")
+    snap_a = orders.where(F.col("o_orderdate") < split).select(
+        "o_orderkey", "o_custkey", F.col("cents").alias("cents_a")
+    )
+    snap_b = (
+        orders.where(
+            (F.col("o_orderdate") >= split) | (F.col("o_orderkey") % 13 != 0)
+        )
+        .withColumn(
+            "cents_b",
+            F.when(
+                (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 7 == 0),
+                F.col("cents") + F.lit(100),
+            ).otherwise(F.col("cents")),
+        )
+        .select("o_orderkey", "o_custkey", "cents_b")
+    )
+    diff = snap_a.join(snap_b, ["o_orderkey", "o_custkey"], "full_outer")
+    return (
+        diff.withColumn(
+            "change_type",
+            F.when(F.col("cents_a").isNull(), F.lit("insert"))
+            .when(F.col("cents_b").isNull(), F.lit("delete"))
+            .when(F.col("cents_a") != F.col("cents_b"), F.lit("update")),
+        )
+        .where(F.col("change_type").isNotNull())
+        .select("o_orderkey", "o_custkey", "change_type", "cents_a", "cents_b")
+        .orderBy("o_orderkey")
+    )
+
+
+CDC_DIFF_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM orders
+),
+snap_a AS (
+  SELECT o_orderkey, o_custkey, cents AS cents_a
+  FROM base
+  WHERE o_orderdate < DATE '{_CDC_SPLIT}'
+),
+snap_b AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderstatus = 'O' AND o_orderkey % 7 = 0
+              THEN cents + 100 ELSE cents END AS cents_b
+  FROM base
+  WHERE o_orderdate >= DATE '{_CDC_SPLIT}' OR o_orderkey % 13 != 0
+)
+SELECT o_orderkey, o_custkey,
+       CASE WHEN cents_a IS NULL THEN 'insert'
+            WHEN cents_b IS NULL THEN 'delete'
+            WHEN cents_a != cents_b THEN 'update' END AS change_type,
+       cents_a, cents_b
+FROM snap_a FULL OUTER JOIN snap_b USING (o_orderkey, o_custkey)
+WHERE (cents_a IS NULL) OR (cents_b IS NULL) OR (cents_a != cents_b)
+ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# 8. int8 scalar quantization of embeddings
+# --------------------------------------------------------------------------
+
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization of the embedding
+    column — the 4x-compression storage format ANN services serve from
+    (code_i = floor(x_i * 127 / max|x| + 0.5)).
+
+    All array math stays in JVM higher-order functions (``transform`` /
+    ``aggregate``) — no Python, no explode shuffle: the scan is the only
+    job. Codes are INTEGERS from a frozen IEEE expression over the raw
+    floats (``floor(x+0.5)`` rounding — engine-unambiguous, unlike
+    half-even ``round``), so the whole code vector is cross-engine exact;
+    the output carries integer checksums of the codes rather than the
+    array itself to keep the hash gate on scalar columns. At 100 TB this
+    runs as a one-pass mapper feeding the PQ/IVF build
+    (``operators/pq.py``), which consumes the same quantized geometry."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    m = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    codes = F.transform(
+        x, lambda v: F.floor(v * F.lit(127.0) / F.col("m") + F.lit(0.5)).cast("long")
+    )
+    q = (
+        emb.withColumn("m", m)
+        .where(F.col("m") > 0)
+        .withColumn("codes", codes)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("codes"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    s = F.aggregate(F.col("codes"), F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return q.select(
+        "vec_id",
+        F.round(F.col("m") * 1e6).cast("long").alias("scale_micro"),
+        s.alias("code_sum"),
+        dot.alias("code_sq_sum"),
+        F.array_min("codes").cast("long").alias("code_min"),
+        F.array_max("codes").cast("long").alias("code_max"),
+    ).orderBy("vec_id")
+
+
+INT8_QUANT_SQL = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+scaled AS (
+  SELECT vec_id, x,
+         list_max(list_transform(x, v -> abs(v))) AS m
+  FROM base
+),
+coded AS (
+  SELECT vec_id, m,
+         list_transform(x, v -> CAST(floor(v * 127.0 / m + 0.5) AS BIGINT)) AS codes
+  FROM scaled
+  WHERE m > 0
+)
+SELECT vec_id,
+       CAST(round(m * 1e6) AS BIGINT) AS scale_micro,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(list_sum(list_transform(codes, c -> c * c)) AS BIGINT) AS code_sq_sum,
+       CAST(list_min(codes) AS BIGINT) AS code_min,
+       CAST(list_max(codes) AS BIGINT) AS code_max
+FROM coded
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "events_bitmap_daily_users": events_bitmap_daily_users,
     "events_gap_fill_interpolate": events_gap_fill_interpolate,
     "search_rrf_fusion": search_rrf_fusion,
     "search_phrase_match": search_phrase_match,
     "ivm_orders_agg_refresh": ivm_orders_agg_refresh,
+    "orders_group_sample": orders_group_sample,
+    "snapshot_diff_cdc": snapshot_diff_cdc,
+    "embedding_int8_quantize": embedding_int8_quantize,
 }
 
 ORACLES = {
@@ -534,4 +770,7 @@ ORACLES = {
     "search_rrf_fusion": _rrf_oracle(FLAGSHIP_QUERY),
     "search_phrase_match": PHRASE_MATCH_SQL,
     "ivm_orders_agg_refresh": IVM_REFRESH_SQL,
+    "orders_group_sample": GROUP_SAMPLE_SQL,
+    "snapshot_diff_cdc": CDC_DIFF_SQL,
+    "embedding_int8_quantize": INT8_QUANT_SQL,
 }

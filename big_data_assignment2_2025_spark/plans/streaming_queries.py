@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming import (
+    run_streaming_bitmap_dau,
     run_streaming_dedup,
     run_streaming_dedup_window_chain,
     run_streaming_foreachbatch_upsert,
@@ -35,10 +36,17 @@ from ..streaming import (
 from .events_queries import EVENTS_HOURLY_SQL, EVENTS_SLIDING_SQL
 from .round5_queries import HLL_ROLLING_DAU_SQL, OHLC_SQL, ROLLING_DAU_SQL
 from .round7_queries import DAILY_CMS_SQL, DAILY_HIST_QUANTILES_SQL
+from .round7b_queries import BITMAP_DAU_SQL
 
 
 def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_hourly(spark, sf_dir)
+
+
+def streaming_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked-bitmap exact daily distinct maintained incrementally:
+    <= ceil(id_universe/32) BIGINT words of state per open window."""
+    return run_streaming_bitmap_dau(spark, sf_dir)
 
 
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,6 +235,7 @@ QUERIES = {
     "streaming_rolling_dau_hll": streaming_rolling_dau_hll,
     "streaming_value_quantiles": streaming_value_quantiles,
     "streaming_user_freq_cms": streaming_user_freq_cms,
+    "streaming_bitmap_dau": streaming_bitmap_dau,
 }
 
 ORACLES = {
@@ -258,4 +267,8 @@ ORACLES = {
     # drain's reconciled counters equal the batch per-day sketch, so the
     # estimates are bit-identical — one SQL serves both deployments
     "streaming_user_freq_cms": DAILY_CMS_SQL,
+    # bit_or words are deterministic integers and monotone across
+    # update-mode emissions, so the reconciled drain equals the batch
+    # bitmap aggregate exactly — one SQL serves both deployments
+    "streaming_bitmap_dau": BITMAP_DAU_SQL,
 }

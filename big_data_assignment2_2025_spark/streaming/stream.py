@@ -794,6 +794,47 @@ def run_streaming_user_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_streaming_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the chunked-bitmap exact distinct
+    (plans.round7b_queries.events_bitmap_daily_users, same BITMAP_DAU_SQL
+    oracle): exact per-day distinct users maintained incrementally.
+
+    One stateful op: ``bit_or`` of ``1 << (user_id % 32)`` per (1-day
+    tumbling event-time window, ``user_id DIV 32`` bucket) under the
+    watermark. State per open window is at most ceil(id_universe/32)
+    BIGINT words — bounded by the id space, independent of event volume —
+    and closed windows evict. ``bit_or`` is duplicate-idempotent (a bit
+    set twice is one bit), so at-least-once replay needs no dedup stage,
+    and each window's emitted word is MONOTONE (bits only ever turn on)
+    across update-mode emissions — the reconciliation is ``bit_or`` per
+    (day, bucket) over the update log, after which the exact cardinality
+    reads off ``bit_count`` exactly as in the batch plan."""
+    ev = read_events_stream(spark, sf_dir)
+    proj = ev.where(F.col("user_id").isNotNull() & (F.col("user_id") >= 0)).select(
+        "ts",
+        F.expr("user_id DIV 32").alias("bucket"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 32) AS INT))"
+        ).alias("bit"),
+    )
+    word_agg = (
+        proj.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), "bucket")
+        .agg(F.bit_or("bit").alias("word"))
+        .select(F.to_date("w.start").alias("day"), "bucket", "word")
+    )
+    rows = _drain_to_memory(word_agg, spark, output_mode="update")
+    words = rows.groupBy("day", "bucket").agg(F.bit_or("word").alias("word"))
+    return (
+        words.groupBy("day")
+        .agg(
+            F.sum(F.bit_count("word")).cast("long").alias("dau"),
+            F.count("*").cast("long").alias("words_touched"),
+        )
+        .orderBy("day")
+    )
+
+
 def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time session windows (30-min gap) per user via Spark's native
     ``session_window`` — the streaming counterpart of the batch lag/cumsum

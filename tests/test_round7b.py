@@ -15,10 +15,13 @@ from pyspark.sql import functions as F
 
 from big_data_assignment2_2025_spark.plans.round7b_queries import (
     _PHRASE,
+    embedding_int8_quantize,
     events_bitmap_daily_users,
     events_gap_fill_interpolate,
     ivm_orders_agg_refresh,
+    orders_group_sample,
     search_phrase_match,
+    snapshot_diff_cdc,
     search_rrf_fusion,
 )
 from big_data_assignment2_2025_spark.sources.readers import load_table
@@ -137,3 +140,80 @@ def test_ivm_refresh_equals_full_recompute(spark, sf_dir):
         .collect()
     }
     assert got == full and got
+
+
+def test_streaming_bitmap_dau_equals_batch(spark, sf_dir):
+    """bit_or words are deterministic monotone integers, so the streaming
+    drain's reconciled state must equal the batch bitmap aggregate
+    exactly — the exact-distinct counterpart of the HLL/CMS twins."""
+    from big_data_assignment2_2025_spark.streaming.stream import (
+        run_streaming_bitmap_dau,
+    )
+
+    stream = {
+        (str(r["day"])): (r["dau"], r["words_touched"])
+        for r in run_streaming_bitmap_dau(spark, sf_dir).collect()
+    }
+    batch = {
+        (str(r["day"])): (r["dau"], r["words_touched"])
+        for r in events_bitmap_daily_users(spark, sf_dir).collect()
+    }
+    assert stream == batch and stream
+
+
+def test_group_sample_k_per_segment_and_deterministic(spark, sf_dir):
+    rows = orders_group_sample(spark, sf_dir).collect()
+    by_seg: dict = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r)
+    assert len(by_seg) == 5
+    for seg, srows in by_seg.items():
+        assert [r["rn"] for r in sorted(srows, key=lambda r: r["rn"])] == list(
+            range(1, len(srows) + 1)
+        )
+        assert len(srows) <= 5
+        pris = [r["priority"] for r in sorted(srows, key=lambda r: r["rn"])]
+        assert pris == sorted(pris)
+    again = orders_group_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_cdc_diff_classifies_all_three_kinds(spark, sf_dir):
+    rows = snapshot_diff_cdc(spark, sf_dir).collect()
+    kinds = {r["change_type"] for r in rows}
+    assert kinds == {"insert", "update", "delete"}
+    for r in rows:
+        if r["change_type"] == "insert":
+            assert r["cents_a"] is None and r["cents_b"] is not None
+        elif r["change_type"] == "delete":
+            assert r["cents_b"] is None and r["cents_a"] is not None
+            assert r["o_orderkey"] % 13 == 0
+        else:
+            assert r["cents_b"] - r["cents_a"] == 100
+            assert r["o_orderkey"] % 7 == 0
+
+
+def test_int8_codes_in_range_and_reconstructable(spark, sf_dir):
+    out = {r["vec_id"]: r for r in embedding_int8_quantize(spark, sf_dir).collect()}
+    assert out
+    for r in out.values():
+        assert -127 <= r["code_min"] <= r["code_max"] <= 127
+        assert r["scale_micro"] > 0
+    # Recompute codes in plain Python for a handful of vectors: the JVM
+    # expression must agree with the definition exactly.
+    import math
+
+    sample = (
+        load_table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(5)
+        .collect()
+    )
+    for row in sample:
+        x = [float(v) for v in row["embedding"]]
+        m = max(abs(v) for v in x)
+        codes = [math.floor(v * 127.0 / m + 0.5) for v in x]
+        r = out[row["vec_id"]]
+        assert r["code_sum"] == sum(codes)
+        assert r["code_sq_sum"] == sum(c * c for c in codes)
+        assert r["code_min"] == min(codes) and r["code_max"] == max(codes)
