@@ -104,6 +104,16 @@ HEADLINE = [
     "events_user_freq_cms",
     "streaming_user_freq_cms",
     "events_audience_diff_kmv",
+    # round-7b tranche 2: exact-bitmap distinct (batch + streaming twin),
+    # time-series gap fill, hybrid-retrieval fusion, positional phrase
+    # search, CDC snapshot diff, int8 quantization
+    "events_bitmap_daily_users",
+    "streaming_bitmap_dau",
+    "events_gap_fill_interpolate",
+    "search_rrf_fusion",
+    "search_phrase_match",
+    "snapshot_diff_cdc",
+    "embedding_int8_quantize",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

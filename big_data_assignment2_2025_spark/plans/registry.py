@@ -27,6 +27,7 @@ from . import (
     round5_queries,
     round7_queries,
     round7b_queries,
+    round7c_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -59,6 +60,7 @@ _MODULES = [
     round5_queries,
     round7_queries,
     round7b_queries,
+    round7c_queries,
     storage_queries,
 ]
 

@@ -1,0 +1,110 @@
+"""Invariant tests for the round-7c tranche (plans/round7c_queries.py):
+cohort retention, last-touch attribution, MCV column stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_assignment2_2025_spark.plans.round7c_queries import (
+    _ATTRIB_DAYS,
+    _MCV_COLS,
+    _MCV_K,
+    events_attribution_last_touch,
+    events_cohort_retention,
+    lineitem_mcv_stats,
+)
+from big_data_assignment2_2025_spark.sources.readers import load_table
+
+
+def test_cohort_offset_zero_is_full_cohort(spark, sf_dir):
+    rows = events_cohort_retention(spark, sf_dir).collect()
+    assert rows
+    total_users = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    at_zero = [r for r in rows if r["day_offset"] == 0]
+    # Every user is active on their own cohort day by definition.
+    for r in at_zero:
+        assert r["n_active"] == r["cohort_size"]
+        assert r["retained_frac"] == 1.0
+    assert sum(r["cohort_size"] for r in at_zero) == total_users
+    for r in rows:
+        assert 0 <= r["n_active"] <= r["cohort_size"]
+        assert r["day_offset"] >= 0
+
+
+def test_attribution_agrees_with_naive_range_join(spark, sf_dir):
+    """The window spelling must equal the naive purchases-x-clicks range
+    join (EXISTS click in (ts - 7d, ts) for the same user) — the
+    semantics, independently spelled."""
+    got = {
+        str(r["day"]): (r["purchases"], r["attributed_purchases"])
+        for r in events_attribution_last_touch(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    lookback = _ATTRIB_DAYS * 86400 * 1_000_000
+    attributed = (
+        p.join(c, "user_id")
+        .where(
+            (
+                (F.unix_micros("cts") < F.unix_micros("pts"))
+                | (
+                    (F.unix_micros("cts") == F.unix_micros("pts"))
+                    & (F.col("cid") < F.col("pid"))
+                )
+            )
+            & (F.unix_micros("pts") - F.unix_micros("cts") <= lookback)
+        )
+        .select("pid", F.to_date("pts").alias("day"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+    )
+    naive_attr = {str(r["day"]): r["n"] for r in attributed.collect()}
+    naive_tot = {
+        str(r["day"]): r["n"]
+        for r in p.groupBy(F.to_date("pts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(naive_tot)
+    for day, (tot, attr) in got.items():
+        assert tot == naive_tot[day]
+        assert attr == naive_attr.get(day, 0), day
+
+
+def test_mcv_topk_shape_and_counts(spark, sf_dir):
+    rows = lineitem_mcv_stats(spark, sf_dir).collect()
+    by_col: dict = {}
+    for r in rows:
+        by_col.setdefault(r["col_name"], []).append(r)
+    assert set(by_col) == set(_MCV_COLS)
+    li = load_table(spark, sf_dir, "lineitem")
+    for col, crows in by_col.items():
+        assert len(crows) <= _MCV_K
+        ns = [r["n"] for r in sorted(crows, key=lambda r: r["rank"])]
+        assert ns == sorted(ns, reverse=True)
+        assert abs(sum(r["freq"] for r in crows) - 1.0) < 1e-6 or sum(
+            r["freq"] for r in crows
+        ) < 1.0 + 1e-9
+    # Spot-check one column's top value against a direct aggregate.
+    top = min(by_col["l_returnflag"], key=lambda r: r["rank"])
+    direct = (
+        li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("l_returnflag").asc())
+        .first()
+    )
+    assert top["val"] == direct["l_returnflag"] and top["n"] == direct["n"]

@@ -437,6 +437,37 @@ COMMENTARY = {
         "watchlist. Additive counters merge by sum — partial-aggregation "
         "friendly, the same scale story as the HLL max-merge."
     ),
+    "events_bitmap_daily_users": (
+        "Chunked-bitmap exact distinct (round 7b): look for exactly two "
+        "hash exchanges — (day, bucket) word build and the per-day "
+        "bit_count rollup — with partial bit_or/sum aggregation on the "
+        "map side of each. The first exchange carries at most days x "
+        "ceil(id_universe/32) 8-byte words however many events scan "
+        "(measured 1,470 rows for a 100k-event scan); the second moves "
+        "only the word table. The exact-distinct counterpart of the HLL "
+        "register plan: same shape, words instead of registers, zero "
+        "approximation error while the id space stays dense "
+        "(BITMAPSKETCH_r7.json pins the crossover)."
+    ),
+    "search_rrf_fusion": (
+        "Hybrid-retrieval rank fusion (round 7b): two ranked lists off "
+        "ONE shared inverted-index build (the identical index sub-plans "
+        "dedup via the cache manager), each reduced to 20 rows by "
+        "TakeOrderedAndProject BEFORE any window — the row_number rank "
+        "assignment runs on LIMIT-bounded frames, so the only "
+        "unpartitioned windows in the plan see 20 rows at any corpus "
+        "size. The fusion itself is a full-outer join of two 20-row "
+        "frames: driver-trivial forever."
+    ),
+    "snapshot_diff_cdc": (
+        "CDC snapshot diff (round 7b): ONE sort-merge full-outer join on "
+        "the primary key — both snapshot scans carry their derivation "
+        "predicates as PushedFilters, the change classification is pure "
+        "codegen on the joined row, and unchanged rows never leave the "
+        "join stage. At 100 TB the refinement is a persisted per-row "
+        "digest (narrower shuffle, same plan shape) plus partition-level "
+        "checksum pruning to skip unchanged partitions entirely."
+    ),
 }
 
 

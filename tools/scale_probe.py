@@ -529,7 +529,110 @@ def cms_sketch_probe(spark, sf_dir: str = SRC) -> dict:
     return out
 
 
+def bitmap_sketch_probe(spark, sf_dir: str = SRC) -> dict:
+    """Exact daily distinct three ways — naive countDistinct, chunked
+    32-bit bitmap words, deterministic HLL — measured in app-wide shuffle
+    volume across an id-universe sweep (the bitmap scale claim in
+    SCALING §13, measured).
+
+    The expected shape: the naive exact path shuffles one record per
+    (day, user); the bitmap path shuffles one 8-byte word per (day,
+    occupied ``user_id DIV 32`` bucket) — a 32x record compression that
+    stays EXACT but grows with the id universe; the HLL path is pinned at
+    days x 512 registers whatever the universe. Crossover: bitmaps beat
+    HLL on both size and exactness while U/32 < 512 (dense ids below
+    ~16k), HLL wins above it at 2% error.
+
+    Same harness as ``dau_sketch_probe``: each sweep point rewrites the
+    sf0.1 events fixture with ``user_id = hash(event_id) % U`` into a
+    throwaway /tmp dir, then runs the registry queries unmodified."""
+    import time as _t
+
+    from big_data_assignment2_2025_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from big_data_assignment2_2025_spark.plans.round7b_queries import (
+        events_bitmap_daily_users,
+    )
+    from tools.shuffle_report import _total_shuffle
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "event_id"
+    )
+    out = {}
+    root = "/tmp/spark_graft_bitmap_probe"
+    for u in (1_000, 10_000, 100_000, 1_000_000):
+        dst = f"{root}/u_{u}"
+        shutil.rmtree(dst, ignore_errors=True)
+        ev.select(
+            "ts",
+            F.pmod(
+                F.xxhash64(F.col("event_id").cast("string")), F.lit(u)
+            ).alias("user_id"),
+        ).write.mode("overwrite").parquet(f"{dst}/events.parquet")
+        src = spark.read.parquet(f"{dst}/events.parquet")
+        row = {}
+
+        def _run(label, thunk):
+            b0, r0 = _total_shuffle(spark)
+            t0 = _t.perf_counter()
+            n = thunk()
+            sec = _t.perf_counter() - t0
+            b1, r1 = _total_shuffle(spark)
+            row[label] = {
+                "shuffle_bytes": b1 - b0,
+                "shuffle_records": r1 - r0,
+                "sec": round(sec, 2),
+                "rows": n,
+            }
+
+        def _hll_daily():
+            regs = hll_registers(
+                src.select(F.to_date("ts").alias("day"), "user_id"),
+                ["day"],
+                "user_id",
+            )
+            # collect(), not count(): count() lets Catalyst prune the
+            # aggregate expressions and the shuffle measures nothing
+            return len(hll_estimate(regs, ["day"]).collect())
+
+        _run(
+            "exact_count_distinct",
+            lambda: len(
+                src.groupBy(F.to_date("ts").alias("day"))
+                .agg(F.countDistinct("user_id").alias("dau"))
+                .collect()
+            ),
+        )
+        _run(
+            "bitmap",
+            lambda: len(events_bitmap_daily_users(spark, dst).collect()),
+        )
+        _run("hll", _hll_daily)
+        out[f"users_{u}"] = row
+        print(
+            f"# bitmap_sketch U={u}: exact "
+            f"{row['exact_count_distinct']['shuffle_records']} rec / "
+            f"{row['exact_count_distinct']['shuffle_bytes']} B vs bitmap "
+            f"{row['bitmap']['shuffle_records']} rec / "
+            f"{row['bitmap']['shuffle_bytes']} B vs hll "
+            f"{row['hll']['shuffle_records']} rec / "
+            f"{row['hll']['shuffle_bytes']} B",
+            file=sys.stderr,
+        )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
+    if "--bitmap-sketch" in sys.argv:
+        spark = get_spark(
+            app_name="bitmap_sketch_probe",
+            extra_conf={"spark.ui.retainedStages": "100000"},
+        )
+        print(json.dumps({"bitmap_sketch": bitmap_sketch_probe(spark)}))
+        return
     if "--cms-sketch" in sys.argv:
         spark = get_spark(
             app_name="cms_sketch_probe",

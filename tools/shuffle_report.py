@@ -102,6 +102,20 @@ QUERIES_TO_PROFILE = [
     # only data-sized exchange; the re-rank is WindowGroupLimit-pruned
     # and everything after moves <= 2k sample rows
     "events_audience_diff_kmv",
+    # round 7b tranche 2: chunked-bitmap exact distinct — expect one
+    # (day, bucket) word exchange, <= days x ceil(U/32) 8-byte rows —
+    # plus its streaming twin (state-store exchanges in the totals),
+    # gap-fill (one (user,day) agg + one window exchange over the
+    # densified frame), CDC diff (one full-outer key exchange), IVM
+    # refresh (partials + delta only), int8 quantization (expect ONE
+    # range exchange — the deterministic output sort; the quantization
+    # itself is projection-only)
+    "events_bitmap_daily_users",
+    "streaming_bitmap_dau",
+    "events_gap_fill_interpolate",
+    "snapshot_diff_cdc",
+    "ivm_orders_agg_refresh",
+    "embedding_int8_quantize",
 ]
 
 
