@@ -62,6 +62,32 @@ from .search_queries import FLAGSHIP_QUERY, _TOKENS_CTE
 _WORD_BITS = 32
 
 
+def bitmap_distinct_agg(
+    df: DataFrame, group_cols: list, id_col: str
+) -> DataFrame:
+    """Exact distinct count of non-negative ``id_col`` per group via
+    chunked 32-bit bitmap words: (group, ``id DIV 32``) → ``bit_or`` of
+    ``1 << (id % 32)`` → sum of ``bit_count``. Both aggregates combine
+    map-side; the only data-sized shuffle carries ≤ groups x
+    ceil(id_universe/32) 8-byte words. Returns (group_cols..., dau,
+    words_touched)."""
+    words = (
+        df.select(
+            *group_cols,
+            F.expr(f"{id_col} DIV {_WORD_BITS}").alias("bucket"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({id_col}, {_WORD_BITS}) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    return words.groupBy(*group_cols).agg(
+        F.sum(F.bit_count("word")).cast("long").alias("dau"),
+        F.count("*").cast("long").alias("words_touched"),
+    )
+
+
 def events_bitmap_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct users per day via chunked bitmap words.
 
@@ -76,25 +102,9 @@ def events_bitmap_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull() & (F.col("user_id") >= 0)
     )
-    words = (
-        ev.select(
-            F.to_date("ts").alias("day"),
-            F.expr(f"user_id DIV {_WORD_BITS}").alias("bucket"),
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, {_WORD_BITS}) AS INT))"
-            ).alias("bit"),
-        )
-        .groupBy("day", "bucket")
-        .agg(F.bit_or("bit").alias("word"))
-    )
-    return (
-        words.groupBy("day")
-        .agg(
-            F.sum(F.bit_count("word")).cast("long").alias("dau"),
-            F.count("*").cast("long").alias("words_touched"),
-        )
-        .orderBy("day")
-    )
+    return bitmap_distinct_agg(
+        ev.select(F.to_date("ts").alias("day"), "user_id"), ["day"], "user_id"
+    ).orderBy("day")
 
 
 BITMAP_DAU_SQL = f"""

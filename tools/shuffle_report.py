@@ -263,10 +263,47 @@ def _full_corpus_dedup_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _attribution_rangejoin_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The naive last-touch attribution: purchases x clicks range
+    self-join on (user, ts window) — per-user fan-out is clicks x
+    purchases, the quadratic shape the single window pass avoids."""
+    from big_data_assignment2_2025_spark.plans.round7c_queries import _ATTRIB_DAYS
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    lookback = _ATTRIB_DAYS * 86400 * 1_000_000
+    return (
+        p.join(c, "user_id")
+        .where(
+            (
+                (F.unix_micros("cts") < F.unix_micros("pts"))
+                | (
+                    (F.unix_micros("cts") == F.unix_micros("pts"))
+                    & (F.col("cid") < F.col("pid"))
+                )
+            )
+            & (F.unix_micros("pts") - F.unix_micros("cts") <= lookback)
+        )
+        .select("pid", F.to_date("pts").alias("day"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("attributed_purchases"))
+    )
+
+
 AB_PAIRS = {
     "ohlc": ("events_ohlc_bars", _ohlc_window_variant),
     "heavy_hitters": ("heavy_hitter_terms", _heavy_hitters_full_variant),
     "incremental_dedup": ("dedup_incremental_batch", _full_corpus_dedup_variant),
+    "attribution": (
+        "events_attribution_last_touch",
+        _attribution_rangejoin_variant,
+    ),
 }
 
 
