@@ -300,14 +300,172 @@ ORDER BY col_name, rank
 """
 
 
+# --------------------------------------------------------------------------
+# 4. Search-surface extensions: negation and prefix expansion
+# --------------------------------------------------------------------------
+
+_EXCL_QUERY = "spark join"
+_EXCL_TERM = "window"
+_PREFIX = "win"
+
+
+def bm25_search_excluding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval with a NOT-term: rank for "spark join" but drop any
+    document containing "window" — the exclusion operator every search
+    box grows (reference parity gap: ``app/query.py`` has no negation).
+
+    The exclusion is a LEFT ANTI join against the excluded term's posting
+    list — one posting-list-sized probe, never a corpus scan: the
+    anti-join's build side is exactly df("window") rows, and at 100 TB it
+    broadcasts when the posting list is small or shuffles only matching
+    doc ids when it is not (AQE decides)."""
+    from ..operators.index import build_index
+    from ..operators.search import bm25_scores, parse_query
+    from ..sources.readers import read_documents
+
+    index = build_index(read_documents(spark, sf_dir))
+    scored = bm25_scores(index, parse_query(_EXCL_QUERY))
+    excl = index.term_freq.where(
+        (F.col("corpus_name") == "whole_corpus")
+        & (F.col("term") == _EXCL_TERM)
+    ).select("doc_id")
+    ranked = (
+        scored.join(excl, "doc_id", "left_anti")
+        .groupBy("doc_id", "doc_title")
+        .agg(F.sum("bm25").alias("rank_raw"))
+    )
+    return (
+        ranked.orderBy(F.col("rank_raw").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select(
+            F.col("doc_id").cast("int").alias("doc_id"),
+            "doc_title",
+            F.round("rank_raw", 6).alias("doc_rank"),
+        )
+    )
+
+
+def bm25_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval for a PREFIX query ("win*"): every vocabulary term
+    starting with the prefix contributes its BM25 score.
+
+    The expansion is a predicate on the term column (``startswith``), not
+    a driver-side vocabulary collect: on the materialized term-sorted
+    index the prefix becomes a pushed range scan, so cost tracks the
+    expanded posting volume. Per-doc aggregation and top-k are unchanged
+    from the exact-term path."""
+    from ..operators.index import build_index
+    from ..operators.search import bm25_expr
+    from ..sources.readers import read_documents
+
+    index = build_index(read_documents(spark, sf_dir))
+    tf = index.term_freq.where(
+        (F.col("corpus_name") == "whole_corpus")
+        & F.col("term").startswith(_PREFIX)
+    )
+    vocab = index.term_doc_freq.where(
+        (F.col("corpus_name") == "whole_corpus")
+        & F.col("term").startswith(_PREFIX)
+    )
+    stats = index.corpus_info.select("doc_n", "total_doc_length")
+    scored = (
+        tf.join(F.broadcast(vocab), ["term", "corpus_name"])
+        .join(index.doc_info, ["doc_id", "doc_title"])
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "bm25",
+            bm25_expr(
+                F.col("term_frequency"),
+                F.col("doc_frequency"),
+                F.col("doc_length"),
+                F.col("doc_n"),
+                F.col("total_doc_length"),
+            ),
+        )
+    )
+    ranked = scored.groupBy("doc_id", "doc_title").agg(
+        F.sum("bm25").alias("rank_raw")
+    )
+    return (
+        ranked.orderBy(F.col("rank_raw").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select(
+            F.col("doc_id").cast("int").alias("doc_id"),
+            "doc_title",
+            F.round("rank_raw", 6).alias("doc_rank"),
+        )
+    )
+
+
+def _bm25_core_sql(term_pred: str) -> str:
+    """BM25 scored-CTE body over ``_TOKENS_CTE`` with a term predicate."""
+    from .search_queries import _TOKENS_CTE
+
+    return f"""
+WITH {_TOKENS_CTE},
+scored AS (
+  SELECT tf.doc_id, tf.doc_title,
+         ln(CAST(ci.doc_n AS DOUBLE) / CAST(v.doc_frequency AS DOUBLE))
+           * (2.0 * CAST(tf.term_frequency AS DOUBLE))
+           / (1.0 * (0.25 + 0.75 * CAST(di.doc_length AS DOUBLE)
+                        / (CAST(ci.total_doc_length AS DOUBLE) / CAST(ci.doc_n AS DOUBLE)))
+              + CAST(tf.term_frequency AS DOUBLE)) AS bm25
+  FROM tf
+  JOIN vocab v USING (term, corpus_name)
+  JOIN doc_info di USING (doc_id, doc_title)
+  CROSS JOIN corpus_info ci
+  WHERE {term_pred}
+)
+"""
+
+
+def _excl_oracle() -> str:
+    from ..operators.search import parse_query
+
+    terms = ", ".join(f"'{t}'" for t in parse_query(_EXCL_QUERY))
+    return (
+        _bm25_core_sql(f"tf.term IN ({terms})")
+        + f"""
+SELECT CAST(s.doc_id AS INTEGER) AS doc_id, s.doc_title,
+       round(sum(s.bm25), 6) AS doc_rank
+FROM scored s
+WHERE NOT EXISTS (
+  SELECT 1 FROM tf x
+  WHERE x.term = '{_EXCL_TERM}' AND x.doc_id = s.doc_id
+)
+GROUP BY s.doc_id, s.doc_title
+ORDER BY sum(s.bm25) DESC, s.doc_id ASC
+LIMIT 10
+"""
+    )
+
+
+def _prefix_oracle() -> str:
+    return (
+        _bm25_core_sql(f"tf.term LIKE '{_PREFIX}%'")
+        + """
+SELECT CAST(doc_id AS INTEGER) AS doc_id, doc_title,
+       round(sum(bm25), 6) AS doc_rank
+FROM scored
+GROUP BY doc_id, doc_title
+ORDER BY sum(bm25) DESC, doc_id ASC
+LIMIT 10
+"""
+    )
+
+
 QUERIES = {
     "events_cohort_retention": events_cohort_retention,
+    "bm25_search_excluding": bm25_search_excluding,
+    "bm25_prefix_search": bm25_prefix_search,
     "events_attribution_last_touch": events_attribution_last_touch,
     "lineitem_mcv_stats": lineitem_mcv_stats,
 }
 
 ORACLES = {
     "events_cohort_retention": COHORT_RETENTION_SQL,
+    "bm25_search_excluding": _excl_oracle(),
+    "bm25_prefix_search": _prefix_oracle(),
     "events_attribution_last_touch": ATTRIBUTION_SQL,
     "lineitem_mcv_stats": MCV_STATS_SQL,
 }

@@ -108,3 +108,49 @@ def test_mcv_topk_shape_and_counts(spark, sf_dir):
         .first()
     )
     assert top["val"] == direct["l_returnflag"] and top["n"] == direct["n"]
+
+
+def test_bm25_exclusion_drops_docs_with_excluded_term(spark, sf_dir):
+    from big_data_assignment2_2025_spark.plans.round7c_queries import (
+        _EXCL_TERM,
+        bm25_search_excluding,
+    )
+
+    rows = bm25_search_excluding(spark, sf_dir).collect()
+    assert rows
+    ids = [r["doc_id"] for r in rows]
+    texts = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isin(ids))
+        .collect()
+    )
+    import re as _re
+
+    for t in texts:
+        toks = set(_re.findall(r"[\w']+", t["text"].lower()))
+        assert _EXCL_TERM not in toks
+
+
+def test_bm25_prefix_expands_only_prefix_terms(spark, sf_dir):
+    """Every doc in the prefix result must contain at least one token
+    starting with the prefix; scores are positive and sorted."""
+    from big_data_assignment2_2025_spark.plans.round7c_queries import (
+        _PREFIX,
+        bm25_prefix_search,
+    )
+
+    rows = bm25_prefix_search(spark, sf_dir).collect()
+    assert rows
+    scores = [r["doc_rank"] for r in rows]
+    assert scores == sorted(scores, reverse=True) and all(s > 0 for s in scores)
+    ids = [r["doc_id"] for r in rows]
+    texts = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isin(ids))
+        .collect()
+    )
+    import re as _re
+
+    for t in texts:
+        toks = _re.findall(r"[\w']+", t["text"].lower())
+        assert any(tok.startswith(_PREFIX) for tok in toks)

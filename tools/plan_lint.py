@@ -56,6 +56,8 @@ WHITELIST: dict[str, dict[str, str]] = {
     "bm25_single_term": {"bnlj": "1-row corpus-stats scalar"},
     "bm25_empty_result": {"bnlj": "1-row corpus-stats scalar"},
     "bm25_search_materialized": {"bnlj": "1-row corpus-stats scalar"},
+    "bm25_search_excluding": {"bnlj": "1-row corpus-stats scalar"},
+    "bm25_prefix_search": {"bnlj": "1-row corpus-stats scalar"},
     "tfidf_search": {"bnlj": "1-row doc-count scalar"},
     "tfidf_doc_similarity": {"bnlj": "1-row doc-count scalar"},
     "cross_join_scalar": {"bnlj": "the query IS the 1-row scalar cross join"},

@@ -82,6 +82,15 @@ PROBES = [
     "events_ohlc_bars",
     "events_rolling_dau",
     "graph_kcore_peel",
+    # round-7b/7c surfaces whose scale behavior the 10x probe should pin:
+    # bitmap words (shuffle = id-universe bound, not event count), the
+    # densified gap-fill window, the CDC full-outer diff, cohort
+    # retention's co-partitioned joins, and the attribution window pass
+    "events_bitmap_daily_users",
+    "events_gap_fill_interpolate",
+    "snapshot_diff_cdc",
+    "events_cohort_retention",
+    "events_attribution_last_touch",
 ]
 
 #: bump when the derived-dataset recipe changes so stale /tmp copies rebuild
