@@ -31,6 +31,7 @@ from ..streaming import (
     run_streaming_stateful_counter,
     run_streaming_static_join,
     run_streaming_stream_join,
+    run_streaming_stream_join_left,
     run_streaming_user_freq_cms,
 )
 from .events_queries import EVENTS_HOURLY_SQL, EVENTS_SLIDING_SQL
@@ -41,6 +42,12 @@ from .round7b_queries import BITMAP_DAU_SQL
 
 def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_hourly(spark, sf_dir)
+
+
+def streaming_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-gated LEFT OUTER stream-stream join: unconverted clicks
+    emit NULL-padded only once provably unmatchable."""
+    return run_streaming_stream_join_left(spark, sf_dir)
 
 
 def streaming_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,6 +130,42 @@ GROUP BY c.c_mktsegment
 # rebuilt at exact µs on both engines (Spark: timestamp_micros(ns div 1000);
 # DuckDB: make_timestamp(epoch_ns // 1000)) so >=/<= boundary comparisons
 # never disagree on sub-µs residue.
+# The left-outer twin mirrors Spark's emission contract exactly: matched
+# pairs emit eagerly; an unmatched click emits NULL-padded only when the
+# GLOBAL watermark (min over both sources of per-source max event time
+# floored to Spark's millisecond watermark precision, minus the 2h delay)
+# has passed the end of its match window — clicks still inside their
+# window at drain end stay in state and are not emitted (the honest
+# availableNow tail behavior; completeness is proven by eviction).
+STREAMING_STREAM_JOIN_LEFT_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id,
+         make_timestamp(epoch_ns(ts) // 1000) AS ts
+  FROM events WHERE event_type = 'click' AND event_id IS NOT NULL),
+p AS (
+  SELECT event_id AS purchase_id, user_id, value,
+         make_timestamp(epoch_ns(ts) // 1000) AS ts
+  FROM events WHERE event_type = 'purchase' AND event_id IS NOT NULL),
+wm AS (
+  SELECT least((SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM c),
+               (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM p))
+         - CAST(7200 AS BIGINT) * 1000000 AS w_us),
+matched AS (
+  SELECT c.user_id, c.click_id, p.purchase_id,
+         round(p.value, 4) AS purchase_value
+  FROM c JOIN p
+    ON c.user_id = p.user_id
+   AND p.ts >= c.ts
+   AND p.ts <= c.ts + INTERVAL 1 HOUR)
+SELECT user_id, click_id, purchase_id, purchase_value FROM matched
+UNION ALL
+SELECT c.user_id, c.click_id, NULL, NULL
+FROM c, wm
+WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+  AND epoch_us(c.ts + INTERVAL 1 HOUR) < wm.w_us
+"""
+
+
 STREAMING_STREAM_JOIN_SQL = """
 WITH c AS (
   SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts
@@ -236,6 +279,7 @@ QUERIES = {
     "streaming_value_quantiles": streaming_value_quantiles,
     "streaming_user_freq_cms": streaming_user_freq_cms,
     "streaming_bitmap_dau": streaming_bitmap_dau,
+    "streaming_stream_join_left": streaming_stream_join_left,
 }
 
 ORACLES = {
@@ -271,4 +315,5 @@ ORACLES = {
     # update-mode emissions, so the reconciled drain equals the batch
     # bitmap aggregate exactly — one SQL serves both deployments
     "streaming_bitmap_dau": BITMAP_DAU_SQL,
+    "streaming_stream_join_left": STREAMING_STREAM_JOIN_LEFT_SQL,
 }

@@ -308,6 +308,61 @@ def run_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(joined, spark, output_mode="append")
 
 
+def run_streaming_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval LEFT OUTER self-join: every click, joined to
+    same-user purchases within one hour — clicks with no such purchase
+    emit NULL-padded, but only once the watermark proves no match can
+    still arrive.
+
+    The outer side is the semantics the inner join cannot give: "which
+    clicks did NOT convert" is exactly the row the state store may only
+    release after event time has moved past click_ts + 1h (otherwise a
+    late purchase could still match). Consequence at the stream tail: a
+    click whose match window the final watermark has not yet passed stays
+    buffered and is NOT emitted by an availableNow drain — the honest
+    at-scale behavior (state ∝ watermark delay + interval, eviction
+    proves completeness). The oracle mirrors this exactly: matched pairs
+    unconditionally, unmatched clicks gated on
+    ``click_ts + 1h < global watermark`` with the watermark computed the
+    way Spark does — per-source max event time FLOORED TO MILLISECONDS
+    minus the 2h delay, min across the two sources."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """user_id = p_user_id
+               AND purchase_ts >= click_ts
+               AND purchase_ts <= click_ts + INTERVAL 1 HOUR"""
+        ),
+        "left_outer",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+    return _drain_to_memory(joined, spark, output_mode="append")
+
+
 def _make_running_counter():
     """StatefulProcessor factory for ``run_streaming_tws_counter``. The
     class is declared at module scope semantics-wise (importable by executor

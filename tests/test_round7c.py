@@ -154,3 +154,42 @@ def test_bm25_prefix_expands_only_prefix_terms(spark, sf_dir):
     for t in texts:
         toks = _re.findall(r"[\w']+", t["text"].lower())
         assert any(tok.startswith(_PREFIX) for tok in toks)
+
+
+def test_stream_join_left_holds_back_tail_clicks(spark, sf_dir):
+    """The left-outer stream join must emit matched pairs, NULL-pad
+    provably-unmatched clicks, and HOLD BACK clicks whose 1h match window
+    the final watermark has not passed — exactly that partition."""
+    from big_data_assignment2_2025_spark.streaming.stream import (
+        run_streaming_stream_join_left,
+    )
+
+    out = run_streaming_stream_join_left(spark, sf_dir).collect()
+    assert out
+    emitted = {r["click_id"] for r in out}
+    n_null = sum(1 for r in out if r["purchase_id"] is None)
+    assert n_null > 0, "fixture produced no unconverted clicks"
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id").isNotNull())
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(F.col("ts").alias("pts"))
+    wm_us = min(
+        (r[0] // 1000) * 1000
+        for r in [
+            c.agg(F.max(F.unix_micros("cts"))).collect()[0],
+            p.agg(F.max(F.unix_micros("pts"))).collect()[0],
+        ]
+    ) - 7200 * 1_000_000
+    held = {
+        r["click_id"]
+        for r in c.where(
+            F.unix_micros("cts") + 3600 * 1_000_000 >= F.lit(wm_us)
+        ).collect()
+    }
+    all_clicks = {r["click_id"] for r in c.collect()}
+    # every click is either emitted or provably still in its match window
+    assert emitted | held == all_clicks
+    # and no held-back UNMATCHED click leaked out
+    matched = {r["click_id"] for r in out if r["purchase_id"] is not None}
+    assert all(cid in matched for cid in emitted & held)
