@@ -459,6 +459,34 @@ COMMENTARY = {
         "size. The fusion itself is a full-outer join of two 20-row "
         "frames: driver-trivial forever."
     ),
+    "events_cohort_retention": (
+        "Cohort retention (round 7c): the fact table reduces ONCE to the "
+        "distinct (user, day) dimension; the per-user cohort aggregate and "
+        "the join back both key on user_id, so they share one hash "
+        "partitioning (no second fact scan, no re-shuffle between them "
+        "beyond the aggregate's own exchange), and AQE broadcast-promotes "
+        "the derived aggregates when they come out small. The final "
+        "(cohort_day, day_offset) rollup is calendar-grain — bounded "
+        "whatever the user count."
+    ),
+    "events_attribution_last_touch": (
+        "Last-touch attribution (round 7c): ONE user-keyed window pass "
+        "carries the latest click timestamp to every later purchase "
+        "(last IGNORE NULLS over a strictly-preceding frame) — compare "
+        "the naive purchases x clicks range join, whose per-user fan-out "
+        "is clicks x purchases (the shuffle A/B in SHUFFLE_r7 pins the "
+        "gap). One sort per user partition, integer-microsecond window "
+        "arithmetic, map-side-partial final rollup by day."
+    ),
+    "lineitem_mcv_stats": (
+        "MCV statistics (round 7c): the stacked unpivot is a projection "
+        "(no shuffle — the scan fans each row into one row per profiled "
+        "column in-task); the (column, value) count aggregate is map-side "
+        "partial so the exchange carries at most columns x distinct "
+        "values; and the per-column top-k window shows WindowGroupLimit, "
+        "so only k rows per task per column cross the window exchange. "
+        "The ANALYZE shape: one scan, bounded everything after."
+    ),
     "snapshot_diff_cdc": (
         "CDC snapshot diff (round 7b): ONE sort-merge full-outer join on "
         "the primary key — both snapshot scans carry their derivation "
