@@ -116,6 +116,11 @@ QUERIES_TO_PROFILE = [
     "snapshot_diff_cdc",
     "ivm_orders_agg_refresh",
     "embedding_int8_quantize",
+    # round 7c: the window-pass attribution (its A/B partner below pins
+    # the range-join fan-out) and the watermark-gated outer stream join
+    # (totals capture both sides' state-store exchanges)
+    "events_attribution_last_touch",
+    "streaming_stream_join_left",
 ]
 
 
