@@ -28,6 +28,7 @@ from . import (
     round7_queries,
     round7b_queries,
     round7c_queries,
+    round7d_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -61,6 +62,7 @@ _MODULES = [
     round7_queries,
     round7b_queries,
     round7c_queries,
+    round7d_queries,
     storage_queries,
 ]
 

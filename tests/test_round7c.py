@@ -193,3 +193,78 @@ def test_stream_join_left_holds_back_tail_clicks(spark, sf_dir):
     # and no held-back UNMATCHED click leaked out
     matched = {r["click_id"] for r in out if r["purchase_id"] is not None}
     assert all(cid in matched for cid in emitted & held)
+
+
+def test_snippets_contain_query_terms(spark, sf_dir):
+    from big_data_assignment2_2025_spark.operators.search import parse_query
+    from big_data_assignment2_2025_spark.plans.round7d_queries import (
+        search_snippets,
+    )
+    from big_data_assignment2_2025_spark.plans.search_queries import (
+        FLAGSHIP_QUERY,
+    )
+
+    terms = set(parse_query(FLAGSHIP_QUERY))
+    rows = search_snippets(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        toks = r["snippet"].split()
+        assert 1 <= len(toks) <= 7
+        assert terms & set(toks), r["snippet"]
+
+
+def test_band_join_blocked_equals_naive_and_probes_less(spark, sf_dir):
+    from big_data_assignment2_2025_spark.plans.round7d_queries import (
+        _BAND_US,
+        events_band_join_grid,
+    )
+
+    got = {
+        str(r["day"]): (r["n_pairs"], r["n_errors"], r["n_purchases"])
+        for r in events_band_join_grid(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    e = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"),
+        F.unix_micros("ts").alias("err_us"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pur_id"),
+        F.unix_micros("ts").alias("pur_us"),
+    )
+    naive = (
+        e.join(p, "user_id")
+        .where(F.abs(F.col("err_us") - F.col("pur_us")) <= _BAND_US)
+        .groupBy(
+            F.to_date(F.timestamp_micros(F.col("err_us"))).alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("err_id").alias("n_errors"),
+            F.countDistinct("pur_id").alias("n_purchases"),
+        )
+    )
+    expect = {
+        str(r["day"]): (r["n_pairs"], r["n_errors"], r["n_purchases"])
+        for r in naive.collect()
+    }
+    assert got == expect and got
+    # the grid probes strictly fewer candidate pairs than the naive
+    # user-only join fans out
+    naive_probes = e.join(p, "user_id").count()
+    blocked = e.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"CAST(err_us DIV {_BAND_US} AS BIGINT) - 1"),
+                F.expr(f"CAST(err_us DIV {_BAND_US} AS BIGINT)"),
+                F.expr(f"CAST(err_us DIV {_BAND_US} AS BIGINT) + 1"),
+            )
+        ),
+    ).join(
+        p.withColumn(
+            "bucket", F.expr(f"CAST(pur_us DIV {_BAND_US} AS BIGINT)")
+        ),
+        ["user_id", "bucket"],
+    ).count()
+    assert blocked < naive_probes

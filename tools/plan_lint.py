@@ -58,6 +58,7 @@ WHITELIST: dict[str, dict[str, str]] = {
     "bm25_search_materialized": {"bnlj": "1-row corpus-stats scalar"},
     "bm25_search_excluding": {"bnlj": "1-row corpus-stats scalar"},
     "bm25_prefix_search": {"bnlj": "1-row corpus-stats scalar"},
+    "search_snippets": {"bnlj": "1-row corpus-stats scalar (the BM25 ranker)"},
     "tfidf_search": {"bnlj": "1-row doc-count scalar"},
     "tfidf_doc_similarity": {"bnlj": "1-row doc-count scalar"},
     "cross_join_scalar": {"bnlj": "the query IS the 1-row scalar cross join"},
