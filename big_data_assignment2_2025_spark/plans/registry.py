@@ -29,6 +29,7 @@ from . import (
     round7b_queries,
     round7c_queries,
     round7d_queries,
+    round7e_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -63,6 +64,7 @@ _MODULES = [
     round7b_queries,
     round7c_queries,
     round7d_queries,
+    round7e_queries,
     storage_queries,
 ]
 

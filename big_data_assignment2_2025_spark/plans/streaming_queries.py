@@ -22,6 +22,7 @@ from ..streaming import (
     run_streaming_dedup_window_chain,
     run_streaming_foreachbatch_upsert,
     run_streaming_hourly,
+    run_streaming_latest_state,
     run_streaming_ohlc,
     run_streaming_rolling_dau,
     run_streaming_rolling_dau_hll,
@@ -34,7 +35,11 @@ from ..streaming import (
     run_streaming_stream_join_left,
     run_streaming_user_freq_cms,
 )
-from .events_queries import EVENTS_HOURLY_SQL, EVENTS_SLIDING_SQL
+from .events_queries import (
+    EVENTS_HOURLY_SQL,
+    EVENTS_LATEST_STATE_SQL,
+    EVENTS_SLIDING_SQL,
+)
 from .round5_queries import HLL_ROLLING_DAU_SQL, OHLC_SQL, ROLLING_DAU_SQL
 from .round7_queries import DAILY_CMS_SQL, DAILY_HIST_QUANTILES_SQL
 from .round7b_queries import BITMAP_DAU_SQL
@@ -96,6 +101,13 @@ def streaming_dedup_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_sessions(spark, sf_dir)
+
+
+def streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: unwindowed keyed min_by/max_by aggregation —
+    O(entity-universe) state with a constant per-key footprint; equals the
+    batch events_latest_state answer (same oracle SQL)."""
+    return run_streaming_latest_state(spark, sf_dir)
 
 
 def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,9 +292,12 @@ QUERIES = {
     "streaming_user_freq_cms": streaming_user_freq_cms,
     "streaming_bitmap_dau": streaming_bitmap_dau,
     "streaming_stream_join_left": streaming_stream_join_left,
+    "streaming_latest_state": streaming_latest_state,
 }
 
 ORACLES = {
+    # identical final state to the batch log-compaction aggregation
+    "streaming_latest_state": EVENTS_LATEST_STATE_SQL,
     "streaming_foreachbatch_upsert": STREAMING_FOREACHBATCH_SQL,
     "streaming_stream_join": STREAMING_STREAM_JOIN_SQL,
     "streaming_static_join": STREAMING_STATIC_JOIN_SQL,

@@ -544,6 +544,49 @@ def run_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(agg, spark)
 
 
+def run_streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction as a stream: the incremental twin of
+    ``plans.events_queries.events_latest_state`` (same oracle SQL).
+
+    An UNWINDOWED ``groupBy(user_id, event_type)`` keyed aggregation with
+    ``min_by``/``max_by`` over the packed ``(second, event_id)`` ordering
+    key: each micro-batch folds its rows into a handful of scalars per key
+    (count, first/last value + ordinal, max second). State is O(distinct
+    keys) with a CONSTANT per-key footprint — which is exactly the contract
+    of a materialized current-state table: keys are never evicted because
+    the "latest state per entity" answer needs every live entity. That is
+    bounded by the entity universe, not by stream length, so it survives a
+    long-running deployment (unlike per-window user SETS — see
+    run_streaming_rolling_dau's eviction discussion).
+
+    min_by/max_by are declarative aggregates (partial-mergeable), so each
+    batch contributes map-side partials; nothing is replayed. The memory
+    sink here drains in complete mode for the oracle check; the production
+    shape is update mode into an upsert sink (see
+    run_streaming_foreachbatch_upsert for the MERGE variant).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    ord_key = sec * F.lit(10_000_000).cast("long") + F.col("event_id")
+    agg = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            ord_key.alias("ord"),
+            sec.alias("sec"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("min_by(value, ord)").alias("first_value"),
+            F.expr("max_by(value, ord)").alias("last_value"),
+            F.max("sec").alias("last_sec"),
+        )
+    )
+    return _drain_to_memory(agg, spark)
+
+
 def run_streaming_dedup_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED stateful operators in one streaming query (Spark 3.5+
     multi-stateful support): watermarked dedup feeding a windowed
