@@ -30,6 +30,7 @@ from . import (
     round7c_queries,
     round7d_queries,
     round7e_queries,
+    round7f_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -65,6 +66,7 @@ _MODULES = [
     round7c_queries,
     round7d_queries,
     round7e_queries,
+    round7f_queries,
     storage_queries,
 ]
 

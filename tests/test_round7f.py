@@ -1,0 +1,82 @@
+"""Round-7f: sequence pattern match, containment dedup, observe() metrics."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from big_data_assignment2_2025_spark.plans.round7f_queries import (
+    dedup_containment,
+    events_pattern_match,
+    observed_profile,
+)
+from big_data_assignment2_2025_spark.sources.readers import load_table
+
+
+def test_pattern_match_equals_python_recount(spark, sf_dir):
+    got = {
+        (r["user_id"], str(r["day"])): (r["seq_len"], r["n_matches"])
+        for r in events_pattern_match(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            (
+                F.floor(F.col("ts").cast("double")).cast("long")
+                * F.lit(10_000_000).cast("long")
+                + F.col("event_id")
+            ).alias("ord"),
+            F.substring("event_type", 1, 1).alias("sym"),
+        )
+        .collect()
+    )
+    seqs: dict = {}
+    for r in ev:
+        seqs.setdefault((r["user_id"], str(r["day"])), []).append(
+            (r["ord"], r["sym"])
+        )
+    want = {}
+    for k, pairs in seqs.items():
+        seq = "".join(s for _, s in sorted(pairs))
+        n = len(re.findall(r"vc+p", seq))
+        if n >= 1:
+            want[k] = (len(seq), n)
+    assert got == want and len(got) > 0
+
+
+def test_containment_catches_asymmetric_pairs(spark, sf_dir):
+    rows = dedup_containment(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # score definitions hold and the threshold is respected
+        assert round(r["inter"] / r["n1"], 6) == r["contain_1_in_2"]
+        assert round(r["inter"] / r["n2"], 6) == r["contain_2_in_1"]
+        assert max(r["contain_1_in_2"], r["contain_2_in_1"]) >= 0.8
+        # containment is a superset signal of Jaccard: max containment
+        # always >= the symmetric score
+        jac = r["inter"] / (r["n1"] + r["n2"] - r["inter"])
+        assert max(r["contain_1_in_2"], r["contain_2_in_1"]) >= round(jac, 6)
+
+
+def test_observation_metrics_match_recomputation(spark, sf_dir):
+    result, obs = observed_profile(spark, sf_dir)
+    rows = result.collect()  # action -> metrics become available
+    assert len(rows) > 0
+    orders = load_table(spark, sf_dir, "orders")
+    want = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_custkey").isNull()).alias("n_null_cust"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    ).collect()[0]
+    got = obs.get
+    assert got["n_rows"] == want["n_rows"]
+    assert got["n_null_cust"] == want["n_null_cust"]
+    assert got["min_date"] == want["min_date"]
+    assert got["max_date"] == want["max_date"]
+    # and the observed totals reconcile with the grouped result
+    assert sum(r["n_orders"] for r in rows) == got["n_rows"]
