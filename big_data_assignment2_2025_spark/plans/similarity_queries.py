@@ -249,12 +249,111 @@ ORDER BY query_id
 """
 
 
+def embedding_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-5 neighbors over SIGN-BIT binarized embeddings for query
+    vectors vec_id < 5 — the 32x-compression scan path of a vector store.
+
+    Each d<=64-dim float vector collapses to a 64-bit sign signature (bit i
+    set iff x_i > 0), carried as two 32-bit halves in BIGINTs so every value
+    stays positive (identical xor/bit_count semantics cross-engine, no
+    sign-bit or ANSI-overflow corner). Distance = popcount(xor) — integer
+    codegen over 8 bytes/vector, which is why binary signatures are THE
+    memory-bandwidth-bound brute-force at corpus scale: a 100 TB fp32
+    embedding table becomes ~3 TB of signatures that scan at memory speed,
+    and a production pipeline reranks the Hamming shortlist with exact
+    cosine (compose with ``brute_force_topk`` on the shortlist).
+
+    Everything is integers from frozen expressions, so the result
+    hash-gates exactly; ranking ties break by neighbor_id."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    sig_lo = F.expr(
+        "aggregate(sequence(0, least(size(embedding), 32) - 1), 0L,"
+        " (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > 0"
+        " THEN shiftleft(1L, i) ELSE 0L END)"
+    )
+    sig_hi = F.expr(
+        "CASE WHEN size(embedding) > 32 THEN"
+        " aggregate(sequence(32, size(embedding) - 1), 0L,"
+        " (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > 0"
+        " THEN shiftleft(1L, i - 32) ELSE 0L END) ELSE 0L END"
+    )
+    sigs = emb.select(
+        "vec_id", sig_lo.alias("sig_lo"), sig_hi.alias("sig_hi")
+    )
+    q = sigs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+    )
+    c = sigs.select(
+        F.col("vec_id").alias("neighbor_id"), "sig_lo", "sig_hi"
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.expr("sig_lo ^ q_lo"))
+                + F.bit_count(F.expr("sig_hi ^ q_hi"))
+            ).cast("long"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "hamming", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+EMBEDDING_BINARY_HAMMING_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+sig AS (
+  SELECT vec_id,
+    COALESCE(list_sum(list_transform(range(0, least(len(embedding), 32)),
+      i -> CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
+                THEN 1::BIGINT << i ELSE 0::BIGINT END)), 0) AS sig_lo,
+    COALESCE(list_sum(list_transform(range(32, greatest(len(embedding), 32)),
+      i -> CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
+                THEN 1::BIGINT << (i - 32) ELSE 0::BIGINT END)), 0) AS sig_hi
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, sig_lo AS q_lo, sig_hi AS q_hi FROM sig WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(c.sig_lo, q.q_lo))
+              + bit_count(xor(c.sig_hi, q.q_hi)) AS BIGINT) AS hamming
+  FROM sig c CROSS JOIN q
+  WHERE q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY hamming ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, hamming, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "knn_classify": knn_classify,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_neardup": embedding_neardup,
+    "embedding_binary_hamming_topk": embedding_binary_hamming_topk,
 }
 
 ORACLES = {
@@ -263,4 +362,5 @@ ORACLES = {
     "ann_lsh_bucketed": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
+    "embedding_binary_hamming_topk": EMBEDDING_BINARY_HAMMING_SQL,
 }

@@ -80,3 +80,31 @@ def test_observation_metrics_match_recomputation(spark, sf_dir):
     assert got["max_date"] == want["max_date"]
     # and the observed totals reconcile with the grouped result
     assert sum(r["n_orders"] for r in rows) == got["n_rows"]
+
+
+def test_binary_hamming_matches_python_recount(spark, sf_dir):
+    from big_data_assignment2_2025_spark.plans.similarity_queries import (
+        embedding_binary_hamming_topk,
+    )
+
+    got = [
+        (r["query_id"], r["neighbor_id"], r["hamming"], r["rank"])
+        for r in embedding_binary_hamming_topk(spark, sf_dir).collect()
+    ]
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    sigs = {}
+    for r in emb:
+        v = r["embedding"]
+        if v is None or len(v) == 0:
+            continue
+        sigs[r["vec_id"]] = sum(1 << i for i, x in enumerate(v) if x > 0)
+    want = []
+    for qid in sorted(k for k in sigs if k < 5):
+        dists = sorted(
+            (bin(sigs[qid] ^ s).count("1"), nid)
+            for nid, s in sigs.items()
+            if nid != qid
+        )
+        for rank, (h, nid) in enumerate(dists[:5], start=1):
+            want.append((qid, nid, h, rank))
+    assert sorted(got) == sorted(want) and len(got) > 0
