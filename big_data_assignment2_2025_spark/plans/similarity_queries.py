@@ -249,6 +249,23 @@ ORDER BY query_id
 """
 
 
+def _sign_signatures(emb: DataFrame) -> DataFrame:
+    """(vec_id, sig_lo, sig_hi): 64-bit sign-bit signature as two positive
+    32-bit halves (see embedding_binary_hamming_topk)."""
+    sig_lo = F.expr(
+        "aggregate(sequence(0, least(size(embedding), 32) - 1), 0L,"
+        " (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > 0"
+        " THEN shiftleft(1L, i) ELSE 0L END)"
+    )
+    sig_hi = F.expr(
+        "CASE WHEN size(embedding) > 32 THEN"
+        " aggregate(sequence(32, size(embedding) - 1), 0L,"
+        " (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > 0"
+        " THEN shiftleft(1L, i - 32) ELSE 0L END) ELSE 0L END"
+    )
+    return emb.select("vec_id", sig_lo.alias("sig_lo"), sig_hi.alias("sig_hi"))
+
+
 def embedding_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming top-5 neighbors over SIGN-BIT binarized embeddings for query
     vectors vec_id < 5 — the 32x-compression scan path of a vector store.
@@ -268,20 +285,7 @@ def embedding_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull() & (F.size("embedding") > 0)
     )
-    sig_lo = F.expr(
-        "aggregate(sequence(0, least(size(embedding), 32) - 1), 0L,"
-        " (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > 0"
-        " THEN shiftleft(1L, i) ELSE 0L END)"
-    )
-    sig_hi = F.expr(
-        "CASE WHEN size(embedding) > 32 THEN"
-        " aggregate(sequence(32, size(embedding) - 1), 0L,"
-        " (acc, i) -> acc + CASE WHEN element_at(embedding, i + 1) > 0"
-        " THEN shiftleft(1L, i - 32) ELSE 0L END) ELSE 0L END"
-    )
-    sigs = emb.select(
-        "vec_id", sig_lo.alias("sig_lo"), sig_hi.alias("sig_hi")
-    )
+    sigs = _sign_signatures(emb)
     q = sigs.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("sig_lo").alias("q_lo"),
@@ -347,6 +351,134 @@ FROM ranked WHERE rank <= 5
 """
 
 
+#: Hamming shortlist size per query before the exact rerank
+_RERANK_SHORTLIST = 32
+
+
+def ann_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: 32-candidate Hamming shortlist over the binary
+    signatures, exact-cosine rerank to top-5 — the production vector-store
+    read path.
+
+    Stage 1 scans ONLY the 8-byte signatures (memory-bandwidth-bound; the
+    fp32 vectors are never touched); stage 2 probes the full-precision
+    table by equi-join for just shortlist_size x n_queries rows. At 100 TB
+    the expensive float table is read for a few hundred rows per query
+    instead of scanned — the same shortlist-then-verify discipline as the
+    LSH/IVF families, but with a deterministic integer stage 1 that
+    hash-gates exactly. Both stages' cuts are totally ordered
+    ((hamming, id), then (rounded cosine desc, id)), so the composed result
+    is engine-reproducible."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    sigs = _sign_signatures(emb)
+    q = sigs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+    )
+    c = sigs.select(F.col("vec_id").alias("neighbor_id"), "sig_lo", "sig_hi")
+    hamming = (
+        F.bit_count(F.expr("sig_lo ^ q_lo"))
+        + F.bit_count(F.expr("sig_hi ^ q_hi"))
+    ).cast("long")
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("hamming", hamming)
+        .withColumn("hrank", F.row_number().over(w1))
+        .where(F.col("hrank") <= _RERANK_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qv = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    rer = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+ANN_HAMMING_RERANK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+sig AS (
+  SELECT vec_id,
+    COALESCE(list_sum(list_transform(range(0, least(len(embedding), 32)),
+      i -> CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
+                THEN 1::BIGINT << i ELSE 0::BIGINT END)), 0) AS sig_lo,
+    COALESCE(list_sum(list_transform(range(32, greatest(len(embedding), 32)),
+      i -> CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
+                THEN 1::BIGINT << (i - 32) ELSE 0::BIGINT END)), 0) AS sig_hi
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, sig_lo AS q_lo, sig_hi AS q_hi FROM sig WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         bit_count(xor(c.sig_lo, q.q_lo)) + bit_count(xor(c.sig_hi, q.q_hi)) AS hamming
+  FROM sig c CROSS JOIN q
+  WHERE q.query_id <> c.vec_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, neighbor_id ASC) AS hrank
+    FROM scored) s
+  WHERE hrank <= {_RERANK_SHORTLIST}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         (SELECT {_COSINE_EXPR.strip()}
+          FROM (SELECT eq.embedding AS qv, ec.embedding AS cv) t) AS cosine
+  FROM shortlist s
+  JOIN e ec ON ec.vec_id = s.neighbor_id
+  JOIN e eq ON eq.vec_id = s.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rer
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "knn_classify": knn_classify,
     "ann_bruteforce_topk": ann_bruteforce_topk,
@@ -354,6 +486,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_neardup": embedding_neardup,
     "embedding_binary_hamming_topk": embedding_binary_hamming_topk,
+    "ann_hamming_rerank": ann_hamming_rerank,
 }
 
 ORACLES = {
@@ -363,4 +496,5 @@ ORACLES = {
     "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "embedding_binary_hamming_topk": EMBEDDING_BINARY_HAMMING_SQL,
+    "ann_hamming_rerank": ANN_HAMMING_RERANK_SQL,
 }

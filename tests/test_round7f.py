@@ -108,3 +108,25 @@ def test_binary_hamming_matches_python_recount(spark, sf_dir):
         for rank, (h, nid) in enumerate(dists[:5], start=1):
             want.append((qid, nid, h, rank))
     assert sorted(got) == sorted(want) and len(got) > 0
+
+
+def test_hamming_rerank_recall_vs_exact(spark, sf_dir):
+    """The two-stage result should recover most of the exact cosine top-5:
+    sign-bit signatures preserve angles (random-projection argument), so a
+    32-candidate shortlist at ~100 vectors keeps recall high."""
+    from big_data_assignment2_2025_spark.plans.similarity_queries import (
+        ann_bruteforce_topk,
+        ann_hamming_rerank,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    staged = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_hamming_rerank(spark, sf_dir).collect()
+    }
+    assert len(staged) == len(exact) > 0
+    recall = len(exact & staged) / len(exact)
+    assert recall >= 0.6, f"two-stage recall {recall:.2f} vs exact top-5"
