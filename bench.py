@@ -114,6 +114,17 @@ HEADLINE = [
     "search_phrase_match",
     "snapshot_diff_cdc",
     "embedding_int8_quantize",
+    # round-7e/f: salted skew join, file-manifest skipping, BPE pair
+    # counting, containment dedup, sequence pattern match, binary-signature
+    # retrieval (plain + two-stage rerank), streaming log compaction
+    "skew_join_salted",
+    "orders_manifest_skipping",
+    "text_bpe_merge_pairs",
+    "dedup_containment",
+    "events_pattern_match",
+    "embedding_binary_hamming_topk",
+    "ann_hamming_rerank",
+    "streaming_latest_state",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

@@ -121,6 +121,20 @@ QUERIES_TO_PROFILE = [
     # (totals capture both sides' state-store exchanges)
     "events_attribution_last_touch",
     "streaming_stream_join_left",
+    # round 7e/f: the salted join (expect the x8 dim replication on the
+    # SMALL side only — dim rows x8, fact rows shuffled once), manifest
+    # skipping (expect scan_rows << full table: pruned files only),
+    # BPE pair counting (expect the pair explode to hang off the
+    # vocab-sized wf aggregate, not the raw token stream), containment
+    # (same df-capped fan-out bound as dedup_ngram_capped), and the
+    # binary-signature two-stage retrieval (signature build is
+    # projection-only; the only exchanges are the two window ranks and
+    # the shortlist equi-join)
+    "skew_join_salted",
+    "orders_manifest_skipping",
+    "text_bpe_merge_pairs",
+    "dedup_containment",
+    "ann_hamming_rerank",
 ]
 
 
