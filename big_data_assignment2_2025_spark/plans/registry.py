@@ -31,6 +31,7 @@ from . import (
     round7d_queries,
     round7e_queries,
     round7f_queries,
+    round7g_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -67,6 +68,7 @@ _MODULES = [
     round7d_queries,
     round7e_queries,
     round7f_queries,
+    round7g_queries,
     storage_queries,
 ]
 
