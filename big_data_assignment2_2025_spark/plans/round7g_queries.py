@@ -108,10 +108,174 @@ ORDER BY d.day
 """
 
 
+# --------------------------------------------------------------------------
+# 2. EWMA control chart (trailing exponentially-weighted baseline)
+# --------------------------------------------------------------------------
+
+#: trailing lags in the EWMA baseline; weight of lag k is 2^(_EWMA_LAGS-k)
+_EWMA_LAGS = 7
+
+#: relative deviation from baseline that flags a day
+_EWMA_FLAG = 0.2
+
+
+def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-value control chart: each day compared against a
+    trailing 7-day exponentially-weighted baseline (half-life 1 day),
+    flagged when it deviates more than ±20%.
+
+    The EWMA is exact integers until one final division: the 7 trailing
+    days enter as ``lag(v_us, k)`` columns with INTEGER weights
+    ``2^(7-k)`` (halving per day of age), so numerator and the constant
+    denominator (127) are BIGINTs — no float accumulation order to
+    disagree on. Only days with a full 7-day history are emitted. The
+    window again runs over the calendar-bounded daily aggregate; this is
+    the streaming-adjacent monitoring readout a batch pipeline recomputes
+    incrementally per day at any fact-table scale."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.expr(f"CAST(floor(round(value, 4) * {_SCALE} + 0.5) AS BIGINT)")
+        ).alias("v_us")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "v_us",
+        *[
+            F.lag("v_us", k).over(w).alias(f"l{k}")
+            for k in range(1, _EWMA_LAGS + 1)
+        ],
+    ).where(F.col(f"l{_EWMA_LAGS}").isNotNull())
+    num = None
+    for k in range(1, _EWMA_LAGS + 1):
+        term = F.col(f"l{k}") * F.lit(2 ** (_EWMA_LAGS - k)).cast("long")
+        num = term if num is None else num + term
+    den = float(2**_EWMA_LAGS - 1)
+    baseline = num / F.lit(den)  # ONE float op on integer inputs
+    dev = (F.col("v_us") - baseline) / baseline
+    return (
+        lagged.select(
+            "day",
+            F.round(F.col("v_us") / float(_SCALE), 6).alias("value"),
+            F.round(baseline / float(_SCALE), 6).alias("ewma"),
+            F.round(dev, 6).alias("dev_ratio"),
+            F.when(F.abs(dev) > _EWMA_FLAG, 1).otherwise(0).cast("int").alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+_EWMA_NUM_SQL = " + ".join(
+    f"l{k} * {2 ** (_EWMA_LAGS - k)}" for k in range(1, _EWMA_LAGS + 1)
+)
+
+EWMA_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(floor(round(value, 4) * {_SCALE} + 0.5) AS BIGINT)) AS v_us
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+lagged AS (
+  SELECT day, v_us,
+         {", ".join(f"LAG(v_us, {k}) OVER (ORDER BY day) AS l{k}" for k in range(1, _EWMA_LAGS + 1))}
+  FROM daily
+),
+scored AS (
+  SELECT day, v_us,
+         ({_EWMA_NUM_SQL}) / {float(2**_EWMA_LAGS - 1)} AS baseline
+  FROM lagged WHERE l{_EWMA_LAGS} IS NOT NULL
+)
+SELECT day,
+       round(v_us / {float(_SCALE)}, 6) AS value,
+       round(baseline / {float(_SCALE)}, 6) AS ewma,
+       round((v_us - baseline) / baseline, 6) AS dev_ratio,
+       CAST(CASE WHEN abs((v_us - baseline) / baseline) > {_EWMA_FLAG}
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+FROM scored
+ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. Language-ID confusion matrix (declared vs detected)
+# --------------------------------------------------------------------------
+
+
+def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the fixture's DECLARED language column against
+    the stopword-argmax detector — the calibration readout that tells a
+    corpus pipeline whether its cheap language filter can be trusted per
+    language. One projection + one small groupBy; share is computed
+    against the declared-language total via a broadcast join of the
+    (≤ languages)-row totals frame."""
+    from ..functions.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    guessed = docs.select("lang", language_id("text").alias("lang_guess"))
+    cells = guessed.groupBy("lang", "lang_guess").agg(
+        F.count("*").alias("n_docs")
+    )
+    totals = guessed.groupBy("lang").agg(F.count("*").alias("n_total"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "lang_guess",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("share"),
+        )
+        .orderBy("lang", "lang_guess")
+    )
+
+
+LANGID_CONFUSION_SQL = """
+WITH t AS (
+  SELECT lang,
+         regexp_extract_all(lower(text), '[a-z0-9_'']+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+h AS (
+  SELECT lang,
+         len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS en,
+         len(list_filter(toks, x -> x IN ('el','la','de','que','los'))) AS es,
+         len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS de,
+         len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS fr
+  FROM t
+),
+g AS (
+  SELECT lang,
+         CASE WHEN GREATEST(en, es, de, fr) = 0 THEN 'und'
+              WHEN en = GREATEST(en, es, de, fr) THEN 'en'
+              WHEN es = GREATEST(en, es, de, fr) THEN 'es'
+              WHEN de = GREATEST(en, es, de, fr) THEN 'de'
+              ELSE 'fr' END AS lang_guess
+  FROM h
+),
+cells AS (
+  SELECT lang, lang_guess, count(*) AS n_docs FROM g GROUP BY 1, 2
+),
+totals AS (
+  SELECT lang, count(*) AS n_total FROM g GROUP BY 1
+)
+SELECT c.lang, c.lang_guess, c.n_docs,
+       round(c.n_docs / t.n_total, 6) AS share
+FROM cells c JOIN totals t USING (lang)
+ORDER BY c.lang, c.lang_guess
+"""
+
+
 QUERIES = {
     "events_seasonal_decompose": events_seasonal_decompose,
+    "events_ewma_anomaly": events_ewma_anomaly,
+    "docs_langid_confusion": docs_langid_confusion,
 }
 
 ORACLES = {
     "events_seasonal_decompose": SEASONAL_DECOMPOSE_SQL,
+    "events_ewma_anomaly": EWMA_ANOMALY_SQL,
+    "docs_langid_confusion": LANGID_CONFUSION_SQL,
 }

@@ -33,3 +33,58 @@ def test_decompose_is_run_deterministic(spark, sf_dir):
     a = [tuple(r) for r in events_seasonal_decompose(spark, sf_dir).collect()]
     b = [tuple(r) for r in events_seasonal_decompose(spark, sf_dir).collect()]
     assert a == b
+
+
+def test_ewma_baseline_matches_python(spark, sf_dir):
+    from big_data_assignment2_2025_spark.plans.round7g_queries import (
+        _EWMA_LAGS,
+        _SCALE,
+        events_ewma_anomaly,
+    )
+    from big_data_assignment2_2025_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+    import math
+
+    got = {str(r["day"]): r for r in events_ewma_anomaly(spark, sf_dir).collect()}
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(f"CAST(floor(round(value,4)*{_SCALE} + 0.5) AS BIGINT)")
+            ).alias("v_us")
+        )
+        .orderBy("day")
+        .collect()
+    )
+    series = [(str(r["day"]), r["v_us"]) for r in daily]
+    n_checked = 0
+    for i in range(_EWMA_LAGS, len(series)):
+        day, v = series[i]
+        num = sum(
+            series[i - k][1] * (2 ** (_EWMA_LAGS - k))
+            for k in range(1, _EWMA_LAGS + 1)
+        )
+        baseline = num / float(2**_EWMA_LAGS - 1)
+        r = got[day]
+        assert math.isclose(r["ewma"], round(baseline / _SCALE, 6), abs_tol=1e-9)
+        assert r["is_anomaly"] in (0, 1)
+        n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_langid_confusion_shares_sum_to_one(spark, sf_dir):
+    from collections import defaultdict
+
+    from big_data_assignment2_2025_spark.plans.round7g_queries import (
+        docs_langid_confusion,
+    )
+
+    rows = docs_langid_confusion(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_lang = defaultdict(float)
+    for r in rows:
+        by_lang[r["lang"]] += r["share"]
+    for lang, s in by_lang.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
