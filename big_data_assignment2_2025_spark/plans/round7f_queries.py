@@ -48,6 +48,29 @@ from ..sources.readers import load_table
 _PATTERN = "vc+p"
 
 
+def user_day_sequences(ev) -> DataFrame:
+    """(user_id, day, seq): each user-day's event types as a one-letter
+    symbol string in deterministic (second, event_id) order — the bounded
+    per-group sequence every row-pattern/path query builds on."""
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    ord_key = sec * F.lit(10_000_000).cast("long") + F.col("event_id")
+    per = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        ord_key.alias("ord"),
+        F.substring("event_type", 1, 1).alias("sym"),
+    )
+    return per.groupBy("user_id", "day").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "sym"))),
+                lambda x: x["sym"],
+            ),
+            "",
+        ).alias("seq")
+    )
+
+
 def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(user, day) rows whose event-type sequence matches ``vc+p`` at
     least once, with the non-overlapping match count.
@@ -58,23 +81,7 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DAY: per-group state is one entity-day of symbols (bounded),
     and the regex evaluates JVM-side inside the aggregate's projection."""
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
-    sec = F.floor(F.col("ts").cast("double")).cast("long")
-    ord_key = sec * F.lit(10_000_000).cast("long") + F.col("event_id")
-    per = ev.select(
-        "user_id",
-        F.to_date("ts").alias("day"),
-        ord_key.alias("ord"),
-        F.substring("event_type", 1, 1).alias("sym"),
-    )
-    seqs = per.groupBy("user_id", "day").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ord", "sym"))),
-                lambda x: x["sym"],
-            ),
-            "",
-        ).alias("seq")
-    )
+    seqs = user_day_sequences(ev)
     return (
         seqs.select(
             "user_id",

@@ -268,14 +268,148 @@ ORDER BY c.lang, c.lang_guess
 """
 
 
+# --------------------------------------------------------------------------
+# 4. Top user paths (path analysis over bounded user-day sequences)
+# --------------------------------------------------------------------------
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most common user-day event paths (full symbol sequences),
+    with occurrence counts — "what do sessions actually look like", the
+    flow-analysis readout next to the funnel's fixed hypothesis.
+
+    Reuses the deterministic bounded user-day sequences of
+    events_pattern_match; the path space is capped by the per-day
+    sequence length, and the final count is a small aggregate over it.
+    Total (count DESC, seq ASC) order keeps the cut deterministic."""
+    from .round7f_queries import user_day_sequences
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    seqs = user_day_sequences(ev)
+    return (
+        seqs.groupBy("seq")
+        .agg(F.count("*").alias("n_user_days"))
+        .orderBy(F.col("n_user_days").desc(), F.col("seq").asc())
+        .limit(20)
+    )
+
+
+TOP_PATHS_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id AS ord,
+         substring(event_type, 1, 1) AS sym
+  FROM events WHERE user_id IS NOT NULL
+),
+s AS (
+  SELECT user_id, day, string_agg(sym, '' ORDER BY ord) AS seq
+  FROM e GROUP BY user_id, day
+)
+SELECT seq, count(*) AS n_user_days
+FROM s GROUP BY seq
+ORDER BY n_user_days DESC, seq ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# 5. Column entropy profile (information-theoretic feature audit)
+# --------------------------------------------------------------------------
+
+#: integer scale for per-value n·ln(n) terms
+_ENT_SCALE = 1_000_000
+
+_ENT_COLS = ["p_brand", "p_type", "p_size"]
+
+
+def part_attribute_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each part attribute — the profiling
+    number behind "is this column informative or near-constant", used for
+    feature selection and partition-key choice.
+
+    H = ln(N) − Σ n_v·ln(n_v)/N needs a float SUM over values — which is
+    order-dependent and would break the hash gate. The fix is the repo's
+    integerize-the-terms discipline: each value's n·ln(n) term is frozen
+    to an integer micro-nat (floor(x·1e6 + 0.5)) BEFORE aggregation, so
+    the sum is a BIGINT (exact in any order) and the only float chain is
+    one ln and two divisions per OUTPUT row. norm_entropy divides by the
+    ln of the distinct count (the column's maximum possible entropy).
+    One stack projection + two small aggregates; at 100 TB the value
+    histogram per column is the only shuffle, bounded by the columns'
+    cardinality."""
+    part = load_table(spark, sf_dir, "part")
+    stacked = part.select(
+        F.expr(
+            "stack({}, {})".format(
+                len(_ENT_COLS),
+                ", ".join(f"'{c}', CAST({c} AS STRING)" for c in _ENT_COLS),
+            )
+        ).alias("column", "val")
+    )
+    counts = stacked.groupBy("column", "val").agg(F.count("*").alias("n_v"))
+    per_col = counts.groupBy("column").agg(
+        F.sum("n_v").alias("n_rows"),
+        F.count("*").alias("n_values"),
+        F.sum(
+            F.expr(
+                f"CAST(floor(n_v * ln(n_v) * {_ENT_SCALE} + 0.5) AS BIGINT)"
+            )
+        ).alias("s_micro"),
+    )
+    n = F.col("n_rows").cast("double")
+    entropy = F.log(n) - F.col("s_micro") / n / F.lit(float(_ENT_SCALE))
+    return per_col.select(
+        "column",
+        "n_rows",
+        "n_values",
+        F.round(entropy, 6).alias("entropy_nats"),
+        F.round(
+            entropy / F.log(F.col("n_values").cast("double")), 6
+        ).alias("norm_entropy"),
+    ).orderBy("column")
+
+
+PART_ENTROPY_SQL = f"""
+WITH stacked AS (
+  SELECT 'p_brand' AS "column", CAST(p_brand AS VARCHAR) AS val FROM part
+  UNION ALL
+  SELECT 'p_type', CAST(p_type AS VARCHAR) FROM part
+  UNION ALL
+  SELECT 'p_size', CAST(p_size AS VARCHAR) FROM part
+),
+counts AS (
+  SELECT "column", val, count(*) AS n_v FROM stacked GROUP BY 1, 2
+),
+per_col AS (
+  SELECT "column",
+         CAST(SUM(n_v) AS BIGINT) AS n_rows,
+         COUNT(*) AS n_values,
+         SUM(CAST(floor(n_v * ln(n_v) * {_ENT_SCALE} + 0.5) AS BIGINT)) AS s_micro
+  FROM counts GROUP BY 1
+)
+SELECT "column", n_rows, n_values,
+       round(ln(CAST(n_rows AS DOUBLE))
+             - s_micro / CAST(n_rows AS DOUBLE) / {float(_ENT_SCALE)}, 6) AS entropy_nats,
+       round((ln(CAST(n_rows AS DOUBLE))
+              - s_micro / CAST(n_rows AS DOUBLE) / {float(_ENT_SCALE)})
+             / ln(CAST(n_values AS DOUBLE)), 6) AS norm_entropy
+FROM per_col
+ORDER BY "column"
+"""
+
+
 QUERIES = {
     "events_seasonal_decompose": events_seasonal_decompose,
     "events_ewma_anomaly": events_ewma_anomaly,
     "docs_langid_confusion": docs_langid_confusion,
+    "events_top_paths": events_top_paths,
+    "part_attribute_entropy": part_attribute_entropy,
 }
 
 ORACLES = {
     "events_seasonal_decompose": SEASONAL_DECOMPOSE_SQL,
     "events_ewma_anomaly": EWMA_ANOMALY_SQL,
     "docs_langid_confusion": LANGID_CONFUSION_SQL,
+    "events_top_paths": TOP_PATHS_SQL,
+    "part_attribute_entropy": PART_ENTROPY_SQL,
 }

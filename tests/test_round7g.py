@@ -88,3 +88,56 @@ def test_langid_confusion_shares_sum_to_one(spark, sf_dir):
         by_lang[r["lang"]] += r["share"]
     for lang, s in by_lang.items():
         assert abs(s - 1.0) < 1e-4, (lang, s)
+
+
+def test_top_paths_counts_match_sequences(spark, sf_dir):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_2025_spark.plans.round7f_queries import (
+        user_day_sequences,
+    )
+    from big_data_assignment2_2025_spark.plans.round7g_queries import (
+        events_top_paths,
+    )
+    from big_data_assignment2_2025_spark.sources.readers import load_table
+
+    got = [
+        (r["seq"], r["n_user_days"])
+        for r in events_top_paths(spark, sf_dir).collect()
+    ]
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    counts = Counter(
+        r["seq"] for r in user_day_sequences(ev).collect()
+    )
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want and len(got) > 0
+
+
+def test_entropy_matches_python(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from big_data_assignment2_2025_spark.plans.round7g_queries import (
+        _ENT_COLS,
+        _ENT_SCALE,
+        part_attribute_entropy,
+    )
+    from big_data_assignment2_2025_spark.sources.readers import load_table
+
+    got = {r["column"]: r for r in part_attribute_entropy(spark, sf_dir).collect()}
+    part = load_table(spark, sf_dir, "part").collect()
+    for col in _ENT_COLS:
+        counts = Counter(str(r[col]) for r in part)
+        n = sum(counts.values())
+        s_micro = sum(
+            math.floor(c * math.log(c) * _ENT_SCALE + 0.5)
+            for c in counts.values()
+        )
+        h = math.log(n) - s_micro / n / _ENT_SCALE
+        r = got[col]
+        assert r["n_rows"] == n and r["n_values"] == len(counts)
+        assert math.isclose(r["entropy_nats"], round(h, 6), abs_tol=1e-9)
+        # sanity: entropy within [0, ln(n_values)]
+        assert 0 <= r["entropy_nats"] <= math.log(len(counts)) + 1e-9
