@@ -248,14 +248,118 @@ ORDER BY round
 """
 
 
+#: intermediate nodes with degree above this are excluded from the 2-hop
+#: expansion (hub fan-out control; hub-mediated common neighbors carry
+#: little link-prediction signal anyway)
+_LP_VIA_CAP = 64
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links: non-adjacent part pairs ranked by
+    hub-filtered common-neighbor Jaccard (cn / (deg_a + deg_b − cn)).
+
+    The 2-hop pair expansion is the quadratic-fan-out step (a hub with
+    degree d mints d²/2 candidate pairs), so intermediates above degree
+    64 are dropped BEFORE the self-join — the same hot-key cap as the
+    shingle df-cap, mirrored exactly in the oracle. Degrees in the score
+    stay the full degrees; existing edges are anti-joined away (predicting
+    what's already there is not a prediction). Integer counts + one
+    rounded division keep the top-20 cut deterministic."""
+    edges = _copurchase_edges(spark, sf_dir)
+    # The explicit repartition on w does double duty: the ONE exchange
+    # serves both the hub semi-join and the 2-hop self-join (both key on
+    # w), and it normalizes the union's doubled partition count — a
+    # cached union otherwise leaks 2x-partition output into downstream
+    # sort-merge planning (observed: "Can't zip RDDs with unequal numbers
+    # of partitions" under AQE-off sessions).
+    adj = (
+        edges.select(F.col("u").alias("x"), F.col("v").alias("w"))
+        .unionAll(edges.select(F.col("v").alias("x"), F.col("u").alias("w")))
+        .repartition("w")
+    )
+    # deg feeds three consumers (via filter, both score joins): persist the
+    # node-sized aggregate once instead of recomputing the union+agg subtree
+    # per consumer (CacheManager dedups repeated calls by canonical plan)
+    deg = adj.groupBy("x").agg(F.count("*").alias("d")).persist()
+    via_ok = deg.where(F.col("d") <= _LP_VIA_CAP).select(
+        F.col("x").alias("w")
+    )
+    capped = adj.join(via_ok, "w", "left_semi")
+    a1 = capped.select(F.col("x").alias("a"), "w")
+    a2 = capped.select(F.col("x").alias("b"), "w")
+    cn = (
+        a1.join(a2, "w")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"))
+    )
+    new_pairs = cn.join(
+        edges,
+        (cn["a"] == edges["u"]) & (cn["b"] == edges["v"]),
+        "left_anti",
+    )
+    scored = (
+        new_pairs.join(deg.select(F.col("x").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("x").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(
+                F.col("cn") / (F.col("da") + F.col("db") - F.col("cn")), 6
+            ).alias("cn_jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("cn_jaccard").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(20)
+
+
+LINK_PREDICTION_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+adj AS (SELECT u AS x, v AS w FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT x, COUNT(*) AS d FROM adj GROUP BY x),
+capped AS (
+  SELECT adj.* FROM adj JOIN deg dw ON dw.x = adj.w AND dw.d <= {_LP_VIA_CAP}
+),
+cn AS (
+  SELECT a1.x AS a, a2.x AS b, COUNT(*) AS cn
+  FROM capped a1 JOIN capped a2 ON a1.w = a2.w AND a1.x < a2.x
+  GROUP BY 1, 2
+),
+new_pairs AS (
+  SELECT cn.* FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.a AND e.v = cn.b)
+),
+scored AS (
+  SELECT n.a, n.b, n.cn,
+         round(n.cn / (da.d + db.d - n.cn), 6) AS cn_jaccard
+  FROM new_pairs n
+  JOIN deg da ON da.x = n.a
+  JOIN deg db ON db.x = n.b
+)
+SELECT a, b, cn, cn_jaccard
+FROM scored
+ORDER BY cn_jaccard DESC, a ASC, b ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_degree_distribution": graph_degree_distribution,
     "graph_kcore_peel": graph_kcore_peel,
+    "graph_link_prediction": graph_link_prediction,
 }
 
 ORACLES = {
     "graph_triangle_count": TRIANGLE_SQL,
     "graph_degree_distribution": DEGREE_SQL,
     "graph_kcore_peel": KCORE_SQL,
+    "graph_link_prediction": LINK_PREDICTION_SQL,
 }

@@ -141,3 +141,21 @@ def test_entropy_matches_python(spark, sf_dir):
         assert math.isclose(r["entropy_nats"], round(h, 6), abs_tol=1e-9)
         # sanity: entropy within [0, ln(n_values)]
         assert 0 <= r["entropy_nats"] <= math.log(len(counts)) + 1e-9
+
+
+def test_link_prediction_excludes_existing_edges(spark, sf_dir):
+    from big_data_assignment2_2025_spark.plans.graph_queries import (
+        _copurchase_edges,
+        graph_link_prediction,
+    )
+
+    rows = graph_link_prediction(spark, sf_dir).collect()
+    assert len(rows) > 0
+    edges = {
+        (r["u"], r["v"]) for r in _copurchase_edges(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r["a"] < r["b"]
+        assert (r["a"], r["b"]) not in edges  # predicted, not existing
+        assert r["cn"] >= 1
+        assert 0 < r["cn_jaccard"] <= 1
