@@ -496,6 +496,56 @@ COMMENTARY = {
         "digest (narrower shuffle, same plan shape) plus partition-level "
         "checksum pruning to skip unchanged partitions entirely."
     ),
+    "skew_join_salted": (
+        "Explicit x8 salted join (round 7e). Look for: the dim side's "
+        "`Generate explode` (the bounded x8 replication — a projection of "
+        "the SMALL side only, no shuffle to build it) and a shuffled join "
+        "keyed on (user_id, _salt) — the SHUFFLE_MERGE hint pins the path "
+        "the salt exists for, since a broadcast join has no reducer to "
+        "skew. A hot user's probe rows now land on 8 reducers instead of "
+        "1; at 100 TB this is the deterministic fix when one key exceeds "
+        "executor memory and AQE's stream-side splitting can't help."
+    ),
+    "orders_manifest_skipping": (
+        "File-manifest data skipping (round 7e). The scan's file list is "
+        "pruned BEFORE planning (driver-side manifest overlap filter), so "
+        "the FileScan shows only the files whose [min,max] date range "
+        "intersects the predicate — whole files outside the year are "
+        "never opened, on top of parquet's own row-group skipping inside "
+        "surviving files. The exact predicate still applies post-read "
+        "(manifest pruning is a superset filter; correctness never "
+        "depends on it). At 100 TB the manifest comes from the table "
+        "format's metadata layer and this becomes a pure metadata prune."
+    ),
+    "text_bpe_merge_pairs": (
+        "BPE tokenizer-training merge round (round 7e). Two exchanges "
+        "only: the word-frequency aggregate (the ONE corpus-sized "
+        "shuffle, output = distinct vocabulary) and the pair-count "
+        "aggregate over the vocabulary-sized explode. The adjacent-pair "
+        "`Generate` hangs off the AGGREGATED wf relation — plan-asserted "
+        "in tests — so iterating BPE costs one corpus tokenize plus "
+        "per-round vocabulary-sized work, never a corpus re-scan."
+    ),
+    "ann_hamming_rerank": (
+        "Two-stage vector retrieval (round 7f+). Stage 1 scans only the "
+        "8-byte sign signatures (projection + one window rank — the "
+        "fp32 embedding column is absent from the first FileScan's "
+        "ReadSchema); stage 2 probes full-precision vectors by equi-join "
+        "for just shortlist_size x n_queries rows and reranks by exact "
+        "cosine. At 100 TB the signature scan is memory-bandwidth-bound "
+        "(32x smaller than the float table) and the expensive table is "
+        "read for a few hundred rows per query instead of scanned."
+    ),
+    "graph_link_prediction": (
+        "Common-neighbor link prediction (round 7g). The 2-hop self-join "
+        "keys on the intermediate node AFTER hub filtering (degree <= 64 "
+        "semi-join) — the quadratic-fan-out control, same discipline as "
+        "the shingle df-cap. One explicit repartition on the hop key "
+        "serves both w-keyed joins; the node-degree aggregate is "
+        "persisted once for its three consumers (InMemoryTableScan in "
+        "the plan). Existing edges leave via a left-anti join before "
+        "scoring; the top-20 cut is TakeOrderedAndProject."
+    ),
 }
 
 
