@@ -125,6 +125,10 @@ HEADLINE = [
     "embedding_binary_hamming_topk",
     "ann_hamming_rerank",
     "streaming_latest_state",
+    "events_attribution_linear",
+    "graph_link_prediction",
+    "events_seasonal_decompose",
+    "events_ewma_anomaly",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

@@ -398,12 +398,138 @@ ORDER BY "column"
 """
 
 
+# --------------------------------------------------------------------------
+# 6. Linear multi-touch attribution
+# --------------------------------------------------------------------------
+
+#: attribution window (µs): clicks up to 7 days before the purchase
+_LIN_BAND_US = 7 * 86400 * 1_000_000
+
+
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits evenly
+    across ALL same-user clicks in the preceding 7 days; credit is
+    reported per CLICK day — the complement of last-touch's winner-take-
+    all (events_attribution_last_touch).
+
+    Needing every touch (not just the latest) rules out the window trick,
+    so the purchase–click pairing is the GRID-BLOCKED band join
+    (events_band_join_grid discipline at a 7-day grid): each click fans to
+    its bucket and the next (bounded x2 projection — one-sided band), the
+    equi-join keys on (user, bucket), and the exact 0 <= Δ <= 7d predicate
+    filters survivors — every in-band pair matches exactly once. The even
+    split stays INTEGER: each touch gets floor(value/n) micros and the
+    EARLIEST touch absorbs the remainder, so per-day credit sums are
+    BIGINTs and conservation (credits == purchase value) is testable
+    exactly."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    clk = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.unix_micros("ts").alias("c_us"),
+            F.to_date("ts").alias("click_day"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.expr(f"CAST(c_us DIV {_LIN_BAND_US} AS BIGINT)"),
+                    F.expr(f"CAST(c_us DIV {_LIN_BAND_US} AS BIGINT) + 1"),
+                )
+            ),
+        )
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+        F.expr("CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT)").alias(
+            "v_micros"
+        ),
+        F.expr(f"CAST(unix_micros(ts) DIV {_LIN_BAND_US} AS BIGINT)").alias(
+            "bucket"
+        ),
+    )
+    pairs = clk.join(pur, ["user_id", "bucket"]).where(
+        (F.col("p_us") - F.col("c_us") >= 0)
+        & (F.col("p_us") - F.col("c_us") <= _LIN_BAND_US)
+    )
+    wp = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy(
+        F.col("c_us").asc(), F.col("click_id").asc()
+    )
+    credited = (
+        pairs.withColumn("n", F.count("*").over(wp))
+        .withColumn("rnk", F.row_number().over(wr))
+        .withColumn("base", F.expr("CAST(v_micros DIV n AS BIGINT)"))
+        .withColumn(
+            "credit_micros",
+            F.col("base")
+            + F.when(
+                F.col("rnk") == 1, F.col("v_micros") - F.col("n") * F.col("base")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    return (
+        credited.groupBy("click_day")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.countDistinct("purchase_id").cast("long").alias("n_purchases"),
+            F.sum("credit_micros").cast("long").alias("credit_value_micros"),
+        )
+        .orderBy("click_day")
+    )
+
+
+ATTRIBUTION_LINEAR_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CAST(ts AS DATE) AS day, value
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')
+),
+c AS (SELECT user_id, event_id AS click_id, us AS c_us, day AS click_day FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS purchase_id, us AS p_us,
+             CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS v_micros
+      FROM e WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT c.click_id, c.c_us, c.click_day, p.purchase_id, p.v_micros
+  FROM c JOIN p ON c.user_id = p.user_id
+  WHERE p.p_us - c.c_us >= 0 AND p.p_us - c.c_us <= {_LIN_BAND_US}
+),
+credited AS (
+  SELECT click_day, purchase_id,
+         v_micros // n + CASE WHEN rnk = 1 THEN v_micros - n * (v_micros // n)
+                              ELSE 0 END AS credit_micros
+  FROM (
+    SELECT click_day, purchase_id, v_micros,
+           COUNT(*) OVER (PARTITION BY purchase_id) AS n,
+           ROW_NUMBER() OVER (PARTITION BY purchase_id
+                              ORDER BY c_us ASC, click_id ASC) AS rnk
+    FROM pairs) t
+)
+SELECT click_day,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+       CAST(sum(credit_micros) AS BIGINT) AS credit_value_micros
+FROM credited
+GROUP BY click_day
+ORDER BY click_day
+"""
+
+
 QUERIES = {
     "events_seasonal_decompose": events_seasonal_decompose,
     "events_ewma_anomaly": events_ewma_anomaly,
     "docs_langid_confusion": docs_langid_confusion,
     "events_top_paths": events_top_paths,
     "part_attribute_entropy": part_attribute_entropy,
+    "events_attribution_linear": events_attribution_linear,
 }
 
 ORACLES = {
@@ -412,4 +538,5 @@ ORACLES = {
     "docs_langid_confusion": LANGID_CONFUSION_SQL,
     "events_top_paths": TOP_PATHS_SQL,
     "part_attribute_entropy": PART_ENTROPY_SQL,
+    "events_attribution_linear": ATTRIBUTION_LINEAR_SQL,
 }

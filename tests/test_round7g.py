@@ -159,3 +159,46 @@ def test_link_prediction_excludes_existing_edges(spark, sf_dir):
         assert (r["a"], r["b"]) not in edges  # predicted, not existing
         assert r["cn"] >= 1
         assert 0 < r["cn_jaccard"] <= 1
+
+
+def test_linear_attribution_conserves_value(spark, sf_dir):
+    """Every touched purchase's value must be fully distributed: sum of
+    per-day credit == sum of v_micros over purchases with >= 1 touch."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_2025_spark.plans.round7g_queries import (
+        _LIN_BAND_US,
+        events_attribution_linear,
+    )
+    from big_data_assignment2_2025_spark.sources.readers import load_table
+
+    rows = events_attribution_linear(spark, sf_dir).collect()
+    assert len(rows) > 0
+    total_credit = sum(r["credit_value_micros"] for r in rows)
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("c_us")
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+        F.expr("CAST(round(CAST(value AS DOUBLE) * 1e6) AS BIGINT)").alias(
+            "v_micros"
+        ),
+    )
+    touched = (
+        pur.join(clk, "user_id")
+        .where(
+            (F.col("p_us") - F.col("c_us") >= 0)
+            & (F.col("p_us") - F.col("c_us") <= _LIN_BAND_US)
+        )
+        .select("purchase_id", "v_micros")
+        .distinct()
+    )
+    want = touched.agg(F.sum("v_micros")).collect()[0][0]
+    assert total_credit == want

@@ -135,6 +135,12 @@ QUERIES_TO_PROFILE = [
     "text_bpe_merge_pairs",
     "dedup_containment",
     "ann_hamming_rerank",
+    # round 7g: grid-blocked linear attribution (expect the bounded x2
+    # click fan-out feeding one (user,bucket) equi-join — never the
+    # clicks x purchases interval product) and hub-capped link prediction
+    # (expect the one adj repartition reused by both w-keyed joins)
+    "events_attribution_linear",
+    "graph_link_prediction",
 ]
 
 
