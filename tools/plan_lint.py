@@ -90,6 +90,16 @@ WHITELIST: dict[str, dict[str, str]] = {
     "heavy_hitter_terms": {"bnlj": "1-row token-total scalar joined onto the bounded (<=1/support keys) verification aggregate"},
     "pipeline_clean_corpus": {"bnlj": "1-row rollup scalar"},
     "events_audience_diff_kmv": {"bnlj": "1-row theta/sample-size scalar cross-joined onto the <=512-row KMV sample frame"},
+    "embedding_binary_hamming_topk": {"bnlj": "deliberate: corpus signatures x BROADCAST bounded query-signature set (5 rows, 3 BIGINTs each)"},
+    "ann_hamming_rerank": {"bnlj": "stage-1 shortlist: corpus signatures x BROADCAST bounded query-signature set (5 rows); stage 2 is an equi-join"},
+    "events_seasonal_decompose": {
+        "unpartitioned_window": "centered 7-row trend over the DAILY aggregate (bounded by calendar, ~36.5k rows/century)",
+        "single_partition_sort": "same calendar-bounded daily frame (trend window + output order)",
+    },
+    "events_ewma_anomaly": {
+        "unpartitioned_window": "7 trailing lags over the DAILY aggregate (bounded by calendar)",
+        "single_partition_sort": "same calendar-bounded daily frame",
+    },
     # ---- unpartitioned windows over PROVABLY BOUNDED aggregates ----
     "revenue_growth_mom": {
         "unpartitioned_window": "input = per-month aggregate (80 rows; bounded by calendar)",
