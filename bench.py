@@ -129,6 +129,8 @@ HEADLINE = [
     "graph_link_prediction",
     "events_seasonal_decompose",
     "events_ewma_anomaly",
+    "streaming_pattern_match",
+    "orders_schema_evolution_scan",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

@@ -185,14 +185,102 @@ GROUP BY source ORDER BY source
 """
 
 
+def _staged_evolving_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet 'writer vintages' of orders under one root — v1 files
+    (pre-1998) were written WITHOUT o_orderpriority and before o_channel
+    existed; v2 files carry the full schema plus the new column. The
+    schema-drift reality of any long-lived 100 TB table; cache is
+    fingerprint-gated like every derived copy."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    root = os.path.join(tempfile.gettempdir(), f"evolving_{tag}", "orders")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(root, fprint):
+        orders = load_table(spark, sf_dir, "orders")
+        cut = F.lit("1998-01-01").cast("timestamp")
+        (
+            orders.where(F.col("o_orderdate") < cut)
+            .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "v1"))
+        )
+        (
+            orders.where(F.col("o_orderdate") >= cut)
+            .withColumn(
+                "o_channel",
+                F.element_at(
+                    F.array(F.lit("web"), F.lit("store"), F.lit("phone")),
+                    (F.pmod(F.col("o_orderkey"), F.lit(3)) + 1).cast("int"),
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "v2"))
+        )
+        import pathlib
+
+        pathlib.Path(os.path.join(root, "_SUCCESS")).touch()
+        mark_derived_cache(root, fprint)
+    return root
+
+
+def orders_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift audit over a mixed-vintage parquet table: read both
+    writer generations in ONE scan with ``mergeSchema=true`` (old files
+    surface NULL for columns they predate) and profile per-year presence
+    of the drifted columns.
+
+    mergeSchema reconciles footers at planning time (one footer read per
+    file — at 100 TB a table format's schema registry replaces this);
+    rows never rewrite. The audit output is the migration readout: which
+    partitions still need backfill, which carry the new column. The
+    oracle reconstructs the same union semantics from the original
+    table."""
+    root = _staged_evolving_orders(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "v1"), os.path.join(root, "v2")
+    )
+    return (
+        df.groupBy(F.year("o_orderdate").alias("year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count("o_orderpriority").alias("n_with_priority"),
+            F.count("o_channel").alias("n_with_channel"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("year")
+    )
+
+
+SCHEMA_EVOLUTION_SQL = """
+WITH unified AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice,
+         CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+              THEN o_orderpriority END AS o_orderpriority,
+         CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+              THEN ['web', 'store', 'phone'][CAST(o_orderkey % 3 AS INTEGER) + 1]
+         END AS o_channel
+  FROM orders
+)
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       count(*) AS n_orders,
+       count(o_orderpriority) AS n_with_priority,
+       count(o_channel) AS n_with_channel,
+       round(sum(o_totalprice), 4) AS revenue
+FROM unified
+GROUP BY 1
+ORDER BY year
+"""
+
+
 QUERIES = {
     "bucketed_join_colocated": bucketed_join_colocated,
     "bucketed_agg_no_shuffle": bucketed_agg_no_shuffle,
     "partitioned_scan_pruned": partitioned_scan_pruned,
+    "orders_schema_evolution_scan": orders_schema_evolution_scan,
 }
 
 ORACLES = {
     "bucketed_join_colocated": BUCKETED_JOIN_SQL,
     "bucketed_agg_no_shuffle": BUCKETED_AGG_SQL,
     "partitioned_scan_pruned": PARTITION_PRUNED_SQL,
+    "orders_schema_evolution_scan": SCHEMA_EVOLUTION_SQL,
 }

@@ -24,6 +24,7 @@ from ..streaming import (
     run_streaming_hourly,
     run_streaming_latest_state,
     run_streaming_ohlc,
+    run_streaming_pattern_match,
     run_streaming_rolling_dau,
     run_streaming_rolling_dau_hll,
     run_streaming_sessions,
@@ -43,6 +44,7 @@ from .events_queries import (
 from .round5_queries import HLL_ROLLING_DAU_SQL, OHLC_SQL, ROLLING_DAU_SQL
 from .round7_queries import DAILY_CMS_SQL, DAILY_HIST_QUANTILES_SQL
 from .round7b_queries import BITMAP_DAU_SQL
+from .round7f_queries import EVENTS_PATTERN_MATCH_SQL
 
 
 def streaming_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,6 +110,13 @@ def streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(entity-universe) state with a constant per-key footprint; equals the
     batch events_latest_state answer (same oracle SQL)."""
     return run_streaming_latest_state(spark, sf_dir)
+
+
+def streaming_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern detection as a stream: collect_list state bounded per
+    entity-day, watermark-evicted; equals the batch events_pattern_match
+    answer (same oracle SQL)."""
+    return run_streaming_pattern_match(spark, sf_dir)
 
 
 def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,11 +302,14 @@ QUERIES = {
     "streaming_bitmap_dau": streaming_bitmap_dau,
     "streaming_stream_join_left": streaming_stream_join_left,
     "streaming_latest_state": streaming_latest_state,
+    "streaming_pattern_match": streaming_pattern_match,
 }
 
 ORACLES = {
     # identical final state to the batch log-compaction aggregation
     "streaming_latest_state": EVENTS_LATEST_STATE_SQL,
+    # identical final state to the batch user-day pattern match
+    "streaming_pattern_match": EVENTS_PATTERN_MATCH_SQL,
     "streaming_foreachbatch_upsert": STREAMING_FOREACHBATCH_SQL,
     "streaming_stream_join": STREAMING_STREAM_JOIN_SQL,
     "streaming_static_join": STREAMING_STATIC_JOIN_SQL,

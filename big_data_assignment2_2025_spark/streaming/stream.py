@@ -933,6 +933,62 @@ def run_streaming_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_streaming_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_pattern_match (same oracle SQL): per
+    (user, 1-day event-time window) symbol sequences accumulated as a
+    ``collect_list`` of (ord, sym) structs — ONE stateful op whose state
+    is bounded by an entity-day of events (the same bounding argument as
+    the batch query's groupBy-day) and EVICTED by the 2-hour watermark
+    once the day closes.
+
+    Event order inside the list is arrival order, so the string is built
+    AFTER the stateful op: sort the struct list by the packed (second,
+    event_id) ordinal, project the symbols, regex-count. Update-mode
+    emissions grow the list monotonically (n strictly increases per
+    emission), so the reconciliation is max_by(pairs, n) per key — the
+    same monotone update-log convention as the DAU twins."""
+    ev = read_events_stream(spark, sf_dir).where(F.col("user_id").isNotNull())
+    sec = F.floor(F.col("ts").cast("double")).cast("long")
+    ord_key = sec * F.lit(10_000_000).cast("long") + F.col("event_id")
+    proj = ev.select(
+        "ts",
+        "user_id",
+        ord_key.alias("ord"),
+        F.substring("event_type", 1, 1).alias("sym"),
+    )
+    agg = (
+        proj.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.collect_list(F.struct("ord", "sym")).alias("pairs"))
+        .select(
+            F.to_date("w.start").alias("day"),
+            "user_id",
+            "pairs",
+            F.size("pairs").alias("n"),
+        )
+    )
+    rows = _drain_to_memory(agg, spark, output_mode="update")
+    final = rows.groupBy("user_id", "day").agg(
+        F.expr("max_by(pairs, n)").alias("pairs")
+    )
+    seq = F.array_join(
+        F.transform(F.array_sort(F.col("pairs")), lambda x: x["sym"]), ""
+    )
+    return (
+        final.withColumn("seq", seq)
+        .select(
+            "user_id",
+            "day",
+            F.length("seq").cast("long").alias("seq_len"),
+            F.regexp_count(F.col("seq"), F.lit("vc+p"))
+            .cast("long")
+            .alias("n_matches"),
+        )
+        .where(F.col("n_matches") >= 1)
+        .orderBy("user_id", "day")
+    )
+
+
 def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time session windows (30-min gap) per user via Spark's native
     ``session_window`` — the streaming counterpart of the batch lag/cumsum

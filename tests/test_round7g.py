@@ -202,3 +202,22 @@ def test_linear_attribution_conserves_value(spark, sf_dir):
     )
     want = touched.agg(F.sum("v_micros")).collect()[0][0]
     assert total_credit == want
+
+
+def test_streaming_pattern_match_equals_batch(spark, sf_dir):
+    from big_data_assignment2_2025_spark.plans.round7f_queries import (
+        events_pattern_match,
+    )
+    from big_data_assignment2_2025_spark.plans.streaming_queries import (
+        streaming_pattern_match,
+    )
+
+    got = {
+        (r["user_id"], str(r["day"])): (r["seq_len"], r["n_matches"])
+        for r in streaming_pattern_match(spark, sf_dir).collect()
+    }
+    want = {
+        (r["user_id"], str(r["day"])): (r["seq_len"], r["n_matches"])
+        for r in events_pattern_match(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0

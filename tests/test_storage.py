@@ -131,3 +131,20 @@ def test_cache_table_plans_in_memory_scan(spark):
         spark.sql("SELECT COUNT(*) FROM cust_cache_probe")
     )
     assert "In-memory table" not in plan_after and "InMemoryRelation" not in plan_after
+
+
+def test_schema_evolution_old_files_surface_nulls(spark, sf_dir):
+    """v1 files predate o_orderpriority/o_channel: mergeSchema must
+    surface them as NULL for pre-1998 rows and populated after."""
+    from big_data_assignment2_2025_spark.plans.storage_queries import (
+        orders_schema_evolution_scan,
+    )
+
+    rows = orders_schema_evolution_scan(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r["year"] < 1998:
+            assert r["n_with_priority"] == 0 and r["n_with_channel"] == 0
+        else:
+            assert r["n_with_priority"] == r["n_orders"]
+            assert r["n_with_channel"] == r["n_orders"]
