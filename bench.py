@@ -131,6 +131,8 @@ HEADLINE = [
     "events_ewma_anomaly",
     "streaming_pattern_match",
     "orders_schema_evolution_scan",
+    "events_cumulative_users",
+    "events_dau_rollup_hll",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

@@ -523,6 +523,157 @@ ORDER BY click_day
 """
 
 
+# --------------------------------------------------------------------------
+# 7. Cumulative-user growth curve
+# --------------------------------------------------------------------------
+
+
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total distinct users EVER seen, by day — the growth curve.
+
+    A running distinct doesn't decompose as a window, but first-seen does:
+    one aggregate finds each user's first day, a second counts first-
+    appearances per day, and the cumulative sum over the calendar-bounded
+    daily frame is the answer — two small shuffles, never a per-day
+    re-count of history. Days with activity but no NEW users still emit
+    (left join against observed days)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    new_per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    observed = ev.select(F.to_date("ts").alias("day")).distinct()
+    daily = observed.join(new_per_day, "day", "left").select(
+        "day", F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn(
+            "cumulative_users", F.sum("new_users").over(w).cast("long")
+        )
+        .orderBy("day")
+    )
+
+
+CUMULATIVE_USERS_SQL = """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+first_seen AS (SELECT user_id, MIN(day) AS first_day FROM e GROUP BY user_id),
+new_per_day AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+                FROM first_seen GROUP BY first_day),
+observed AS (SELECT DISTINCT day FROM e)
+SELECT o.day,
+       CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0))
+              OVER (ORDER BY o.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_users
+FROM observed o LEFT JOIN new_per_day n USING (day)
+ORDER BY o.day
+"""
+
+
+# --------------------------------------------------------------------------
+# 8. HLL rollup across time grains (continuous-aggregate pattern)
+# --------------------------------------------------------------------------
+
+
+def events_dau_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimates at DAY, WEEK, and MONTH grain from ONE
+    per-day register table — the continuous-aggregate pattern: because
+    HLL merge is per-bucket max (associative, commutative, idempotent),
+    the finest-grain sketch re-aggregates to every coarser grain without
+    touching the fact table again. At 100 TB the day-register table is
+    O(days x 512) rows total; each rollup is a register-max groupBy over
+    it — compare three separate COUNT(DISTINCT) passes, each a full-fact
+    shuffle. Week boundaries are epoch-day arithmetic (engine-neutral),
+    month via date_trunc. Same deterministic register algebra as the
+    rolling-DAU family, so all three grains hash-gate."""
+    from ..operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(F.to_date("ts").alias("day"), "user_id")
+    day_reg = hll_registers(base, ["day"], "user_id").persist()
+
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def grain(df, period_col, label):
+        reg = hll_merge(
+            df.select(period_col.alias("period_start"), "bucket", "r"),
+            ["period_start"],
+        )
+        est = hll_estimate(reg, ["period_start"], out_col="dau_hll_micro")
+        return est.select(
+            F.lit(label).alias("grain"),
+            "period_start",
+            "v_empty",
+            "reg_sum",
+            "dau_hll_micro",
+        )
+
+    day_g = grain(day_reg, F.col("day"), "day")
+    week_g = grain(
+        day_reg,
+        F.date_add(
+            epoch,
+            (F.floor(F.datediff(F.col("day"), epoch) / 7) * 7).cast("int"),
+        ),
+        "week",
+    )
+    month_g = grain(day_reg, F.trunc(F.col("day"), "month"), "month")
+    return day_g.unionAll(week_g).unionAll(month_g).orderBy(
+        "grain", "period_start"
+    )
+
+
+DAU_ROLLUP_HLL_SQL = """
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+br AS (
+  SELECT day, hv % 512 AS bucket,
+         CASE WHEN (hv >> 9) = 0 THEN 44
+              ELSE 44 - length(bin(hv >> 9)) END AS rho
+  FROM h
+),
+day_reg AS (SELECT day, bucket, MAX(rho) AS r FROM br GROUP BY day, bucket),
+grains AS (
+  SELECT 'day' AS grain, day AS period_start, bucket, r FROM day_reg
+  UNION ALL
+  SELECT 'week',
+         DATE '1970-01-01'
+           + CAST(((day - DATE '1970-01-01') // 7) * 7 AS INTEGER),
+         bucket, r
+  FROM day_reg
+  UNION ALL
+  SELECT 'month', CAST(date_trunc('month', day) AS DATE), bucket, r
+  FROM day_reg
+),
+merged AS (
+  SELECT grain, period_start, bucket, MAX(r) AS r
+  FROM grains GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT grain, period_start,
+         CAST(512 - COUNT(*) AS BIGINT) AS v_empty,
+         CAST(CAST(SUM(CAST(1 AS BIGINT) << (44 - r)) AS BIGINT)
+              + (512 - COUNT(*)) * 17592186044416 AS BIGINT) AS reg_sum
+  FROM merged GROUP BY 1, 2
+)
+SELECT grain, period_start, v_empty, reg_sum,
+       CAST(round((0.7213 / (1.0 + 1.079 / 512.0)) * 512.0 * 512.0
+                  * 17592186044416.0 / CAST(reg_sum AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS dau_hll_micro
+FROM agg
+ORDER BY grain, period_start
+"""
+
+
 QUERIES = {
     "events_seasonal_decompose": events_seasonal_decompose,
     "events_ewma_anomaly": events_ewma_anomaly,
@@ -530,6 +681,8 @@ QUERIES = {
     "events_top_paths": events_top_paths,
     "part_attribute_entropy": part_attribute_entropy,
     "events_attribution_linear": events_attribution_linear,
+    "events_cumulative_users": events_cumulative_users,
+    "events_dau_rollup_hll": events_dau_rollup_hll,
 }
 
 ORACLES = {
@@ -539,4 +692,6 @@ ORACLES = {
     "events_top_paths": TOP_PATHS_SQL,
     "part_attribute_entropy": PART_ENTROPY_SQL,
     "events_attribution_linear": ATTRIBUTION_LINEAR_SQL,
+    "events_cumulative_users": CUMULATIVE_USERS_SQL,
+    "events_dau_rollup_hll": DAU_ROLLUP_HLL_SQL,
 }

@@ -221,3 +221,49 @@ def test_streaming_pattern_match_equals_batch(spark, sf_dir):
         for r in events_pattern_match(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cumulative_users_is_monotone_and_final_total(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_2025_spark.plans.round7g_queries import (
+        events_cumulative_users,
+    )
+    from big_data_assignment2_2025_spark.sources.readers import load_table
+
+    rows = events_cumulative_users(spark, sf_dir).collect()
+    assert len(rows) > 0
+    cums = [r["cumulative_users"] for r in rows]
+    assert cums == sorted(cums)  # monotone non-decreasing
+    total = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert cums[-1] == total
+    assert sum(r["new_users"] for r in rows) == total
+
+
+def test_dau_rollup_grains_are_consistent(spark, sf_dir):
+    """Register-max mergeability: a month's estimate must be >= any of its
+    days' estimates (registers only grow under max-merge), and the three
+    grains partition the same day set."""
+    from collections import defaultdict
+
+    from big_data_assignment2_2025_spark.plans.round7g_queries import (
+        events_dau_rollup_hll,
+    )
+
+    rows = events_dau_rollup_hll(spark, sf_dir).collect()
+    by_grain = defaultdict(list)
+    for r in rows:
+        by_grain[r["grain"]].append(r)
+    assert set(by_grain) == {"day", "week", "month"}
+    month_est = {
+        str(r["period_start"]): r["dau_hll_micro"] for r in by_grain["month"]
+    }
+    for d in by_grain["day"]:
+        mkey = str(d["period_start"])[:8] + "01"
+        assert month_est[mkey] >= d["dau_hll_micro"] * 0.999
