@@ -566,9 +566,17 @@ def run_streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_streaming_foreachbatch_upsert for the MERGE variant).
     """
     ev = read_events_stream(spark, sf_dir)
+    return _drain_to_memory(latest_state_agg(ev), spark)
+
+
+def latest_state_agg(ev: DataFrame) -> DataFrame:
+    """The keyed min_by/max_by log-compaction aggregation over any events
+    stream (or static frame) with (ts, event_id, user_id, event_type,
+    value) — factored out so multi-batch tests can feed a file-split
+    source through the same plan."""
     sec = F.floor(F.col("ts").cast("double")).cast("long")
     ord_key = sec * F.lit(10_000_000).cast("long") + F.col("event_id")
-    agg = (
+    return (
         ev.select(
             "user_id",
             "event_type",
@@ -584,7 +592,6 @@ def run_streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sec").alias("last_sec"),
         )
     )
-    return _drain_to_memory(agg, spark)
 
 
 def run_streaming_dedup_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -948,6 +955,13 @@ def run_streaming_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     emission), so the reconciliation is max_by(pairs, n) per key — the
     same monotone update-log convention as the DAU twins."""
     ev = read_events_stream(spark, sf_dir).where(F.col("user_id").isNotNull())
+    rows = _drain_to_memory(pattern_match_agg(ev), spark, output_mode="update")
+    return pattern_match_finalize(rows)
+
+
+def pattern_match_agg(ev: DataFrame) -> DataFrame:
+    """The windowed collect_list sequence accumulator (update-mode rows:
+    day, user_id, pairs, n) — factored out for multi-batch tests."""
     sec = F.floor(F.col("ts").cast("double")).cast("long")
     ord_key = sec * F.lit(10_000_000).cast("long") + F.col("event_id")
     proj = ev.select(
@@ -956,7 +970,7 @@ def run_streaming_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ord_key.alias("ord"),
         F.substring("event_type", 1, 1).alias("sym"),
     )
-    agg = (
+    return (
         proj.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
         .agg(F.collect_list(F.struct("ord", "sym")).alias("pairs"))
@@ -967,7 +981,11 @@ def run_streaming_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("pairs").alias("n"),
         )
     )
-    rows = _drain_to_memory(agg, spark, output_mode="update")
+
+
+def pattern_match_finalize(rows: DataFrame) -> DataFrame:
+    """Reconcile the monotone update log (max_by on list size), sort each
+    key's struct list into event order, and regex-count the pattern."""
     final = rows.groupBy("user_id", "day").agg(
         F.expr("max_by(pairs, n)").alias("pairs")
     )
