@@ -133,6 +133,9 @@ HEADLINE = [
     "orders_schema_evolution_scan",
     "events_cumulative_users",
     "events_dau_rollup_hll",
+    "orders_revenue_drawdown",
+    "events_day_churn",
+    "events_segment_pmi",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

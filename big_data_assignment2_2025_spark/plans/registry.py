@@ -32,6 +32,7 @@ from . import (
     round7e_queries,
     round7f_queries,
     round7g_queries,
+    round7h_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -69,6 +70,7 @@ _MODULES = [
     round7e_queries,
     round7f_queries,
     round7g_queries,
+    round7h_queries,
     storage_queries,
 ]
 

@@ -91,6 +91,11 @@ WHITELIST: dict[str, dict[str, str]] = {
     "pipeline_clean_corpus": {"bnlj": "1-row rollup scalar"},
     "events_audience_diff_kmv": {"bnlj": "1-row theta/sample-size scalar cross-joined onto the <=512-row KMV sample frame"},
     "embedding_binary_hamming_topk": {"bnlj": "deliberate: corpus signatures x BROADCAST bounded query-signature set (5 rows, 3 BIGINTs each)"},
+    "events_segment_pmi": {"bnlj": "1-row joined-total scalar cross-joined onto the bounded 5x5 cell frame"},
+    "orders_revenue_drawdown": {
+        "unpartitioned_window": "cumsum + running max over the DAILY aggregate (bounded by calendar)",
+        "single_partition_sort": "same calendar-bounded daily frame",
+    },
     "ann_hamming_rerank": {"bnlj": "stage-1 shortlist: corpus signatures x BROADCAST bounded query-signature set (5 rows); stage 2 is an equi-join"},
     "events_seasonal_decompose": {
         "unpartitioned_window": "centered 7-row trend over the DAILY aggregate (bounded by calendar, ~36.5k rows/century)",
@@ -98,6 +103,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     },
     "events_ewma_anomaly": {
         "unpartitioned_window": "7 trailing lags over the DAILY aggregate (bounded by calendar)",
+        "single_partition_sort": "same calendar-bounded daily frame",
+    },
+    "events_cumulative_users": {
+        "unpartitioned_window": "cumulative sum over the DAILY first-seen aggregate (bounded by calendar)",
         "single_partition_sort": "same calendar-bounded daily frame",
     },
     # ---- unpartitioned windows over PROVABLY BOUNDED aggregates ----
