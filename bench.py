@@ -136,6 +136,7 @@ HEADLINE = [
     "orders_revenue_drawdown",
     "events_day_churn",
     "events_segment_pmi",
+    "events_rolling_slope",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

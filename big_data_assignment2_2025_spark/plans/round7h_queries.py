@@ -265,11 +265,101 @@ ORDER BY cells.event_type, cells.c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# 5. Rolling 7-day trend slope
+# --------------------------------------------------------------------------
+
+#: window length for the rolling least-squares trend
+_SLOPE_N = 7
+
+
+def events_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day least-squares trend slope of daily event value —
+    "is this metric trending up or down, and how fast", per day.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = 0..6 the position
+    inside the window and y the integer-micro daily values entering as 7
+    explicit lag columns — so numerator and the CONSTANT denominator
+    (n·Σx²−(Σx)² = 7·91−441 = 196) are exact BIGINTs and the only float
+    op is one final division, micro-rounded. Same calendar-bounded daily
+    frame discipline as the EWMA chart; rows need a full 7-day history."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.expr("CAST(floor(round(value, 4) * 10000 + 0.5) AS BIGINT)")
+        ).alias("v_us")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "v_us",
+        *[
+            F.lag("v_us", k).over(w).alias(f"l{k}")
+            for k in range(1, _SLOPE_N)
+        ],
+    ).where(F.col(f"l{_SLOPE_N - 1}").isNotNull())
+    # y_i at window position x_i: l6 is oldest (x=0) ... v_us newest (x=6)
+    ys = [F.col(f"l{_SLOPE_N - 1 - i}") if i < _SLOPE_N - 1 else F.col("v_us") for i in range(_SLOPE_N)]
+    sum_y = None
+    sum_xy = None
+    for x, y in enumerate(ys):
+        sum_y = y if sum_y is None else sum_y + y
+        term = y * F.lit(x).cast("long")
+        sum_xy = term if sum_xy is None else sum_xy + term
+    n = _SLOPE_N
+    sum_x = n * (n - 1) // 2            # 21
+    den = n * sum(x * x for x in range(n)) - sum_x * sum_x  # 196
+    slope = (F.lit(n).cast("long") * sum_xy - F.lit(sum_x).cast("long") * sum_y) / F.lit(
+        float(den)
+    )
+    return (
+        lagged.select(
+            "day",
+            F.round(F.col("v_us") / 10000.0, 6).alias("value"),
+            F.round(slope / 10000.0, 6).alias("slope_per_day"),
+        )
+        .orderBy("day")
+    )
+
+
+_SLOPE_YS = ", ".join(
+    f"LAG(v_us, {k}) OVER (ORDER BY day) AS l{k}" for k in range(1, _SLOPE_N)
+)
+_SLOPE_SUM_Y = " + ".join(
+    [f"l{_SLOPE_N - 1 - i}" for i in range(_SLOPE_N - 1)] + ["v_us"]
+)
+_SLOPE_SUM_XY = " + ".join(
+    [f"l{_SLOPE_N - 1 - i} * {i}" for i in range(_SLOPE_N - 1)]
+    + [f"v_us * {_SLOPE_N - 1}"]
+)
+
+ROLLING_SLOPE_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CAST(floor(round(value, 4) * 10000 + 0.5) AS BIGINT)) AS v_us
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+lagged AS (
+  SELECT day, v_us, {_SLOPE_YS}
+  FROM daily
+)
+SELECT day,
+       round(v_us / 10000.0, 6) AS value,
+       round((({_SLOPE_N} * ({_SLOPE_SUM_XY}) - 21 * ({_SLOPE_SUM_Y})) / 196.0)
+             / 10000.0, 6) AS slope_per_day
+FROM lagged
+WHERE l{_SLOPE_N - 1} IS NOT NULL
+ORDER BY day
+"""
+
+
 QUERIES = {
     "orders_revenue_drawdown": orders_revenue_drawdown,
     "events_day_churn": events_day_churn,
     "customer_k_anonymity_audit": customer_k_anonymity_audit,
     "events_segment_pmi": events_segment_pmi,
+    "events_rolling_slope": events_rolling_slope,
 }
 
 ORACLES = {
@@ -277,4 +367,5 @@ ORACLES = {
     "events_day_churn": DAY_CHURN_SQL,
     "customer_k_anonymity_audit": K_ANONYMITY_SQL,
     "events_segment_pmi": _segment_pmi_oracle(),
+    "events_rolling_slope": ROLLING_SLOPE_SQL,
 }

@@ -85,3 +85,37 @@ def test_segment_pmi_matches_python(spark, sf_dir):
         )
         assert pmi == want
     assert len(got) == len(cells) > 0
+
+
+def test_rolling_slope_matches_python(spark, sf_dir):
+    import math
+
+    from big_data_assignment2_2025_spark.plans.round7h_queries import (
+        events_rolling_slope,
+    )
+
+    got = {str(r["day"]): r["slope_per_day"] for r in events_rolling_slope(spark, sf_dir).collect()}
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("CAST(floor(round(value,4)*10000 + 0.5) AS BIGINT)")
+            ).alias("v_us")
+        )
+        .orderBy("day")
+        .collect()
+    )
+    series = [(str(r["day"]), r["v_us"]) for r in daily]
+    n_checked = 0
+    for i in range(6, len(series)):
+        ys = [series[i - 6 + x][1] for x in range(7)]
+        sum_y = sum(ys)
+        sum_xy = sum(x * y for x, y in enumerate(ys))
+        slope = (7 * sum_xy - 21 * sum_y) / 196.0
+        assert math.isclose(
+            got[series[i][0]], round(slope / 10000.0, 6), abs_tol=1e-9
+        )
+        n_checked += 1
+    assert n_checked == len(got) > 0

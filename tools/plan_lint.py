@@ -105,6 +105,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "unpartitioned_window": "7 trailing lags over the DAILY aggregate (bounded by calendar)",
         "single_partition_sort": "same calendar-bounded daily frame",
     },
+    "events_rolling_slope": {
+        "unpartitioned_window": "7 trailing lags over the DAILY aggregate (bounded by calendar)",
+        "single_partition_sort": "same calendar-bounded daily frame",
+    },
     "events_cumulative_users": {
         "unpartitioned_window": "cumulative sum over the DAILY first-seen aggregate (bounded by calendar)",
         "single_partition_sort": "same calendar-bounded daily frame",
