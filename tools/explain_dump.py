@@ -546,6 +546,35 @@ COMMENTARY = {
         "the plan). Existing edges leave via a left-anti join before "
         "scoring; the top-20 cut is TakeOrderedAndProject."
     ),
+    "events_dau_rollup_hll": (
+        "HLL rollup across time grains (round 7g) — the continuous-"
+        "aggregate pattern. ONE per-day register build (the only "
+        "fact-sized aggregation, <= days x 512 rows out) is persisted "
+        "and re-aggregated to week and month by per-bucket register max "
+        "— the plan shows three grain branches reading the same "
+        "InMemoryTableScan instead of three fact-table passes. At 100 TB "
+        "this is the difference between one sketch table serving every "
+        "dashboard grain and a COUNT(DISTINCT) per grain per refresh."
+    ),
+    "events_attribution_linear": (
+        "Linear multi-touch attribution (round 7g). Needing EVERY touch "
+        "rules out the last-touch window trick, so look for the bounded "
+        "x2 `Generate explode` on the click side (the one-sided 7-day "
+        "grid) feeding a (user, bucket) equi-join — never a "
+        "clicks-x-purchases interval product — then one purchase-keyed "
+        "window pair (count + row_number) for the integer floor-split "
+        "credit. Conservation (credit == touched purchase value) is "
+        "exact and test-asserted."
+    ),
+    "events_day_churn": (
+        "Day-over-day churn accounting (round 7h). Facts reduce to the "
+        "DISTINCT (day, user) dimension first; the full-outer self-join "
+        "against its own day-shifted copy classifies retained/new/"
+        "churned in one pass. The join carries dimension-sized rows "
+        "(days x daily actives), never fact rows, and the two "
+        "observed-day semi-joins prune boundary days with no valid "
+        "comparison."
+    ),
 }
 
 
