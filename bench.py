@@ -137,6 +137,14 @@ HEADLINE = [
     "events_day_churn",
     "events_segment_pmi",
     "events_rolling_slope",
+    # round-7i: community seeding, changepoint, forensic audit,
+    # collocations, noisy release, streaming EWMA twin
+    "graph_label_propagation",
+    "events_changepoint_cusum",
+    "orders_benford_audit",
+    "text_collocations_llr",
+    "customer_l_diversity",
+    "streaming_ewma_anomaly",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

@@ -33,6 +33,7 @@ from . import (
     round7f_queries,
     round7g_queries,
     round7h_queries,
+    round7i_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -71,6 +72,7 @@ _MODULES = [
     round7f_queries,
     round7g_queries,
     round7h_queries,
+    round7i_queries,
     storage_queries,
 ]
 

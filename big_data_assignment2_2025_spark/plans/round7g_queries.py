@@ -138,6 +138,15 @@ def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(floor(round(value, 4) * {_SCALE} + 0.5) AS BIGINT)")
         ).alias("v_us")
     )
+    return ewma_score_daily(daily)
+
+
+def ewma_score_daily(daily: DataFrame) -> DataFrame:
+    """The EWMA control-chart scoring over a (day, v_us) daily frame —
+    shared verbatim by the batch query above and the streaming twin
+    (streaming/stream.py run_streaming_ewma_anomaly), so the two paths
+    cannot diverge: same integer lag weights, same single float division,
+    same rounding."""
     w = Window.orderBy("day")
     lagged = daily.select(
         "day",

@@ -20,6 +20,7 @@ from ..streaming import (
     run_streaming_bitmap_dau,
     run_streaming_dedup,
     run_streaming_dedup_window_chain,
+    run_streaming_ewma_anomaly,
     run_streaming_foreachbatch_upsert,
     run_streaming_hourly,
     run_streaming_latest_state,
@@ -42,6 +43,7 @@ from .events_queries import (
     EVENTS_SLIDING_SQL,
 )
 from .round5_queries import HLL_ROLLING_DAU_SQL, OHLC_SQL, ROLLING_DAU_SQL
+from .round7g_queries import EWMA_ANOMALY_SQL
 from .round7_queries import DAILY_CMS_SQL, DAILY_HIST_QUANTILES_SQL
 from .round7b_queries import BITMAP_DAU_SQL
 from .round7f_queries import EVENTS_PATTERN_MATCH_SQL
@@ -117,6 +119,14 @@ def streaming_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity-day, watermark-evicted; equals the batch events_pattern_match
     answer (same oracle SQL)."""
     return run_streaming_pattern_match(spark, sf_dir)
+
+
+def streaming_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart maintained incrementally: SUM+COUNT per 1-day
+    window (two numbers of state per open window, watermark-evicted),
+    scored by the batch query's own code — equals the batch
+    events_ewma_anomaly answer (same oracle SQL)."""
+    return run_streaming_ewma_anomaly(spark, sf_dir)
 
 
 def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,6 +313,7 @@ QUERIES = {
     "streaming_stream_join_left": streaming_stream_join_left,
     "streaming_latest_state": streaming_latest_state,
     "streaming_pattern_match": streaming_pattern_match,
+    "streaming_ewma_anomaly": streaming_ewma_anomaly,
 }
 
 ORACLES = {
@@ -343,4 +354,7 @@ ORACLES = {
     # bitmap aggregate exactly — one SQL serves both deployments
     "streaming_bitmap_dau": BITMAP_DAU_SQL,
     "streaming_stream_join_left": STREAMING_STREAM_JOIN_LEFT_SQL,
+    # daily sums reconcile exactly (monotone row count picks the final
+    # emission) and the scoring IS the batch code — one SQL serves both
+    "streaming_ewma_anomaly": EWMA_ANOMALY_SQL,
 }

@@ -940,6 +940,53 @@ def run_streaming_bitmap_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_streaming_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_ewma_anomaly (same EWMA_ANOMALY_SQL
+    oracle): the daily value sums are maintained incrementally by ONE
+    stateful op — SUM + COUNT per 1-day tumbling event-time window under
+    the 2-hour watermark — and the EWMA control-chart scoring runs
+    batch-side on the reconciled daily frame through the EXACT code the
+    batch query uses (``plans.round7g_queries.ewma_score_daily``), so
+    the two paths cannot diverge.
+
+    State is two numbers per open window — bounded whatever the event
+    volume — and closed windows evict. The per-window row count is
+    MONOTONE non-decreasing across update-mode emissions while the sum
+    (values can be any sign) is not, so the reconciliation picks the sum
+    carried by the HIGHEST count: ``max_by(v_us, nrows)`` per day — a
+    count tie between two emissions implies identical sums (same rows
+    seen), making the pick well-defined."""
+    rows = _drain_to_memory(ewma_daily_agg(read_events_stream(spark, sf_dir)),
+                            spark, output_mode="update")
+    return ewma_finalize(rows)
+
+
+def ewma_daily_agg(ev: DataFrame) -> DataFrame:
+    """The windowed daily SUM/COUNT accumulator (update-mode rows: day,
+    v_us, nrows) — factored out for multi-batch tests."""
+    proj = ev.where(F.col("value").isNotNull()).select(
+        "ts",
+        F.expr("CAST(floor(round(value, 4) * 10000 + 0.5) AS BIGINT)").alias(
+            "v_row"
+        ),
+    )
+    return (
+        proj.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.sum("v_row").alias("v_us"), F.count("*").alias("nrows"))
+        .select(F.to_date("w.start").alias("day"), "v_us", "nrows")
+    )
+
+
+def ewma_finalize(rows: DataFrame) -> DataFrame:
+    """Reconcile the update log (sum at the highest monotone row count
+    per day) and run the shared batch EWMA scorer."""
+    from ..plans.round7g_queries import ewma_score_daily
+
+    daily = rows.groupBy("day").agg(F.expr("max_by(v_us, nrows)").alias("v_us"))
+    return ewma_score_daily(daily)
+
+
 def run_streaming_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_pattern_match (same oracle SQL): per
     (user, 1-day event-time window) symbol sequences accumulated as a

@@ -1,0 +1,298 @@
+"""Invariant tests for the round-7i tranche (plans/round7i_queries.py):
+min-label propagation, CUSUM changepoint, Benford audit, collocation LLR,
+seeded noisy-count release, l-diversity — plus the streaming EWMA twin.
+
+The hash-gate against DuckDB lives in the driver/oracle_check; these
+tests pin the semantic invariants (Python re-derivations on the small
+fixture) that survive fixture regeneration.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from big_data_assignment2_2025_spark.plans.graph_queries import (
+    _copurchase_edges,
+)
+from big_data_assignment2_2025_spark.plans.round7g_queries import (
+    events_ewma_anomaly,
+)
+from big_data_assignment2_2025_spark.plans.round7i_queries import (
+    _BENFORD_P,
+    _DP_B,
+    _DP_SEED,
+    _L_DIVERSITY,
+    _LPA_ROUNDS,
+    customer_l_diversity,
+    events_changepoint_cusum,
+    events_dp_noisy_counts,
+    graph_label_propagation,
+    orders_benford_audit,
+    text_collocations_llr,
+)
+from big_data_assignment2_2025_spark.sources.readers import load_table
+
+
+# --------------------------------------------------------------------------
+# label propagation
+# --------------------------------------------------------------------------
+
+
+def test_label_propagation_equals_khop_min(spark, sf_dir):
+    """After k synchronous min rounds each node's label must equal the
+    min node id within k hops (BFS closed form)."""
+    edges = _copurchase_edges(spark, sf_dir).collect()
+    adj: dict[int, set[int]] = {}
+    for r in edges:
+        adj.setdefault(r["u"], set()).add(r["v"])
+        adj.setdefault(r["v"], set()).add(r["u"])
+    got = {
+        r["node"]: r["label"]
+        for r in graph_label_propagation(spark, sf_dir).collect()
+    }
+    assert set(got) == set(adj)
+    for node in adj:
+        frontier = {node}
+        seen = {node}
+        for _ in range(_LPA_ROUNDS):
+            frontier = {
+                n for f in frontier for n in adj[f] if n not in seen
+            }
+            seen |= frontier
+        assert got[node] == min(seen), node
+
+
+def test_label_propagation_labels_never_increase(spark, sf_dir):
+    rows = graph_label_propagation(spark, sf_dir).collect()
+    assert all(r["label"] <= r["node"] for r in rows)
+
+
+# --------------------------------------------------------------------------
+# CUSUM
+# --------------------------------------------------------------------------
+
+
+def test_cusum_python_recount(spark, sf_dir):
+    rows = events_changepoint_cusum(spark, sf_dir).collect()
+    vs = [r["v_us"] for r in rows]
+    n, total = len(vs), sum(vs)
+    cum = 0
+    expect = []
+    for t, v in enumerate(vs, start=1):
+        cum += v
+        expect.append(n * cum - t * total)
+    assert [r["cusum_scaled"] for r in rows] == expect
+    # last point is always exactly 0 (n·total − n·total)
+    assert expect[-1] == 0
+    peaks = [r for r in rows if r["is_changepoint"] == 1]
+    assert len(peaks) == 1
+    assert abs(peaks[0]["cusum_scaled"]) == max(abs(s) for s in expect)
+
+
+# --------------------------------------------------------------------------
+# Benford
+# --------------------------------------------------------------------------
+
+
+def test_benford_shares_and_chi2(spark, sf_dir):
+    rows = orders_benford_audit(spark, sf_dir).collect()
+    n_total = sum(r["n"] for r in rows)
+    assert sum(_BENFORD_P.values()) == 1.0 or abs(sum(_BENFORD_P.values()) - 1.0) < 1e-12
+    for r in rows:
+        p = _BENFORD_P[r["digit"]]
+        assert r["expected_share"] == round(p, 6)
+        assert r["obs_share"] == round(r["n"] / n_total, 6)
+        chi = (r["n"] - n_total * p) ** 2 / (n_total * p)
+        assert r["chi2_micros"] == math.floor(chi * 1_000_000 + 0.5)
+
+
+def test_benford_covers_all_digits(spark, sf_dir):
+    digits = [r["digit"] for r in orders_benford_audit(spark, sf_dir).collect()]
+    assert digits == sorted(digits)
+    assert set(digits) <= set(range(1, 10))
+
+
+# --------------------------------------------------------------------------
+# collocations
+# --------------------------------------------------------------------------
+
+
+def test_collocations_llr_python_recount(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    bg: dict[tuple[str, str], int] = {}
+    left: dict[str, int] = {}
+    right: dict[str, int] = {}
+    n_tot = 0
+    for row in docs:
+        toks = [t for t in (row["text"] or "").split(" ") if t]
+        for w1, w2 in zip(toks, toks[1:]):
+            bg[(w1, w2)] = bg.get((w1, w2), 0) + 1
+            left[w1] = left.get(w1, 0) + 1
+            right[w2] = right.get(w2, 0) + 1
+            n_tot += 1
+
+    def llr(k11: float, n_l: float, n_r: float, n: float) -> float:
+        cells = [
+            (k11, n_l * n_r / n),
+            (n_l - k11, n_l * (n - n_r) / n),
+            (n_r - k11, (n - n_l) * n_r / n),
+            (n - n_l - n_r + k11, (n - n_l) * (n - n_r) / n),
+        ]
+        return 2.0 * sum(k * math.log(k / e) for k, e in cells if k > 0)
+
+    rows = text_collocations_llr(spark, sf_dir).collect()
+    assert rows and len(rows) <= 100
+    for r in rows[:20]:
+        expect = llr(
+            float(bg[(r["w1"], r["w2"])]),
+            float(left[r["w1"]]),
+            float(right[r["w2"]]),
+            float(n_tot),
+        )
+        assert r["n_bg"] == bg[(r["w1"], r["w2"])]
+        # engine floors at micro precision; allow 1 micro of libm slack
+        assert abs(r["llr_micros"] - math.floor(expect * 1e6 + 0.5)) <= 1
+    # ranking is by the rounded statistic, descending
+    scores = [r["llr_micros"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+# --------------------------------------------------------------------------
+# noisy-count release
+# --------------------------------------------------------------------------
+
+
+def test_dp_noise_python_rederivation(spark, sf_dir):
+    rows = events_dp_noisy_counts(spark, sf_dir).collect()
+    truth = {
+        r["event_type"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert {r["event_type"] for r in rows} == set(truth)
+    for r in rows:
+        key = f"{_DP_SEED}|{r['event_type']}"
+        u = int(hashlib.md5(key.encode()).hexdigest()[:13], 16) / float(1 << 52)
+        d = u - 0.5
+        sign = (d > 0) - (d < 0)
+        noise = -_DP_B * sign * math.log(1.0 - 2.0 * abs(d))
+        assert r["n_true"] == truth[r["event_type"]]
+        assert r["noise_micros"] == math.floor(noise * 1_000_000 + 0.5)
+        assert r["released_micros"] == max(
+            0, r["n_true"] * 1_000_000 + r["noise_micros"]
+        )
+
+
+# --------------------------------------------------------------------------
+# l-diversity
+# --------------------------------------------------------------------------
+
+
+def test_l_diversity_python_recount(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    ).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).collect()
+    by_cust = {}
+    for r in orders:
+        by_cust.setdefault(r["o_custkey"], set()).add(r["o_orderpriority"])
+    size: dict[tuple, int] = {}
+    sens: dict[tuple, set] = {}
+    for r in cust:
+        k = (r["c_mktsegment"], r["c_nationkey"])
+        size[k] = size.get(k, 0) + 1
+        sens.setdefault(k, set()).update(by_cust.get(r["c_custkey"], set()))
+    rows = customer_l_diversity(spark, sf_dir).collect()
+    assert len(rows) == len(size)
+    for r in rows:
+        k = (r["c_mktsegment"], r["c_nationkey"])
+        assert r["class_size"] == size[k]
+        assert r["l_distinct"] == len(sens[k])
+        assert r["violates_l"] == int(len(sens[k]) < _L_DIVERSITY)
+
+
+# --------------------------------------------------------------------------
+# streaming EWMA twin
+# --------------------------------------------------------------------------
+
+
+def test_streaming_ewma_equals_batch(spark, sf_dir):
+    from big_data_assignment2_2025_spark.streaming.stream import (
+        run_streaming_ewma_anomaly,
+    )
+
+    batch = sorted(
+        tuple(r) for r in events_ewma_anomaly(spark, sf_dir).collect()
+    )
+    stream = sorted(
+        tuple(r) for r in run_streaming_ewma_anomaly(spark, sf_dir).collect()
+    )
+    assert batch == stream and batch
+
+
+def test_streaming_ewma_multibatch_reconciles(spark, tmp_path):
+    """Split input across files with maxFilesPerTrigger=1 so a window's
+    sum accumulates over several micro-batches; the reconciled daily
+    frame must equal the batch daily sums, including a same-day value
+    arriving in a LATER batch."""
+    import pandas as pd
+
+    from big_data_assignment2_2025_spark.streaming.stream import (
+        ewma_daily_agg,
+        ewma_finalize,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    f1 = [("2024-01-01 01:00:00", 1.5), ("2024-01-02 01:00:00", 2.0)]
+    f2 = [("2024-01-01 23:00:00", 0.25), ("2024-01-03 01:00:00", 4.0)]
+    for name, rows in (("a.parquet", f1), ("b.parquet", f2)):
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime([r[0] for r in rows]),
+                "value": [r[1] for r in rows],
+            }
+        ).to_parquet(src / name, coerce_timestamps="us")
+    stream = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(str(out))
+
+    q = (
+        ewma_daily_agg(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = ewma_finalize(spark.read.parquet(str(out)))
+    # EWMA needs 7 days of history; the daily reconciliation is what we
+    # pin here (the scorer itself is the batch code, already covered)
+    daily = (
+        spark.read.parquet(str(out))
+        .groupBy("day")
+        .agg(F.expr("max_by(v_us, nrows)").alias("v_us"))
+        .collect()
+    )
+    got = {str(r["day"]): r["v_us"] for r in daily}
+    assert got == {
+        "2024-01-01": 17_500,  # 1.5 + 0.25 across two micro-batches
+        "2024-01-02": 20_000,
+        "2024-01-03": 40_000,
+    }
+    assert rows.collect() == []  # < 7 days of history -> no scored rows

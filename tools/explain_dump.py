@@ -575,6 +575,35 @@ COMMENTARY = {
         "observed-day semi-joins prune boundary days with no valid "
         "comparison."
     ),
+    "graph_label_propagation": (
+        "3-round synchronous min-label propagation (round 7i). Each round "
+        "is the Pregel message pattern as DataFrame ops: one neighbor-key "
+        "equi-join (messages) + one node-key hash aggregation (combiner) "
+        "+ a left join folding the min back into the labels — shuffle "
+        "O(edges) per round, and localCheckpoint between rounds keeps the "
+        "plan one round deep instead of compounding. At 100 TB the "
+        "neighbor join co-partitions on the node key round over round, so "
+        "AQE reuses the exchange layout; verification unrolls the "
+        "closed form (min id within k hops) in plain SQL."
+    ),
+    "events_changepoint_cusum": (
+        "CUSUM changepoint (round 7i). The fact table collapses to the "
+        "calendar-bounded daily aggregate in one partial-aggregating "
+        "exchange; every window after that (cumsum, global total, "
+        "peak rank) runs on the bounded daily frame — the deliberate "
+        "single-task tail every time-series query here shares. The "
+        "statistic n*cum_t - t*total is exact BIGINT, so the plan has "
+        "zero float aggregation anywhere."
+    ),
+    "text_collocations_llr": (
+        "Dunning LLR collocations (round 7i). The token stream shuffles "
+        "three times on Zipf-concentrated keys (bigram, first word, "
+        "second word) to build exact contingency margins; "
+        "TakeOrderedAndProject then bounds the candidate set to 100 "
+        "BEFORE any float math, so the 4-ln scoring chain — the only "
+        "transcendental surface — runs on a fixed-size frame with "
+        "broadcast margin lookups however large the corpus grows."
+    ),
 }
 
 

@@ -141,6 +141,13 @@ QUERIES_TO_PROFILE = [
     # (expect the one adj repartition reused by both w-keyed joins)
     "events_attribution_linear",
     "graph_link_prediction",
+    # round 7i: 3-round min-label propagation (expect per-round edge-keyed
+    # join + node-keyed agg exchanges — O(rounds x edges), the Pregel
+    # bound; lineage cut keeps the plan flat) and collocation LLR (expect
+    # the pair/margin aggregates to be the only data-sized exchanges; the
+    # 4-ln scoring runs on the bounded 100-candidate frame)
+    "graph_label_propagation",
+    "text_collocations_llr",
 ]
 
 
