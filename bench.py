@@ -145,6 +145,12 @@ HEADLINE = [
     "text_collocations_llr",
     "customer_l_diversity",
     "streaming_ewma_anomaly",
+    # round-7j: sequence model, robust stats, time-weighting, interval
+    # algebra, warehouse history
+    "events_markov_transitions",
+    "events_twap_daily",
+    "events_interval_merge",
+    "orders_scd2_history",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

@@ -34,6 +34,7 @@ from . import (
     round7g_queries,
     round7h_queries,
     round7i_queries,
+    round7j_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -73,6 +74,7 @@ _MODULES = [
     round7g_queries,
     round7h_queries,
     round7i_queries,
+    round7j_queries,
     storage_queries,
 ]
 

@@ -595,6 +595,29 @@ COMMENTARY = {
         "statistic n*cum_t - t*total is exact BIGINT, so the plan has "
         "zero float aggregation anywhere."
     ),
+    "events_markov_transitions": (
+        "First-order Markov transition matrix (round 7j). ONE user-keyed "
+        "exchange feeds the per-user lead window; both the pair-count and "
+        "row-margin aggregations are map-side partial on top of it, and "
+        "the margin side broadcasts back onto the bounded |types|^2 cell "
+        "frame — the probability division never sees a data-sized row."
+    ),
+    "orders_scd2_history": (
+        "SCD Type-2 build (round 7j). One customer-keyed exchange is "
+        "reused by all three stateful steps — the lag-based run "
+        "detection window, the run-collapse aggregation, and the "
+        "valid_to lead window — because they all key on o_custkey; the "
+        "plan should show a single Exchange feeding chained Window/"
+        "HashAggregate operators. The versioned output is ~|status "
+        "changes| rows, strictly smaller than the input."
+    ),
+    "events_interval_merge": (
+        "Gaps-and-islands interval union (round 7j). User-partitioned "
+        "cumulative-max island detection: one user-keyed exchange, two "
+        "chained window passes over it, then per-island and per-user "
+        "aggregations that stay on the same key — no second shuffle. "
+        "Exact epoch-microsecond integers end to end."
+    ),
     "text_collocations_llr": (
         "Dunning LLR collocations (round 7i). The token stream shuffles "
         "three times on Zipf-concentrated keys (bigram, first word, "

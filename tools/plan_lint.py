@@ -113,6 +113,14 @@ WHITELIST: dict[str, dict[str, str]] = {
         "unpartitioned_window": "cumsum/total/peak-rank over the DAILY aggregate (bounded by calendar)",
         "single_partition_sort": "same calendar-bounded daily frame",
     },
+    "events_acf_daily": {
+        "unpartitioned_window": "dev/lead windows over the DAILY aggregate (bounded by calendar)",
+        "single_partition_sort": "same calendar-bounded daily frame",
+    },
+    "events_mad_anomaly": {
+        "unpartitioned_window": "median/MAD ranks over the DAILY aggregate (bounded by calendar)",
+        "single_partition_sort": "same calendar-bounded daily frame",
+    },
     "orders_benford_audit": {"bnlj": "1-row digit-total scalar cross-joined onto the bounded 9-cell frame"},
     "text_collocations_llr": {"bnlj": "1-row bigram-total scalar cross-joined onto the bounded 100-candidate frame"},
     "events_cumulative_users": {

@@ -148,6 +148,12 @@ QUERIES_TO_PROFILE = [
     # 4-ln scoring runs on the bounded 100-candidate frame)
     "graph_label_propagation",
     "text_collocations_llr",
+    # round 7j: per-user sequence windows (expect ONE user-keyed exchange
+    # reused by the lead + both aggregations) and the SCD2 build (expect
+    # one cust-keyed exchange reused by run-detection window, collapse
+    # agg, and the valid_to window)
+    "events_markov_transitions",
+    "orders_scd2_history",
 ]
 
 
