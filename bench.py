@@ -151,6 +151,9 @@ HEADLINE = [
     "events_twap_daily",
     "events_interval_merge",
     "orders_scd2_history",
+    # round-7k: survival analysis + community quality
+    "events_survival_km",
+    "graph_modularity",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

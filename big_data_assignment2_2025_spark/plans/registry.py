@@ -35,6 +35,7 @@ from . import (
     round7h_queries,
     round7i_queries,
     round7j_queries,
+    round7k_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -75,6 +76,7 @@ _MODULES = [
     round7h_queries,
     round7i_queries,
     round7j_queries,
+    round7k_queries,
     storage_queries,
 ]
 

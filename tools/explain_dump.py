@@ -595,6 +595,22 @@ COMMENTARY = {
         "statistic n*cum_t - t*total is exact BIGINT, so the plan has "
         "zero float aggregation anywhere."
     ),
+    "events_survival_km": (
+        "Kaplan-Meier survival (round 7k). One user-keyed aggregation "
+        "collapses the fact table to spans; a 1-row max-day scalar "
+        "broadcasts onto them; every window after that runs on the "
+        "distinct-lifetime frame (calendar-bounded). The KM product is "
+        "an integer sum of nano-scaled log terms — order-independent — "
+        "so the cumulative window cannot introduce float drift."
+    ),
+    "graph_modularity": (
+        "LPA-community modularity (round 7k). The 3-round propagation "
+        "plan feeds two node-keyed label joins (intra-edge tagging, "
+        "degree mass) and two hash aggregations down to the "
+        "per-community frame; q_c's numerator/denominator are exact "
+        "int128 products, one frozen double division per community "
+        "cell."
+    ),
     "events_markov_transitions": (
         "First-order Markov transition matrix (round 7j). ONE user-keyed "
         "exchange feeds the per-user lead window; both the pair-count and "

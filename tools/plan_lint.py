@@ -121,6 +121,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "unpartitioned_window": "median/MAD ranks over the DAILY aggregate (bounded by calendar)",
         "single_partition_sort": "same calendar-bounded daily frame",
     },
+    "events_survival_km": {
+        "unpartitioned_window": "KM cumulative product over the distinct-LIFETIME frame (bounded by calendar)",
+        "single_partition_sort": "same calendar-bounded lifetime frame",
+        "bnlj": "1-row max-day scalar cross-joined onto the user spans",
+    },
     "orders_benford_audit": {"bnlj": "1-row digit-total scalar cross-joined onto the bounded 9-cell frame"},
     "text_collocations_llr": {"bnlj": "1-row bigram-total scalar cross-joined onto the bounded 100-candidate frame"},
     "events_cumulative_users": {
