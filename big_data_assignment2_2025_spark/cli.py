@@ -10,9 +10,16 @@ incremental accumulate-on-reindex quirk, the TSV result contract
 ``doc_id\\tdoc_title\\tdoc_rank`` (``app/query.py:139-144``) — is preserved:
 
     python -m big_data_assignment2_2025_spark index CORPUS --store DIR
+    python -m big_data_assignment2_2025_spark index CORPUS --store DIR --rebuild
+    python -m big_data_assignment2_2025_spark delete DOC_ID ... --store DIR
     python -m big_data_assignment2_2025_spark search "query text" --store DIR
     python -m big_data_assignment2_2025_spark query QUERY_NAME --sf-dir DIR
     python -m big_data_assignment2_2025_spark list
+
+``--rebuild`` and ``delete`` complete the index lifecycle the reference
+lacks (it can only accumulate): rebuild deletes the corpus' doc ids before
+accumulating so re-indexing is idempotent; both go through the same
+crash-safe stage-then-swap with startup recovery (``_recover_store``).
 
 ``index`` accepts the reference's corpus shapes: a ``.tsv`` file/dir of
 ``doc_id\\tdoc_title\\ttext`` lines (``prepare_data.py:29``), a parquet
@@ -67,38 +74,76 @@ def _read_corpus(spark, path: str):
     return ingest_text_file(spark, path)
 
 
+def _recover_store(store: str) -> None:
+    """Crash recovery for the stage-then-swap re-index (run before ANY
+    store access).  The swap is two renames — ``store -> store._old`` then
+    ``store._staging -> store`` — and a crash between them leaves the only
+    good index stranded in ``._old`` while the store path is gone; without
+    recovery the next ``index`` run's existence check would silently start
+    a FRESH store, losing the accumulated state.  A leftover ``._staging``
+    is always garbage (the swap completed or never started)."""
+    import shutil
+
+    store = store.rstrip("/")
+    backup, staged = store + "._old", store + "._staging"
+    if os.path.exists(backup):
+        if os.path.exists(os.path.join(store, "corpus_info")):
+            # swap completed; backup is a stale copy
+            shutil.rmtree(backup, ignore_errors=True)
+        else:
+            # crashed mid-swap: the backup IS the store
+            shutil.rmtree(store, ignore_errors=True)
+            os.rename(backup, store)
+            print(f"recovered {store} from interrupted re-index", file=sys.stderr)
+    shutil.rmtree(staged, ignore_errors=True)
+
+
+def _swap_store(store: str, staged: str) -> None:
+    """Replace ``store`` with ``staged`` via the rename pair that
+    ``_recover_store`` knows how to repair."""
+    import shutil
+
+    backup = store.rstrip("/") + "._old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(store, backup)
+    os.rename(staged, store)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
 def cmd_index(args) -> int:
     from .operators.index import (
         build_index,
+        idempotent_reindex,
         incremental_reindex,
         load_materialized_index,
         materialize_index,
     )
 
     spark = _spark("cli-index")
+    _recover_store(args.store)
     corpus = _read_corpus(spark, args.corpus)
-    new = build_index(corpus)
     store_exists = os.path.exists(
         os.path.join(args.store, "corpus_info")
     )
     if store_exists and not args.overwrite:
         old = load_materialized_index(spark, args.store)
-        # parquet can't overwrite its own scan input: snapshot the merged
-        # index driver-side? No — the tables are aggregates (vocab-sized),
-        # but still potentially large; stage to a sibling dir then swap.
-        merged = incremental_reindex(old, corpus)
+        # parquet can't overwrite its own scan input: the tables are
+        # aggregates (vocab-sized) but still potentially large; stage to a
+        # sibling dir then swap (crash-safe via _recover_store).
+        if args.rebuild:
+            # idempotent path: delete the delta's docs first, no
+            # double-count — re-running converges to the fresh build
+            merged = idempotent_reindex(old, corpus)
+        else:
+            # reference-faithful accumulate (double-count quirk, A5)
+            merged = incremental_reindex(old, corpus)
         staged = args.store.rstrip("/") + "._staging"
         materialize_index(merged, staged)
-        import shutil
-
-        backup = args.store.rstrip("/") + "._old"
-        shutil.rmtree(backup, ignore_errors=True)
-        os.rename(args.store, backup)
-        os.rename(staged, args.store)
-        shutil.rmtree(backup, ignore_errors=True)
-        print(f"accumulated into {args.store}", file=sys.stderr)
+        _swap_store(args.store, staged)
+        verb = "rebuilt" if args.rebuild else "accumulated"
+        print(f"{verb} into {args.store}", file=sys.stderr)
     else:
-        materialize_index(new, args.store)
+        materialize_index(build_index(corpus), args.store)
         print(f"indexed into {args.store}", file=sys.stderr)
     n = spark.read.parquet(os.path.join(args.store, "corpus_info")).collect()
     for row in n:
@@ -110,12 +155,44 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    from .operators.index import (
+        delete_documents,
+        load_materialized_index,
+        materialize_index,
+    )
+
+    spark = _spark("cli-delete")
+    _recover_store(args.store)
+    if not os.path.exists(os.path.join(args.store, "corpus_info")):
+        print(f"no index store at {args.store}", file=sys.stderr)
+        return 2
+    old = load_materialized_index(spark, args.store)
+    ids = spark.createDataFrame(
+        [(int(d),) for d in args.doc_ids], "doc_id int"
+    )
+    pruned = delete_documents(old, ids)
+    staged = args.store.rstrip("/") + "._staging"
+    materialize_index(pruned, staged)
+    _swap_store(args.store, staged)
+    row = spark.read.parquet(
+        os.path.join(args.store, "corpus_info")
+    ).collect()[0]
+    print(
+        f"deleted {len(args.doc_ids)} doc id(s); corpus now "
+        f"docs={row['doc_n']} total_len={row['total_doc_length']}",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_search(args) -> int:
     from .operators.index import load_materialized_index
     from .operators.search import bm25_search
     from .sources.sinks import write_tsv
 
     spark = _spark("cli-search")
+    _recover_store(args.store)
     index = load_materialized_index(spark, args.store)
     result = bm25_search(index, args.query, k=args.k)
     rows = result.collect()
@@ -166,7 +243,19 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="replace the store instead of accumulating (reference default accumulates)",
     )
+    pi.add_argument(
+        "--rebuild",
+        action="store_true",
+        help="idempotent re-index: delete the corpus' doc ids from the store "
+        "first, then accumulate — no double-count; re-running converges to "
+        "a fresh build",
+    )
     pi.set_defaults(fn=cmd_index)
+
+    pd = sub.add_parser("delete", help="remove documents from an index store")
+    pd.add_argument("doc_ids", nargs="+", help="doc ids to delete")
+    pd.add_argument("--store", required=True)
+    pd.set_defaults(fn=cmd_delete)
 
     ps = sub.add_parser("search", help="BM25 top-k over a built store")
     ps.add_argument("query", help="free-text query")

@@ -223,3 +223,72 @@ def incremental_reindex(
         )
     )
     return InvertedIndex(term_freq, term_doc_freq, doc_info, corpus_info)
+
+
+def delete_documents(old: InvertedIndex, doc_ids: DataFrame) -> InvertedIndex:
+    """Remove a set of documents from an existing index.
+
+    The reference store can only ACCUMULATE (``reducer1.py:18-24`` has no
+    delete path — re-indexing double-counts); deletion is the lifecycle
+    capability a real operator needs, so its semantics are defined fresh
+    here rather than copied:
+
+    - ``term_freq`` / ``doc_info``: anti-join on ``doc_id`` — the deleted
+      documents' postings and length rows vanish, everything else is
+      untouched (no re-aggregation of retained rows).
+    - ``term_doc_freq`` / ``corpus_info``: RECOMPUTED from the retained
+      relations (one vocab-scale aggregation + one row). This pins
+      ``doc_frequency`` to the number of retained ``(term, doc)`` postings,
+      i.e. distinct retained docs per term — on a store that was
+      double-ACCUMULATED, deletion therefore also normalizes the inflated
+      frequencies back to posting counts (terms whose every posting is
+      deleted disappear entirely, no ghost df); per-posting
+      ``term_frequency`` / ``doc_length`` values of untouched documents are
+      preserved as stored (their source text is not available to re-read).
+
+    Scale: the anti-joins broadcast ``doc_ids`` when small (the common
+    delete batch) or shuffle-hash on ``doc_id`` otherwise; the df
+    recomputation is the same single groupBy that ``build_index`` already
+    performs — no corpus re-scan, everything derives from the stored
+    aggregates.
+    """
+    ids = doc_ids.select("doc_id").distinct()
+    term_freq = old.term_freq.join(ids, "doc_id", "left_anti").select(
+        "term", "corpus_name", "doc_id", "doc_title", "term_frequency"
+    )
+    doc_info = old.doc_info.join(ids, "doc_id", "left_anti").select(
+        "doc_id", "doc_title", "doc_length"
+    )
+    term_doc_freq = (
+        term_freq.groupBy("term", "corpus_name")
+        .agg(F.count("*").cast("int").alias("doc_frequency"))
+        .select("term", "corpus_name", "doc_frequency")
+    )
+    corpus_name = old.corpus_info.select("corpus_name").limit(1)
+    corpus_info = corpus_name.crossJoin(
+        doc_info.agg(
+            F.count("*").cast("int").alias("doc_n"),
+            F.coalesce(F.sum("doc_length"), F.lit(0))
+            .cast("int")
+            .alias("total_doc_length"),
+        )
+    ).select("corpus_name", "doc_n", "total_doc_length")
+    return InvertedIndex(term_freq, term_doc_freq, doc_info, corpus_info)
+
+
+def idempotent_reindex(
+    old: InvertedIndex, delta_corpus: DataFrame, corpus_name: str = WHOLE_CORPUS
+) -> InvertedIndex:
+    """Re-index a delta WITHOUT the reference's double-count quirk:
+    delete the delta's documents from the store first, then accumulate the
+    freshly built delta — so re-indexing the same corpus N times converges
+    to exactly the fresh-build index (proven by the gated
+    ``index_rebuild_idempotent`` query and ``tests/test_index.py``).
+
+    This is the ``--rebuild`` CLI path; the default ``index`` path keeps
+    the reference's faithful accumulate semantics (``incremental_reindex``).
+    """
+    ids = _valid_docs(delta_corpus).select("doc_id").distinct()
+    return incremental_reindex(
+        delete_documents(old, ids), delta_corpus, corpus_name
+    )

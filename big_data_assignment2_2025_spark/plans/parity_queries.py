@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..operators.dedup import hash64
-from ..operators.index import build_index, incremental_reindex
+from ..operators.index import (
+    build_index,
+    delete_documents,
+    idempotent_reindex,
+    incremental_reindex,
+)
 from ..sources.readers import load_table, read_corpus_tsv, read_documents
 from ..sources.sinks import write_jsonl, write_orc, write_tsv
 
@@ -42,6 +47,59 @@ WITH t AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS toks
   FROM documents
   WHERE text IS NOT NULL AND length(trim(text)) > 0),
+per_doc AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+SELECT term, 'whole_corpus' AS corpus_name,
+       CAST(COUNT(*) AS INTEGER) AS doc_frequency
+FROM per_doc
+GROUP BY term
+"""
+
+
+def index_rebuild_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulate the full corpus into an index that already contains it,
+    via the IDEMPOTENT re-index path (delete-then-accumulate,
+    ``--rebuild``): the result must equal a fresh single build — no
+    double-count quirk.  The oracle is therefore the plain fresh-build
+    doc_frequency SQL; the reference store cannot express this at all
+    (``reducer1.py:18-24`` only accumulates)."""
+    corpus = read_documents(spark, sf_dir)
+    old = build_index(corpus)
+    merged = idempotent_reindex(old, corpus)
+    return merged.term_doc_freq.select("term", "corpus_name", "doc_frequency")
+
+
+INDEX_REBUILD_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+per_doc AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+SELECT term, 'whole_corpus' AS corpus_name,
+       CAST(COUNT(*) AS INTEGER) AS doc_frequency
+FROM per_doc
+GROUP BY term
+"""
+
+
+def index_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the full index, then DELETE every doc_id ≡ 0 (mod 3); the
+    surviving doc_frequency table must equal an index built over only the
+    retained documents (the lifecycle capability the reference lacks)."""
+    corpus = read_documents(spark, sf_dir)
+    full = build_index(corpus)
+    victims = corpus.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    pruned = delete_documents(full, victims)
+    return pruned.term_doc_freq.select("term", "corpus_name", "doc_frequency")
+
+
+INDEX_DELETE_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+    AND doc_id % 3 <> 0),
 per_doc AS (
   SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
 SELECT term, 'whole_corpus' AS corpus_name,
@@ -258,6 +316,8 @@ ORDER BY r_name, n_name
 
 QUERIES = {
     "index_incremental_accumulate": index_incremental_accumulate,
+    "index_rebuild_idempotent": index_rebuild_idempotent,
+    "index_delete_docs": index_delete_docs,
     "tsv_roundtrip": tsv_roundtrip,
     "orc_roundtrip": orc_roundtrip,
     "jsonl_roundtrip": jsonl_roundtrip,
@@ -269,6 +329,8 @@ QUERIES = {
 
 ORACLES = {
     "index_incremental_accumulate": INDEX_INCREMENTAL_SQL,
+    "index_rebuild_idempotent": INDEX_REBUILD_SQL,
+    "index_delete_docs": INDEX_DELETE_SQL,
     "tsv_roundtrip": TSV_ROUNDTRIP_SQL,
     "orc_roundtrip": ORC_ROUNDTRIP_SQL,
     "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,

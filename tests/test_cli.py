@@ -67,3 +67,57 @@ def test_query_and_list_commands(spark, sf_dir, capsys):
     assert len(out) == 2  # header + the single corpus_info row
 
     assert main(["query", "no_such_query", "--sf-dir", sf_dir]) == 2
+
+
+def test_rebuild_is_idempotent(spark, tmp_path, capsys):
+    tsv = str(tmp_path / "corpus.tsv")
+    store = str(tmp_path / "store")
+    _write_tsv(tsv)
+    assert main(["index", tsv, "--store", store]) == 0
+    capsys.readouterr()
+    # --rebuild re-indexes without the double-count quirk: doc count stays
+    for _ in range(2):
+        assert main(["index", tsv, "--store", store, "--rebuild"]) == 0
+        assert "docs=3" in capsys.readouterr().err
+
+
+def test_delete_subcommand(spark, tmp_path, capsys):
+    tsv = str(tmp_path / "corpus.tsv")
+    store = str(tmp_path / "store")
+    _write_tsv(tsv)
+    assert main(["index", tsv, "--store", store]) == 0
+    capsys.readouterr()
+    assert main(["delete", "1", "3", "--store", store]) == 0
+    assert "docs=1" in capsys.readouterr().err
+    # the deleted docs no longer match; doc 2 has no 'football'
+    assert main(["search", "football", "--store", store]) == 0
+    assert capsys.readouterr().out.strip() == ""
+    # deleting from a missing store is a clean error
+    assert main(["delete", "1", "--store", str(tmp_path / "nope")]) == 2
+
+
+def test_crash_recovery_restores_stranded_backup(spark, tmp_path, capsys):
+    """Simulate a crash between the two swap renames (store gone, the only
+    good index stranded in '._old'): the next run must recover it and
+    ACCUMULATE, not silently start a fresh store (ADVICE r7)."""
+    import os
+    import shutil
+
+    tsv = str(tmp_path / "corpus.tsv")
+    store = str(tmp_path / "store")
+    _write_tsv(tsv)
+    assert main(["index", tsv, "--store", store]) == 0
+    # crash point: store renamed away, staged dir half-written
+    os.rename(store, store + "._old")
+    os.makedirs(store + "._staging/term_freq", exist_ok=True)
+    capsys.readouterr()
+    assert main(["index", tsv, "--store", store]) == 0
+    err = capsys.readouterr().err
+    assert "recovered" in err
+    assert "docs=6" in err  # accumulated onto the RECOVERED store
+    assert not os.path.exists(store + "._old")
+    assert not os.path.exists(store + "._staging")
+    # completed-swap leftover: stale backup is cleaned, store untouched
+    shutil.copytree(store, store + "._old")
+    assert main(["search", "football", "--store", store]) == 0
+    assert not os.path.exists(store + "._old")

@@ -101,3 +101,90 @@ def test_incremental_reindex_double_counts(spark, index):
     }
     new_tf = {(r.term, r.doc_id): r.term_frequency for r in re2.term_freq.collect()}
     assert new_tf == {k: 2 * v for k, v in old_tf.items()}
+
+
+# ---------------------------------------------------------------------------
+# Index lifecycle (round 8): deletion + idempotent re-index — capabilities
+# the reference store lacks entirely (reducer1.py:18-24 can only accumulate)
+
+
+def _index_tables(idx):
+    """Collect the four tables into comparable plain-Python structures."""
+    tf = {
+        (r.doc_id, r.doc_title, r.term): r.term_frequency
+        for r in idx.term_freq.collect()
+    }
+    df = {r.term: r.doc_frequency for r in idx.term_doc_freq.collect()}
+    dl = {(r.doc_id, r.doc_title): r.doc_length for r in idx.doc_info.collect()}
+    ci = [(r.doc_n, r.total_doc_length) for r in idx.corpus_info.collect()]
+    return tf, df, dl, ci
+
+
+def test_delete_documents_equals_build_on_remaining(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_2025_spark.operators.index import delete_documents
+
+    corpus = spark.createDataFrame(
+        CORPUS, "doc_id long, doc_title string, text string"
+    )
+    full = build_index(corpus, share_term_freq=False)
+    victims = corpus.where(F.col("doc_id").isin(1, 3)).select("doc_id")
+    pruned = delete_documents(full, victims)
+    fresh = build_index(
+        corpus.where(~F.col("doc_id").isin(1, 3)), share_term_freq=False
+    )
+    assert _index_tables(pruned) == _index_tables(fresh)
+
+
+def test_delete_all_documents_yields_empty_index(spark):
+    from big_data_assignment2_2025_spark.operators.index import delete_documents
+
+    corpus = spark.createDataFrame(
+        CORPUS, "doc_id long, doc_title string, text string"
+    )
+    full = build_index(corpus, share_term_freq=False)
+    pruned = delete_documents(full, corpus.select("doc_id"))
+    assert pruned.term_freq.count() == 0
+    assert pruned.term_doc_freq.count() == 0
+    assert pruned.doc_info.count() == 0
+    ci = pruned.corpus_info.collect()
+    assert [(r.doc_n, r.total_doc_length) for r in ci] == [(0, 0)]
+
+
+def test_idempotent_reindex_converges_to_fresh_build(spark):
+    from big_data_assignment2_2025_spark.operators.index import idempotent_reindex
+
+    corpus = spark.createDataFrame(
+        CORPUS, "doc_id long, doc_title string, text string"
+    )
+    fresh = build_index(corpus, share_term_freq=False)
+    # accumulate the same corpus with the quirky path first (double-counts),
+    # then one --rebuild pass must repair the store back to the fresh build
+    quirky = incremental_reindex(
+        build_index(corpus, share_term_freq=False), corpus
+    )
+    rebuilt = idempotent_reindex(quirky, corpus)
+    assert _index_tables(rebuilt) == _index_tables(fresh)
+    # and a second rebuild is a no-op (idempotence proper)
+    rebuilt2 = idempotent_reindex(rebuilt, corpus)
+    assert _index_tables(rebuilt2) == _index_tables(fresh)
+
+
+def test_idempotent_reindex_partial_delta(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_2025_spark.operators.index import idempotent_reindex
+
+    corpus = spark.createDataFrame(
+        CORPUS, "doc_id long, doc_title string, text string"
+    )
+    evens = corpus.where(F.col("doc_id") % 2 == 0)
+    odds = corpus.where(F.col("doc_id") % 2 == 1)
+    # store already contains everything; re-index only the odd docs
+    # idempotently -> still the fresh full build (no double-count of odds)
+    full = build_index(corpus, share_term_freq=False)
+    rebuilt = idempotent_reindex(full, odds)
+    assert _index_tables(rebuilt) == _index_tables(
+        build_index(evens.unionByName(odds), share_term_freq=False)
+    )

@@ -44,6 +44,42 @@ def _prior_shuffle_baseline(round_no: int) -> str | None:
     return best[1] if best else None
 
 
+def _check_consistency(n: int, skip: set[str]) -> tuple[bool, str]:
+    """All round-N artifacts must reflect the CURRENT registry size.
+
+    r7 shipped ORACLE_FOREIGN at 260/275 and PLANAUDIT at 242/256 because
+    the registry grew after those steps ran; this gate turns that partial
+    refresh into a hard failure of the chain.
+    """
+    sys.path.insert(0, REPO)
+    from big_data_assignment2_2025_spark.plans import QUERIES
+
+    total = len(QUERIES)
+    batch = sum(1 for q in QUERIES if not q.startswith("streaming_"))
+    checks = {
+        "oracle_sf001": (f"ORACLE_LOCAL_r{n}.json", "ran", total),
+        "oracle_sf01": (f"ORACLE_LOCAL_r{n}_sf01.json", "ran", total),
+        "oracle_foreign": (f"ORACLE_FOREIGN_r{n}.json", "ran", total),
+        "plan_lint": (f"PLANAUDIT_r{n}.json", "audited", batch),
+    }
+    bad = []
+    for step, (fname, key, want) in checks.items():
+        if step in skip:
+            continue
+        path = os.path.join(REPO, fname)
+        if not os.path.exists(path):
+            bad.append(f"{fname}: missing")
+            continue
+        with open(path) as fh:
+            doc = json.load(fh)
+        got = doc.get(key, doc.get("summary", {}).get(key))
+        if got != want:
+            bad.append(f"{fname}: {key}={got}, registry={want}")
+    if bad:
+        return False, "STALE ARTIFACTS: " + "; ".join(bad)
+    return True, f"all artifacts at registry count (total={total}, batch={batch})"
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if not args:
@@ -97,15 +133,28 @@ def main() -> None:
                   flush=True)
             break
         if name == "bench":
-            # last stdout line is the one-line JSON contract
-            for ln in reversed(proc.stdout.strip().splitlines()):
-                if ln.startswith("{"):
-                    with open(os.path.join(REPO, f"BENCH_LOCAL_r{n}.json"),
-                              "w") as fh:
-                        fh.write(ln + "\n")
-                    break
+            # bench.py writes the FULL per-query map to
+            # BENCH_LOCAL_latest.json (stdout only carries the compact
+            # driver line since r8); pin the full map per round
+            latest = os.path.join(REPO, "BENCH_LOCAL_latest.json")
+            if os.path.exists(latest):
+                with open(latest) as fh:
+                    full = fh.read()
+                with open(os.path.join(REPO, f"BENCH_LOCAL_r{n}.json"),
+                          "w") as fh:
+                    fh.write(full)
 
     ok = all(r["status"] in ("ok", "skipped") for r in results.values())
+    if ok:
+        # Consistency gate (r7 verdict What's-wrong #2): every committed
+        # artifact must carry the CURRENT registry count — a partial
+        # refresh (foreign at 260/275, plan audit at 242/256 in r7) is an
+        # error, not a warning.
+        consistent, details = _check_consistency(n, skip)
+        results["consistency"] = {"status": "ok" if consistent else "FAIL",
+                                  "detail": details}
+        print(f"== consistency: {details}", flush=True)
+        ok = ok and consistent
     print(json.dumps({"round": n, "ok": ok,
                       "steps": {k: v["status"] for k, v in results.items()}}))
     sys.exit(0 if ok else 1)
