@@ -459,26 +459,25 @@ def _dp_noise_exprs(key_sql: str) -> tuple[str, str]:
 
 def events_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type counts released via a seeded Laplace mechanism:
-    noisy = max(0, n + Lap(b=2)) in integer micro-units. The mechanism
-    plumbing is production-shaped (per-key deterministic draw, additive
-    noise on a sensitivity-1 count, non-negative post-processing); the
-    seeded uniform stands in for a cryptographic RNG so the release is
-    reproducible and cross-engine verifiable."""
+    noisy = max(0, n + Lap(b=2)) in integer micro-units. This is MECHANISM
+    PLUMBING, not a private release: the uniform draw is a deterministic
+    public function of the group key (so the gate can replay it bit-for-bit
+    in DuckDB) — a real deployment swaps in a cryptographic RNG. The
+    released projection accordingly carries ONLY the key and the noisy
+    value: shipping the true count or the noise next to it would contradict
+    even the shape of a release (r7 ADVICE)."""
     noise_spark, _ = _dp_noise_exprs("event_type")
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_true")
     )
     return (
-        counts.withColumn("noise_micros", F.expr(noise_spark))
-        .select(
+        counts.select(
             "event_type",
-            "n_true",
-            "noise_micros",
             F.greatest(
                 F.lit(0).cast("long"),
                 F.col("n_true") * F.lit(1_000_000).cast("long")
-                + F.col("noise_micros"),
+                + F.expr(noise_spark),
             ).alias("released_micros"),
         )
         .orderBy("event_type")
@@ -492,8 +491,7 @@ WITH counts AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
   FROM events GROUP BY event_type
 )
-SELECT event_type, n_true,
-       {noise_duck} AS noise_micros,
+SELECT event_type,
        GREATEST(CAST(0 AS BIGINT),
                 n_true * 1000000 + {noise_duck}) AS released_micros
 FROM counts

@@ -130,3 +130,30 @@ def test_hamming_rerank_recall_vs_exact(spark, sf_dir):
     assert len(staged) == len(exact) > 0
     recall = len(exact & staged) / len(exact)
     assert recall >= 0.6, f"two-stage recall {recall:.2f} vs exact top-5"
+
+
+def test_packed_ord_key_event_id_bound():
+    """The packed ordering key ``sec * 10_000_000 + event_id`` (used by
+    user_day_sequences, events_queries, round7g and the streaming
+    latest_state/pattern_match paths) is only a total order when
+    ``0 <= event_id < 10_000_000``. A regenerated fixture with larger ids
+    would interleave seconds IDENTICALLY on both engines — the oracle gate
+    would stay green while the sequence semantics silently broke — so the
+    bound is pinned here against every shipped scale factor (r7 ADVICE)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    dirs = sorted(glob.glob("/root/testdata/sf*/events.parquet"))
+    assert dirs, "no events fixtures found"
+    for path in dirs:
+        tbl = pq.read_table(path, columns=["event_id"])
+        ids = tbl.column("event_id")
+        import pyarrow.compute as pc
+
+        lo, hi = pc.min(ids).as_py(), pc.max(ids).as_py()
+        assert lo >= 0, f"{path}: negative event_id {lo}"
+        assert hi < 10_000_000, (
+            f"{path}: event_id {hi} overflows the packed ord key; "
+            "widen the multiplier or switch to the padded-string _ord_key"
+        )

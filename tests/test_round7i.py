@@ -175,16 +175,18 @@ def test_dp_noise_python_rederivation(spark, sf_dir):
         .collect()
     }
     assert {r["event_type"] for r in rows} == set(truth)
+    # release shape (r7 ADVICE): key + noisy value ONLY — the true count
+    # and the noise must not ship in the released projection
+    assert set(rows[0].asDict()) == {"event_type", "released_micros"}
     for r in rows:
         key = f"{_DP_SEED}|{r['event_type']}"
         u = int(hashlib.md5(key.encode()).hexdigest()[:13], 16) / float(1 << 52)
         d = u - 0.5
         sign = (d > 0) - (d < 0)
         noise = -_DP_B * sign * math.log(1.0 - 2.0 * abs(d))
-        assert r["n_true"] == truth[r["event_type"]]
-        assert r["noise_micros"] == math.floor(noise * 1_000_000 + 0.5)
+        noise_micros = math.floor(noise * 1_000_000 + 0.5)
         assert r["released_micros"] == max(
-            0, r["n_true"] * 1_000_000 + r["noise_micros"]
+            0, truth[r["event_type"]] * 1_000_000 + noise_micros
         )
 
 
