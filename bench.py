@@ -159,6 +159,9 @@ HEADLINE = [
     # round-7k: survival analysis + community quality
     "events_survival_km",
     "graph_modularity",
+    # round-8: index lifecycle (delete + idempotent rebuild)
+    "index_rebuild_idempotent",
+    "index_delete_docs",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —
