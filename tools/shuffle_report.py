@@ -154,6 +154,19 @@ QUERIES_TO_PROFILE = [
     # agg, and the valid_to window)
     "events_markov_transitions",
     "orders_scd2_history",
+    # round 8: the four ranking-family queries whose BENCH wall times
+    # drifted upward r6->r7 while plans stayed unchanged — profiled so
+    # SCALING §5 can separate host noise (bytes flat, wall moves) from a
+    # real shuffle regression (bytes move) across rounds
+    "doc_quality_quartiles",
+    "rfm_segmentation",
+    "sql_recursive_reachability",
+    "graph_kcore_peel",
+    # round 8: index lifecycle — delete (anti-join + vocab-scale df
+    # recompute) and idempotent rebuild (delete + fresh accumulate;
+    # expect ~2x the single-build token shuffle, never a corpus re-pair)
+    "index_delete_docs",
+    "index_rebuild_idempotent",
 ]
 
 
