@@ -25,6 +25,40 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+#: state-store partition count for the replay drains. The number of state
+#: partitions is a FIRST-CLASS Structured Streaming sizing decision: it is
+#: fixed by ``spark.sql.shuffle.partitions`` at FIRST query start, persisted
+#: in the checkpoint, and every micro-batch then opens/commits one state
+#: store per partition per stateful operator — so oversizing it taxes every
+#: batch with empty-partition task + store-commit overhead, while
+#: undersizing it concentrates state (skew, memory). This harness replays a
+#: bounded fixture, so it sizes DOWN (measured at sf0.1, best-of-2: 32 → 8
+#: partitions halves every streaming drain — rolling_dau 2.86→1.50 s,
+#: user_freq_cms 4.95→2.69 s, value_quantiles 2.70→1.37 s, pattern_match
+#: 2.91→1.67 s; 4 partitions adds little — SCALING §2). A production
+#: deployment sizes UP with expected state volume via the same knob before
+#: the first start (it cannot be changed across restarts of one checkpoint).
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+
+
+class _state_partitions:
+    """Scoped ``spark.sql.shuffle.partitions`` override for a streaming
+    drain; restored after the drained query terminates (the value is
+    captured into the query's runtime conf at start)."""
+
+    def __init__(self, spark: SparkSession, n: int = STREAM_STATE_PARTITIONS):
+        self.spark, self.n = spark, n
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def _stage_dir(sf_dir: str) -> str:
     """File streams consume *directories*; the fixture dir mixes ten tables.
     Stage a per-sf temp dir holding only a symlink to events.parquet."""
@@ -84,20 +118,21 @@ def _drain_many_to_memory(
     as concurrent jobs off one topic)."""
     started = []
     try:
-        for result in results:
-            name = f"sink_{uuid.uuid4().hex[:12]}"
-            ckpt = tempfile.mkdtemp(prefix="ckpt_")
-            q = (
-                result.writeStream.format("memory")
-                .queryName(name)
-                .outputMode(output_mode)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            started.append((name, ckpt, q))
-        for _, _, q in started:
-            q.awaitTermination()
+        with _state_partitions(spark):
+            for result in results:
+                name = f"sink_{uuid.uuid4().hex[:12]}"
+                ckpt = tempfile.mkdtemp(prefix="ckpt_")
+                q = (
+                    result.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode(output_mode)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                started.append((name, ckpt, q))
+            for _, _, q in started:
+                q.awaitTermination()
     finally:
         import shutil
 
@@ -240,7 +275,9 @@ def run_streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFram
     # update-mode sinks emit one row per (batch, user); the final state per
     # user is the row from the last batch that touched it
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt, _state_partitions(
+        spark
+    ):
         q = (
             result.writeStream.format("memory")
             .queryName(name)
@@ -438,7 +475,9 @@ def run_streaming_foreachbatch_upsert(
         latest.write.mode("overwrite").parquet(new_dir)
         state["cur"] = new_dir
 
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt, _state_partitions(
+        spark
+    ):
         q = (
             updates.writeStream.foreachBatch(merge)
             .option("checkpointLocation", ckpt)
