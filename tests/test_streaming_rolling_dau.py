@@ -176,3 +176,27 @@ def test_all_null_user_day_is_still_observed(spark):
                                        ("2024-03-02 09:00:00", None)])
         got, _ = _run_both(spark, src, root)
         assert got == {"2024-03-01": (2, 2), "2024-03-02": (0, 2)}
+
+
+def test_state_partitions_scoped_override_restores(spark):
+    """The drain-time partition override must restore the session value on
+    both the success and failure paths — a leaked override would silently
+    re-plan every subsequent BATCH query at the streaming drain size."""
+    from big_data_assignment2_2025_spark.streaming.stream import (
+        STREAM_STATE_PARTITIONS,
+        _state_partitions,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with _state_partitions(spark):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+            STREAM_STATE_PARTITIONS
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    try:
+        with _state_partitions(spark, 3):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
