@@ -91,6 +91,13 @@ PROBES = [
     "snapshot_diff_cdc",
     "events_cohort_retention",
     "events_attribution_last_touch",
+    # round-8 index lifecycle: delete = anti-join + vocab-scale df
+    # recompute (cost ∝ index size, never a corpus re-pair); idempotent
+    # rebuild = delete + one fresh build (~2 single builds). On the salted
+    # 10x corpus both should scale with the one token shuffle that
+    # dominates build_index.
+    "index_delete_docs",
+    "index_rebuild_idempotent",
 ]
 
 #: bump when the derived-dataset recipe changes so stale /tmp copies rebuild
