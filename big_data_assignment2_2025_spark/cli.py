@@ -162,15 +162,19 @@ def cmd_delete(args) -> int:
         materialize_index,
     )
 
+    try:
+        id_rows = [(int(d),) for d in args.doc_ids]
+    except ValueError:
+        bad = [d for d in args.doc_ids if not d.lstrip("-").isdigit()]
+        print(f"doc ids must be integers, got: {bad}", file=sys.stderr)
+        return 2
     spark = _spark("cli-delete")
     _recover_store(args.store)
     if not os.path.exists(os.path.join(args.store, "corpus_info")):
         print(f"no index store at {args.store}", file=sys.stderr)
         return 2
     old = load_materialized_index(spark, args.store)
-    ids = spark.createDataFrame(
-        [(int(d),) for d in args.doc_ids], "doc_id int"
-    )
+    ids = spark.createDataFrame(id_rows, "doc_id int")
     pruned = delete_documents(old, ids)
     staged = args.store.rstrip("/") + "._staging"
     materialize_index(pruned, staged)

@@ -121,3 +121,8 @@ def test_crash_recovery_restores_stranded_backup(spark, tmp_path, capsys):
     shutil.copytree(store, store + "._old")
     assert main(["search", "football", "--store", store]) == 0
     assert not os.path.exists(store + "._old")
+
+
+def test_delete_rejects_non_integer_ids(tmp_path, capsys):
+    assert main(["delete", "abc", "--store", str(tmp_path / "s")]) == 2
+    assert "must be integers" in capsys.readouterr().err
