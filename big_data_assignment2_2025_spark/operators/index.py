@@ -264,7 +264,11 @@ def delete_documents(old: InvertedIndex, doc_ids: DataFrame) -> InvertedIndex:
         .agg(F.count("*").cast("int").alias("doc_frequency"))
         .select("term", "corpus_name", "doc_frequency")
     )
-    corpus_name = old.corpus_info.select("corpus_name").limit(1)
+    # The store is single-corpus by construction (the reference hardcodes
+    # 'whole_corpus', app/query.py:23, and doc_info carries no corpus
+    # column, so per-corpus doc accounting is unrepresentable in this
+    # schema); distinct() is deterministic and yields that one name.
+    corpus_name = old.corpus_info.select("corpus_name").distinct()
     corpus_info = corpus_name.crossJoin(
         doc_info.agg(
             F.count("*").cast("int").alias("doc_n"),
@@ -287,8 +291,18 @@ def idempotent_reindex(
 
     This is the ``--rebuild`` CLI path; the default ``index`` path keeps
     the reference's faithful accumulate semantics (``incremental_reindex``).
+
+    Deletion keys on EVERY non-null doc_id in the delta — including docs
+    whose text is now blank/whitespace: a re-shipped empty document is
+    deleted and (being invalid to index, ``mapper1.py:7-13``) not re-added,
+    so "document became empty" removes it from the store, exactly what a
+    fresh build over the updated corpus would produce.
     """
-    ids = _valid_docs(delta_corpus).select("doc_id").distinct()
+    ids = (
+        delta_corpus.where(F.col("doc_id").isNotNull())
+        .select("doc_id")
+        .distinct()
+    )
     return incremental_reindex(
         delete_documents(old, ids), delta_corpus, corpus_name
     )

@@ -188,3 +188,24 @@ def test_idempotent_reindex_partial_delta(spark):
     assert _index_tables(rebuilt) == _index_tables(
         build_index(evens.unionByName(odds), share_term_freq=False)
     )
+
+
+def test_idempotent_reindex_deletes_emptied_document(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_2025_spark.operators.index import idempotent_reindex
+
+    corpus = spark.createDataFrame(
+        CORPUS, "doc_id long, doc_title string, text string"
+    )
+    full = build_index(corpus, share_term_freq=False)
+    # doc 1's text becomes blank in the updated corpus: a rebuild must
+    # REMOVE it (a fresh build over the update wouldn't index it)
+    updated = corpus.withColumn(
+        "text", F.when(F.col("doc_id") == 1, F.lit("")).otherwise(F.col("text"))
+    )
+    rebuilt = idempotent_reindex(full, updated)
+    fresh = build_index(
+        corpus.where(F.col("doc_id") != 1), share_term_freq=False
+    )
+    assert _index_tables(rebuilt) == _index_tables(fresh)
