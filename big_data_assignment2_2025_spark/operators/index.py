@@ -250,7 +250,13 @@ def delete_documents(old: InvertedIndex, doc_ids: DataFrame) -> InvertedIndex:
     delete batch) or shuffle-hash on ``doc_id`` otherwise; the df
     recomputation is the same single groupBy that ``build_index`` already
     performs — no corpus re-scan, everything derives from the stored
-    aggregates.
+    aggregates. That recomputation is index-sized, so DELETES SHOULD BE
+    BATCHED at large scale (amortize one vocab-scale aggregation over many
+    victims, as the CLI's multi-id ``delete`` does); a point-delete path
+    that only DECREMENTS df for the victims' terms (shuffling just the
+    deleted postings) is possible but would preserve an accumulated
+    store's inflated doc_frequency instead of normalizing it — rejected
+    so that delete semantics stay "index over the remaining docs".
     """
     ids = doc_ids.select("doc_id").distinct()
     term_freq = old.term_freq.join(ids, "doc_id", "left_anti").select(
