@@ -162,6 +162,10 @@ HEADLINE = [
     # round-8: index lifecycle (delete + idempotent rebuild)
     "index_rebuild_idempotent",
     "index_delete_docs",
+    # round-8b: published-method dedup closures — SemDeDup semantic dedup
+    # and ExactSubstr content-defined anchor dedup
+    "embedding_semdedup",
+    "docs_exact_substring_dedup",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

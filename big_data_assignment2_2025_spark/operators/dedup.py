@@ -425,3 +425,85 @@ def simhash_pairs(
     result.count()
     sigs.unpersist()
     return result
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (content-defined character anchors)
+# ---------------------------------------------------------------------------
+
+def char_anchor_pairs(
+    df: DataFrame,
+    width: int = 40,
+    stride: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_holders: int | None = None,
+) -> DataFrame:
+    """ExactSubstr-style duplication detection (Lee et al. 2022,
+    arXiv:2107.06499 'Deduplicating Training Data Makes Language Models
+    Better'): find document pairs that share long VERBATIM character
+    runs — licence blocks, boilerplate, quoted passages — which
+    token-level Jaccard (``jaccard_pairs``) under-weights because a
+    shared paragraph inside two long distinct documents barely moves
+    the shingle-set ratio.
+
+    The paper builds a corpus-wide suffix array; that is a different
+    machine. The distributed re-expression is CONTENT-DEFINED anchor
+    sampling: hash every ``width``-char window, keep the windows whose
+    md5-derived hash is ``0 mod stride`` (selection depends only on the
+    bytes, so two documents sharing a substring select the SAME anchors
+    regardless of offset — positional stride sampling cannot do this),
+    then an exact hash-equality self-join. A shared run of length L
+    contains L - width + 1 windows and is detected unless every one of
+    them misses the 1/stride content gate: miss probability
+    (1 - 1/stride)^(L - width + 1), < 5% at L ≈ width + 3·stride (100
+    chars here). Detection is deterministic per corpus (md5), so the
+    DuckDB oracle replays it bit-for-bit.
+
+    Emits (id1, id2, n_shared_anchors) per pair, id1 < id2. Scale shape:
+    the window explode is O(total chars) inside the scan projection with
+    NO shuffle; only the 1/stride-sampled 8-byte anchor hashes shuffle
+    for the join, and hot anchors (a licence shared by thousands of
+    docs) fan out quadratically — cap them upstream with the same
+    df-cap discipline as ``jaccard_pairs`` when pairs per anchor exceed
+    the budget (at 100 TB, GROUP BY anchor first and drop anchors with
+    more than ~1k holders: they are boilerplate classes, not pairs).
+    """
+    n = F.length(F.col(text_col))
+    # Hash inside an array transform BEFORE exploding, so the generator
+    # emits 8-byte longs, not rows that still carry the document body.
+    gh_array = F.expr(
+        f"transform(sequence(1, length({text_col}) - {width - 1}),"
+        f" p -> CAST(conv(substring(md5(substring({text_col}, p, {width})),"
+        f" 1, 15), 16, 10) AS BIGINT))"
+    )
+    grams = (
+        fan_out(df)
+        .where(n >= width)
+        .select(F.col(id_col), F.explode(gh_array).alias("gh"))
+        .where(F.col("gh") % stride == 0)
+        .distinct()
+    )
+    # One gram pass, not a self-join: a self-join would recompute the
+    # O(total chars) window explode on both branches — the heaviest stage,
+    # doubled. Group holders per anchor instead and expand id pairs inside
+    # the projection; the sorted holder array makes id1 < id2 by position.
+    holders = (
+        grams.groupBy("gh")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    if max_holders is not None:
+        # the df-cap: an anchor held by thousands of documents is a
+        # boilerplate CLASS, not useful pairs — size(ids)^2 fan-out capped
+        holders = holders.where(F.size("ids") <= max_holders)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y ->"
+        " struct(x AS id1, y AS id2))))"
+    )
+    return (
+        holders.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
+        .agg(F.count("*").alias("n_shared_anchors"))
+    )

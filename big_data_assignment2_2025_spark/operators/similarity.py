@@ -317,3 +317,101 @@ def cosine_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space into cells, then mark
+    as duplicates the within-cell vectors whose cosine to a *lower-id*
+    cellmate clears ``threshold`` — the cluster step bounds the pair
+    space to sum(|cell|^2) instead of N^2, which is what makes semantic
+    dedup tractable on a 100 TB corpus (the paper prunes LAION/C4 the
+    same way: k-means first, pairwise cosine only inside each cluster).
+
+    Deviations from the paper, for engine-replayable determinism: the
+    coarse quantizer is the ``ivf_topk`` one (the ``n_cells`` lowest-id
+    vectors as centroids — swap in the MLlib-trained centroids of
+    ``ivf_kmeans_topk`` in production) and the keeper of a duplicate
+    group is the lowest id (the paper keeps the centroid-farthest
+    example; keep-lowest-id matches this repo's canonical-keeper
+    discipline in ``dedup_keep_canonical`` and is order-independent).
+
+    Returns every corpus vector with its cell, a ``kept`` flag, and the
+    number of lower-id cellmates within ``threshold`` (0 for kept rows).
+
+    Scale shape: cell assignment is MAP-ONLY — the centroid set is
+    collapsed to a single broadcast array row and the nearest cell is an
+    argmax folded inside the scan projection (``ivf_topk``'s windowed
+    rank would shuffle every vector on its own id; a dedup pass touches
+    ALL N vectors, so that shuffle is the difference between one
+    map-stage and re-partitioning the corpus three times). The only
+    shuffles left are the pair join on the int cell key and one
+    cell-local aggregation. At 100 TB, write the corpus partitioned BY
+    cell so the pair join is partition-local with no cross-cell traffic.
+    """
+    cents_row = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cell"), F.col("cent_vec")))
+            ).alias("cents")
+        )
+    )
+
+    vec = F.col("vid_vec")
+
+    def _nearer(acc, c):
+        cs = F.round(cosine_similarity(vec, c["cent_vec"]), 6)
+        # strict > with the array sorted by cell id: ties keep the lowest
+        # cell, matching _assign_cells' (cos DESC, cell ASC) ordering
+        return F.when(
+            cs > acc["cos"],
+            F.struct(cs.alias("cos"), c["cell"].alias("cell")),
+        ).otherwise(acc)
+
+    assigned = (
+        fan_out(corpus)
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vid_vec"))
+        .crossJoin(F.broadcast(cents_row))
+        .select(
+            F.aggregate(
+                "cents",
+                F.struct(
+                    F.lit(-2.0).alias("cos"),
+                    F.lit(-1).cast("long").alias("cell"),
+                ),
+                _nearer,
+            )["cell"].alias("cell"),
+            "vid",
+            "vid_vec",
+        )
+    )
+    a = assigned.select("cell", F.col("vid").alias("id1"), F.col("vid_vec").alias("v1"))
+    b = assigned.select("cell", F.col("vid").alias("id2"), F.col("vid_vec").alias("v2"))
+    dup_counts = (
+        a.join(b, "cell")
+        .where(F.col("id1") < F.col("id2"))
+        .where(
+            F.round(cosine_similarity(F.col("v1"), F.col("v2")), 6) >= threshold
+        )
+        .groupBy("cell", F.col("id2").alias("vid"))
+        .agg(F.count("*").alias("n_dup_lower"))
+    )
+    return (
+        assigned.select("cell", "vid")
+        .join(dup_counts, ["cell", "vid"], "left")
+        .select(
+            "cell",
+            F.col("vid").alias(id_col),
+            F.coalesce("n_dup_lower", F.lit(0)).cast("long").alias("n_dup_lower"),
+            F.when(F.col("n_dup_lower").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )

@@ -36,6 +36,7 @@ from . import (
     round7i_queries,
     round7j_queries,
     round7k_queries,
+    round8_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -77,6 +78,7 @@ _MODULES = [
     round7i_queries,
     round7j_queries,
     round7k_queries,
+    round8_queries,
     storage_queries,
 ]
 
