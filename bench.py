@@ -166,6 +166,7 @@ HEADLINE = [
     # and ExactSubstr content-defined anchor dedup
     "embedding_semdedup",
     "docs_exact_substring_dedup",
+    "docs_winnowing_dedup",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

@@ -472,11 +472,7 @@ def char_anchor_pairs(
     n = F.length(F.col(text_col))
     # Hash inside an array transform BEFORE exploding, so the generator
     # emits 8-byte longs, not rows that still carry the document body.
-    gh_array = F.expr(
-        f"transform(sequence(1, length({text_col}) - {width - 1}),"
-        f" p -> CAST(conv(substring(md5(substring({text_col}, p, {width})),"
-        f" 1, 15), 16, 10) AS BIGINT))"
-    )
+    gh_array = _gram_hash_array(text_col, width)
     grams = (
         fan_out(df)
         .where(n >= width)
@@ -484,17 +480,40 @@ def char_anchor_pairs(
         .where(F.col("gh") % stride == 0)
         .distinct()
     )
-    # One gram pass, not a self-join: a self-join would recompute the
-    # O(total chars) window explode on both branches — the heaviest stage,
-    # doubled. Group holders per anchor instead and expand id pairs inside
-    # the projection; the sorted holder array makes id1 < id2 by position.
+    return _pairs_from_grams(grams, id_col, "n_shared_anchors", max_holders)
+
+
+def _gram_hash_array(text_col: str, width: int) -> Column:
+    """Array of md5-derived 60-bit hashes of every ``width``-char window —
+    computed inside the projection so downstream generators emit longs,
+    never rows still carrying the document body."""
+    return F.expr(
+        f"transform(sequence(1, length({text_col}) - {width - 1}),"
+        f" p -> CAST(conv(substring(md5(substring({text_col}, p, {width})),"
+        f" 1, 15), 16, 10) AS BIGINT))"
+    )
+
+
+def _pairs_from_grams(
+    grams: DataFrame,
+    id_col: str,
+    count_col: str,
+    max_holders: int | None,
+) -> DataFrame:
+    """(id1, id2, count) pairs from a distinct (id, gh) gram table.
+
+    One gram pass, not a self-join: a self-join would recompute the
+    O(total chars) window explode on both branches — the heaviest stage,
+    doubled. Group holders per gram instead and expand id pairs inside
+    the projection; the sorted holder array makes id1 < id2 by position.
+    """
     holders = (
         grams.groupBy("gh")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") >= 2)
     )
     if max_holders is not None:
-        # the df-cap: an anchor held by thousands of documents is a
+        # the df-cap: a gram held by thousands of documents is a
         # boilerplate CLASS, not useful pairs — size(ids)^2 fan-out capped
         holders = holders.where(F.size("ids") <= max_holders)
     pair_expr = F.expr(
@@ -505,5 +524,56 @@ def char_anchor_pairs(
     return (
         holders.select(F.explode(pair_expr).alias("p"))
         .groupBy(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2"))
-        .agg(F.count("*").alias("n_shared_anchors"))
+        .agg(F.count("*").alias(count_col))
     )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    width: int = 40,
+    window: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_holders: int | None = None,
+) -> DataFrame:
+    """Winnowing fingerprint pairs (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS algorithm): per document, hash every ``width``-char window,
+    then select the MINIMUM hash in each run of ``window`` consecutive
+    positions; documents sharing any selected fingerprint pair up.
+
+    This is the GUARANTEED counterpart of ``char_anchor_pairs``' 1/stride
+    content gate: any verbatim shared run of length >= width + window - 1
+    (59 chars at the defaults) contains a full window of ``window`` grams
+    common to both documents, and that window's minimum hash is selected
+    in BOTH — detection is certain, not (1 - (1-1/s)^k)-probable. The
+    price is density: winnowing keeps ~2/(window+1) of positions versus
+    the gate's 1/stride, and selection needs the neighboring hashes
+    (a shuffle-free array fold here), not just the hash itself.
+
+    Scale shape: gram hashing, the sliding-window min, and the distinct
+    all fold into the scan projection as array expressions — ZERO shuffle
+    until the fingerprint pair join, which reuses the groupBy-holder
+    expansion (and its ``max_holders`` boilerplate cap). Ties between
+    equal minimum hashes are harmless: selection is by VALUE, and the
+    join key is the value, so both documents select the shared gram.
+
+    Emits (id1, id2, n_shared_fingerprints), id1 < id2.
+    """
+    n = F.length(F.col(text_col))
+    # windows of `window` consecutive gram hashes; array_min of each is the
+    # selected fingerprint. size(gh) - window + 1 window starts; documents
+    # shorter than width + window - 1 chars still yield >= 1 window via the
+    # greatest(..., 1) clamp (their whole gram array is one short window).
+    fp_array = F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(size(gh) - {window - 1}, 1)),"
+        f"  j -> array_min(slice(gh, j, {window}))))"
+    )
+    grams = (
+        fan_out(df)
+        .where(n >= width)
+        .select(F.col(id_col), _gram_hash_array(text_col, width).alias("gh"))
+        .select(F.col(id_col), F.explode(fp_array).alias("gh"))
+        .distinct()
+    )
+    return _pairs_from_grams(grams, id_col, "n_shared_fingerprints", max_holders)

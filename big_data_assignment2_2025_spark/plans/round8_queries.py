@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.dedup import char_anchor_pairs
+from ..operators.dedup import char_anchor_pairs, winnowing_pairs
 from ..operators.similarity import semantic_dedup
 from ..sources.readers import load_table
 
@@ -96,12 +96,41 @@ GROUP BY 1, 2
 """
 
 
+def docs_winnowing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint pairs: min-hash of every 20 consecutive
+    40-char window hashes — GUARANTEED detection of shared runs >= 59
+    chars, the certainty counterpart of the 1/20 content gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_pairs(docs, width=40, window=20)
+
+
+WINNOWING_SQL = """
+WITH gh AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - 38),
+           p -> CAST('0x' || substring(md5(substring(text, CAST(p AS INTEGER), 40)), 1, 15) AS BIGINT)) AS hs
+  FROM documents WHERE length(text) >= 40
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp
+  FROM gh, unnest(list_distinct(list_transform(
+         range(1, GREATEST(len(hs) - 19, 1) + 1),
+         j -> list_min(hs[CAST(j AS INTEGER):CAST(j + 19 AS INTEGER)])))) AS t(fp)
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared_fingerprints
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "embedding_semdedup": embedding_semdedup,
     "docs_exact_substring_dedup": docs_exact_substring_dedup,
+    "docs_winnowing_dedup": docs_winnowing_dedup,
 }
 
 ORACLES = {
     "embedding_semdedup": SEMDEDUP_SQL,
     "docs_exact_substring_dedup": EXACT_SUBSTRING_SQL,
+    "docs_winnowing_dedup": WINNOWING_SQL,
 }

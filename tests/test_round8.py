@@ -121,3 +121,67 @@ def test_exact_substring_ignores_short_docs(spark):
         ["doc_id", "text"],
     )
     assert char_anchor_pairs(docs, width=40, stride=20).count() == 0
+
+
+def test_winnowing_guarantee_at_59_chars(spark):
+    """The winnowing GUARANTEE: a shared verbatim run of exactly
+    width + window - 1 = 59 chars is ALWAYS detected, wherever it sits
+    in either document (no probabilistic gate to miss)."""
+    shared = (
+        "the five boxing wizards jump quickly over lazy dogs nearby!"
+    )
+    assert len(shared) == 59
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta epsilon zeta: " + shared),
+            (2, shared + " :suffix omega psi chi phi upsilon tau sigma"),
+            (3, "unrelated filler content with nothing shared " * 4),
+        ],
+        ["doc_id", "text"],
+    )
+    from big_data_assignment2_2025_spark.operators.dedup import (
+        winnowing_pairs,
+    )
+
+    pairs = {
+        (r["id1"], r["id2"]) for r in winnowing_pairs(docs, 40, 20).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_winnowing_identical_short_docs_pair(spark):
+    """Docs shorter than width + window - 1 but >= width still fingerprint
+    (one whole-array window) and identical ones pair up."""
+    text45 = "identical forty five character document !!"
+    docs = spark.createDataFrame(
+        [(1, text45), (2, text45), (3, "distinct forty-five character doc body ##")],
+        ["doc_id", "text"],
+    )
+    from big_data_assignment2_2025_spark.operators.dedup import (
+        winnowing_pairs,
+    )
+
+    pairs = {
+        (r["id1"], r["id2"]) for r in winnowing_pairs(docs, 40, 20).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_winnowing_fixture_pairs_share_real_runs(spark, sf_dir):
+    """Fixture pairs from the winnowing query genuinely share a verbatim
+    40-char run (value-join soundness, md5 collisions aside)."""
+    from big_data_assignment2_2025_spark.plans.round8_queries import (
+        docs_winnowing_dedup,
+    )
+
+    pairs = docs_winnowing_dedup(spark, sf_dir).collect()
+    assert pairs
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in pairs[:10]:
+        t1, t2 = texts[r["id1"]], texts[r["id2"]]
+        grams1 = {t1[i : i + 40] for i in range(len(t1) - 39)}
+        assert any(t2[i : i + 40] in grams1 for i in range(len(t2) - 39))

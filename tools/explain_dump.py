@@ -643,6 +643,41 @@ COMMENTARY = {
         "transcendental surface — runs on a fixed-size frame with "
         "broadcast margin lookups however large the corpus grows."
     ),
+    "embedding_semdedup": (
+        "SemDeDup semantic dedup (round 8b). Cell assignment is MAP-ONLY: "
+        "the 8 centroids collapse to one broadcast array row and the "
+        "nearest cell is an `aggregate(...)` argmax folded into the scan "
+        "projection — no per-vector window shuffle (contrast `ann_ivf_topk`, "
+        "where the windowed rank is fine because only the tiny query set "
+        "pays it; a dedup pass touches ALL N vectors). Remaining exchanges: "
+        "the within-cell pair join on the int cell key and one cell-local "
+        "aggregation. At 100 TB, scale n_cells with the corpus (the 10x "
+        "probe measures the fixed-cell-count pair blowup) and write the "
+        "corpus partitioned BY cell so the pair join is partition-local."
+    ),
+    "docs_exact_substring_dedup": (
+        "ExactSubstr anchor dedup (round 8b). The O(total chars) 40-char "
+        "window hash is computed inside an array `transform` BEFORE the "
+        "explode, so the generator emits 8-byte longs, never rows still "
+        "carrying the document body; the 1/20 content gate then drops 95% "
+        "of gram rows before the only wide stages. One gram pass feeds a "
+        "groupBy-anchor pair expansion — a self-join formulation would "
+        "recompute the explode on both branches, doubling the heaviest "
+        "stage. Hot anchors (licence boilerplate held by thousands of "
+        "docs) are the quadratic risk: the `max_holders` df-cap drops "
+        "those anchor CLASSES before pair expansion."
+    ),
+    "docs_winnowing_dedup": (
+        "Winnowing/MOSS fingerprints (round 8b). Gram hashing, the "
+        "sliding-window min (transform + array_min over hash slices) and "
+        "the per-doc distinct all fold into the scan projection — ZERO "
+        "shuffle before the fingerprint pair join, which reuses the "
+        "groupBy-holder expansion and its boilerplate df-cap. Denser than "
+        "the 1/20 content gate (~2/21 of positions) but with the MOSS "
+        "guarantee: shared runs >= width + window - 1 chars are always "
+        "caught — pick this when recall must be certain, the anchor gate "
+        "when shuffle volume must be minimal."
+    ),
 }
 
 

@@ -98,6 +98,13 @@ PROBES = [
     # dominates build_index.
     "index_delete_docs",
     "index_rebuild_idempotent",
+    # round-8b dedup closures: SemDeDup (fixed 8-cell quantizer — the probe
+    # also measures the candidate blowup that mandates scaling n_cells with
+    # the corpus, see _candidate_counts) and content-defined anchor pairs
+    # (salted copies share no 40-char window, so pair growth is linear)
+    "embedding_semdedup",
+    "docs_exact_substring_dedup",
+    "docs_winnowing_dedup",
 ]
 
 #: bump when the derived-dataset recipe changes so stale /tmp copies rebuild
@@ -299,6 +306,45 @@ def _candidate_counts(spark, sf_dir: str, shard_divisor: int = 1) -> dict[str, i
         .where(F.col("query_id") != F.col("neighbor_id"))
         .count()
     )
+    # SemDeDup within-cell candidate pairs (pre-cosine). With a FIXED cell
+    # count, cells hold copies x more vectors and pairs grow ~copies^2 —
+    # the measured argument for scaling n_cells with the corpus (SemDeDup
+    # itself uses ~sqrt(N)-ish k-means cells). ``semdedup_cell_pairs_scaled``
+    # re-probes with n_cells x shard_divisor: the production configuration,
+    # expected ~linear.
+    from big_data_assignment2_2025_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    def _cell_pairs(n_cells: int) -> int:
+        assigned = semantic_dedup(emb, n_cells=n_cells, threshold=2.0)
+        # threshold 2.0 > max cosine: n_dup_lower stays 0, but we need the
+        # raw cell sizes; recompute pair count from cell occupancy instead
+        sizes = assigned.groupBy("cell").agg(F.count("*").alias("n"))
+        return int(
+            sizes.agg(
+                F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long")
+            ).first()[0]
+        )
+
+    out["semdedup_cell_pairs"] = _cell_pairs(8)
+    if shard_divisor > 1:
+        out["semdedup_cell_pairs_scaled"] = _cell_pairs(8 * shard_divisor)
+    # content-defined anchor pairs (docs_exact_substring_dedup, pre-count):
+    # token salting perturbs every 40-char window, so cross-copy anchors
+    # never collide — growth should be ~linear (within-copy pairs only)
+    from big_data_assignment2_2025_spark.operators.dedup import (
+        char_anchor_pairs,
+    )
+
+    out["anchor_pairs"] = char_anchor_pairs(docs).count()
+    # winnowing fingerprints are denser (~2/(window+1) of positions vs the
+    # gate's 1/stride) but equally copy-disjoint under salting: ~linear
+    from big_data_assignment2_2025_spark.operators.dedup import (
+        winnowing_pairs,
+    )
+
+    out["winnowing_pairs"] = winnowing_pairs(docs).count()
     return out
 
 
