@@ -10,6 +10,7 @@ steps, same isolation the grading driver has):
  2. oracle_check sf0.01  -> ORACLE_LOCAL_r{N}.json
  3. oracle_check sf0.1   -> ORACLE_LOCAL_r{N}_sf01.json
  4. oracle_check --foreign sf0.01 -> ORACLE_FOREIGN_r{N}.json
+ 4b. oracle_check sf0.001 -> ORACLE_LOCAL_r{N}_sf0001.json (boundary sweep)
  5. plan_lint            -> PLANAUDIT_r{N}.json
  6. shuffle_report sf0.1 -> SHUFFLE_r{N}.json, budget-gated against the
     newest prior SHUFFLE_r{M}.json (M < N) if one exists
@@ -59,6 +60,7 @@ def _check_consistency(n: int, skip: set[str]) -> tuple[bool, str]:
     checks = {
         "oracle_sf001": (f"ORACLE_LOCAL_r{n}.json", "ran", total),
         "oracle_sf01": (f"ORACLE_LOCAL_r{n}_sf01.json", "ran", total),
+        "oracle_sf0001": (f"ORACLE_LOCAL_r{n}_sf0001.json", "ran", total),
         "oracle_foreign": (f"ORACLE_FOREIGN_r{n}.json", "ran", total),
         "plan_lint": (f"PLANAUDIT_r{n}.json", "audited", batch),
     }
@@ -101,6 +103,11 @@ def main() -> None:
         ("oracle_foreign", [sys.executable, "tools/oracle_check.py",
                             "/root/testdata/sf0.01", "--foreign",
                             f"--json=ORACLE_FOREIGN_r{n}.json"]),
+        # smallest SF: the empty-group / boundary-condition sweep (a query
+        # that degenerates when a group or window is empty fails HERE first)
+        ("oracle_sf0001", [sys.executable, "tools/oracle_check.py",
+                           "/root/testdata/sf0.001",
+                           f"--json=ORACLE_LOCAL_r{n}_sf0001.json"]),
         ("plan_lint", [sys.executable, "tools/plan_lint.py",
                        f"--json=PLANAUDIT_r{n}.json"]),
         ("shuffle", [sys.executable, "tools/shuffle_report.py",
@@ -110,7 +117,11 @@ def main() -> None:
     ]
     baseline = _prior_shuffle_baseline(n)
     if baseline:
-        steps[5][1].append(f"--budget={os.path.basename(baseline)}")
+        # locate by NAME, not index — inserting a step must not silently
+        # re-target the budget flag (it did once, when sf0.001 landed)
+        for name, cmd in steps:
+            if name == "shuffle":
+                cmd.append(f"--budget={os.path.basename(baseline)}")
 
     results = {}
     for name, cmd in steps:

@@ -337,14 +337,30 @@ def _candidate_counts(spark, sf_dir: str, shard_divisor: int = 1) -> dict[str, i
         char_anchor_pairs,
     )
 
-    out["anchor_pairs"] = char_anchor_pairs(docs).count()
-    # winnowing fingerprints are denser (~2/(window+1) of positions vs the
-    # gate's 1/stride) but equally copy-disjoint under salting: ~linear
+    # Char-gram families: the token salting ("c3_" on every token) inflates
+    # WITHIN-copy window duplication — it lengthens every repeated token run
+    # by ~3 chars/token, pushing sub-40-char runs past the window width —
+    # so raw pair counts at Nx sit well above N x base (measured ~7x level
+    # shift per salted copy). The algorithmic claim is cross-copy
+    # separation, so at Nx the probe also reports the cross-copy pair count
+    # (expected: 0 — no two copies share any 40-char window).
     from big_data_assignment2_2025_spark.operators.dedup import (
+        char_anchor_pairs,
         winnowing_pairs,
     )
 
-    out["winnowing_pairs"] = winnowing_pairs(docs).count()
+    def _with_cross(name: str, pairs_df):
+        out[name] = pairs_df.count()
+        if shard_divisor > 1:
+            cross = pairs_df.where(
+                F.floor(F.col("id1") / SHIFT) != F.floor(F.col("id2") / SHIFT)
+            ).count()
+            out[f"{name}_cross_copy"] = cross
+
+    _with_cross("anchor_pairs", char_anchor_pairs(docs))
+    # winnowing fingerprints are denser (~2/(window+1) of positions vs the
+    # gate's 1/stride) but equally copy-disjoint under salting
+    _with_cross("winnowing_pairs", winnowing_pairs(docs))
     return out
 
 
@@ -760,6 +776,11 @@ def main() -> None:
     }
     for k, g in growth.items():
         print(f"# pair_growth {k}: {g}", file=sys.stderr)
+    # keys only present at the scaled corpus (cross-copy decompositions,
+    # the n_cells-scaled SemDeDup rerun) — report verbatim
+    scaled_only = {k: scaled[k] for k in scaled if k not in base}
+    for k, v in scaled_only.items():
+        print(f"# scaled_only {k}: {v}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -770,6 +791,7 @@ def main() -> None:
                 "checks": checks,
                 "bucketed_join": bucketed,
                 "pair_growth": growth,
+                "scaled_only": scaled_only,
                 "total_sec": round(sum(timings.values()), 2),
             }
         )
