@@ -62,6 +62,11 @@ WHITELIST: dict[str, dict[str, str]] = {
     "tfidf_search": {"bnlj": "1-row doc-count scalar"},
     "tfidf_doc_similarity": {"bnlj": "1-row doc-count scalar"},
     "cross_join_scalar": {"bnlj": "the query IS the 1-row scalar cross join"},
+    "embedding_semdedup": {
+        "bnlj": "1-row broadcast centroid-array scalar (n_cells structs in"
+        " one row; the map-only argmax assignment — one BNLJ per plan"
+        " branch that re-derives it)"
+    },
     "graph_kcore_peel": {"bnlj": "three 1-row x 1-row per-round summary scalar cross joins"},
     "null_semantics_parity": {"bnlj": "two broadcast 1-row aggregate scalars assembled into the summary row"},
     "q6_forecast_revenue": {"bnlj": "1-row aggregate scalar"},

@@ -167,6 +167,13 @@ QUERIES_TO_PROFILE = [
     # expect ~2x the single-build token shuffle, never a corpus re-pair)
     "index_delete_docs",
     "index_rebuild_idempotent",
+    # round 8b: SemDeDup (expect the cell-keyed pair join + one cell-local
+    # agg as the ONLY data-sized exchanges — assignment is map-only) and
+    # the two char-gram dedups (expect the gram/fingerprint distinct +
+    # holder groupBy + pair agg; gram hashing never shuffles)
+    "embedding_semdedup",
+    "docs_exact_substring_dedup",
+    "docs_winnowing_dedup",
 ]
 
 
