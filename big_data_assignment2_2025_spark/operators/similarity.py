@@ -319,6 +319,60 @@ def cosine_neardup_pairs(
     )
 
 
+def argmax_cell_assignment(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MAP-ONLY nearest-centroid assignment: the ``n_cells`` lowest-id
+    vectors collapse to ONE broadcast array row, and each vector's cell
+    is an argmax fold inside the scan projection — zero shuffle, unlike
+    ``_assign_cells``' windowed rank (fine for a tiny query set, wrong
+    for a pass that touches ALL N vectors). Ties keep the lowest cell
+    id, matching ``_assign_cells``' (cos DESC, cell ASC) ordering.
+
+    Returns (cell, vid, vid_vec) for every corpus vector.
+    """
+    cents_row = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cell"), F.col("cent_vec")))
+            ).alias("cents")
+        )
+    )
+
+    vec = F.col("vid_vec")
+
+    def _nearer(acc, c):
+        cs = F.round(cosine_similarity(vec, c["cent_vec"]), 6)
+        return F.when(
+            cs > acc["cos"],
+            F.struct(cs.alias("cos"), c["cell"].alias("cell")),
+        ).otherwise(acc)
+
+    return (
+        fan_out(corpus)
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vid_vec"))
+        .crossJoin(F.broadcast(cents_row))
+        .select(
+            F.aggregate(
+                "cents",
+                F.struct(
+                    F.lit(-2.0).alias("cos"),
+                    F.lit(-1).cast("long").alias("cell"),
+                ),
+                _nearer,
+            )["cell"].alias("cell"),
+            "vid",
+            "vid_vec",
+        )
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     n_cells: int = 8,
@@ -355,44 +409,8 @@ def semantic_dedup(
     cell-local aggregation. At 100 TB, write the corpus partitioned BY
     cell so the pair join is partition-local with no cross-cell traffic.
     """
-    cents_row = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("cell"), F.col("cent_vec")))
-            ).alias("cents")
-        )
-    )
-
-    vec = F.col("vid_vec")
-
-    def _nearer(acc, c):
-        cs = F.round(cosine_similarity(vec, c["cent_vec"]), 6)
-        # strict > with the array sorted by cell id: ties keep the lowest
-        # cell, matching _assign_cells' (cos DESC, cell ASC) ordering
-        return F.when(
-            cs > acc["cos"],
-            F.struct(cs.alias("cos"), c["cell"].alias("cell")),
-        ).otherwise(acc)
-
-    assigned = (
-        fan_out(corpus)
-        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vid_vec"))
-        .crossJoin(F.broadcast(cents_row))
-        .select(
-            F.aggregate(
-                "cents",
-                F.struct(
-                    F.lit(-2.0).alias("cos"),
-                    F.lit(-1).cast("long").alias("cell"),
-                ),
-                _nearer,
-            )["cell"].alias("cell"),
-            "vid",
-            "vid_vec",
-        )
+    assigned = argmax_cell_assignment(
+        corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
     )
     a = assigned.select("cell", F.col("vid").alias("id1"), F.col("vid_vec").alias("v1"))
     b = assigned.select("cell", F.col("vid").alias("id2"), F.col("vid_vec").alias("v2"))

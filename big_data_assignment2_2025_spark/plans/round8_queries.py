@@ -33,13 +33,7 @@ from ..operators.dedup import char_anchor_pairs, winnowing_pairs
 from ..operators.similarity import semantic_dedup
 from ..sources.readers import load_table
 
-_COSINE = """
-round(
-  list_sum(list_transform(range(1, len(QV) + 1), i -> CAST(QV[CAST(i AS INTEGER)] AS DOUBLE) * CAST(CV[CAST(i AS INTEGER)] AS DOUBLE)))
-  / (sqrt(list_sum(list_transform(range(1, len(QV) + 1), i -> CAST(QV[CAST(i AS INTEGER)] AS DOUBLE) * CAST(QV[CAST(i AS INTEGER)] AS DOUBLE))))
-     * sqrt(list_sum(list_transform(range(1, len(CV) + 1), i -> CAST(CV[CAST(i AS INTEGER)] AS DOUBLE) * CAST(CV[CAST(i AS INTEGER)] AS DOUBLE))))),
-  6)
-"""
+from .similarity_queries import COSINE_SQL_TEMPLATE as _COSINE
 
 
 def _cos(qv: str, cv: str) -> str:

@@ -20,13 +20,17 @@ from ..operators.similarity import (
 from ..sources.readers import load_table
 
 # dot/norm on doubles; embeddings are FLOAT[] so cast element-wise (exact).
-_COSINE_EXPR = """
+#: engine-parity-critical rounded-cosine SQL with QV/CV operand
+#: placeholders — the ONE copy every oracle derives from
+COSINE_SQL_TEMPLATE = """
 round(
-  list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE)))
-  / (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(qv[CAST(i AS INTEGER)] AS DOUBLE))))
-     * sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> CAST(cv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(cv[CAST(i AS INTEGER)] AS DOUBLE))))),
+  list_sum(list_transform(range(1, len(QV) + 1), i -> CAST(QV[CAST(i AS INTEGER)] AS DOUBLE) * CAST(CV[CAST(i AS INTEGER)] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1, len(QV) + 1), i -> CAST(QV[CAST(i AS INTEGER)] AS DOUBLE) * CAST(QV[CAST(i AS INTEGER)] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, len(CV) + 1), i -> CAST(CV[CAST(i AS INTEGER)] AS DOUBLE) * CAST(CV[CAST(i AS INTEGER)] AS DOUBLE))))),
   6)
 """
+
+_COSINE_EXPR = COSINE_SQL_TEMPLATE.replace("QV", "qv").replace("CV", "cv")
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -153,9 +153,10 @@ def test_winnowing_guarantee_at_59_chars(spark):
 def test_winnowing_identical_short_docs_pair(spark):
     """Docs shorter than width + window - 1 but >= width still fingerprint
     (one whole-array window) and identical ones pair up."""
-    text45 = "identical forty five character document !!"
+    text45 = "identical forty-five character document !!???"
+    assert len(text45) == 45  # pins the width <= len < width+window-1 regime
     docs = spark.createDataFrame(
-        [(1, text45), (2, text45), (3, "distinct forty-five character doc body ##")],
+        [(1, text45), (2, text45), (3, "a distinct forty-five character doc body ####")],
         ["doc_id", "text"],
     )
     from big_data_assignment2_2025_spark.operators.dedup import (

@@ -313,13 +313,14 @@ def _candidate_counts(spark, sf_dir: str, shard_divisor: int = 1) -> dict[str, i
     # re-probes with n_cells x shard_divisor: the production configuration,
     # expected ~linear.
     from big_data_assignment2_2025_spark.operators.similarity import (
-        semantic_dedup,
+        argmax_cell_assignment,
     )
 
     def _cell_pairs(n_cells: int) -> int:
-        assigned = semantic_dedup(emb, n_cells=n_cells, threshold=2.0)
-        # threshold 2.0 > max cosine: n_dup_lower stays 0, but we need the
-        # raw cell sizes; recompute pair count from cell occupancy instead
+        # occupancy only (map-only assignment, no pair join): counting the
+        # candidate blowup must not COST the candidate blowup; pair count
+        # is n*(n-1)/2 over cell occupancy.
+        assigned = argmax_cell_assignment(emb, n_cells=n_cells)
         sizes = assigned.groupBy("cell").agg(F.count("*").alias("n"))
         return int(
             sizes.agg(
@@ -330,13 +331,6 @@ def _candidate_counts(spark, sf_dir: str, shard_divisor: int = 1) -> dict[str, i
     out["semdedup_cell_pairs"] = _cell_pairs(8)
     if shard_divisor > 1:
         out["semdedup_cell_pairs_scaled"] = _cell_pairs(8 * shard_divisor)
-    # content-defined anchor pairs (docs_exact_substring_dedup, pre-count):
-    # token salting perturbs every 40-char window, so cross-copy anchors
-    # never collide — growth should be ~linear (within-copy pairs only)
-    from big_data_assignment2_2025_spark.operators.dedup import (
-        char_anchor_pairs,
-    )
-
     # Char-gram families: the token salting ("c3_" on every token) inflates
     # WITHIN-copy window duplication — it lengthens every repeated token run
     # by ~3 chars/token, pushing sub-40-char runs past the window width —
@@ -350,12 +344,16 @@ def _candidate_counts(spark, sf_dir: str, shard_divisor: int = 1) -> dict[str, i
     )
 
     def _with_cross(name: str, pairs_df):
+        # persist: the total and the cross-copy counts otherwise each
+        # recompute the O(total chars) gram explode end-to-end
+        pairs_df = pairs_df.persist()
         out[name] = pairs_df.count()
         if shard_divisor > 1:
             cross = pairs_df.where(
                 F.floor(F.col("id1") / SHIFT) != F.floor(F.col("id2") / SHIFT)
             ).count()
             out[f"{name}_cross_copy"] = cross
+        pairs_df.unpersist()
 
     _with_cross("anchor_pairs", char_anchor_pairs(docs))
     # winnowing fingerprints are denser (~2/(window+1) of positions vs the
