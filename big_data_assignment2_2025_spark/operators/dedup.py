@@ -431,6 +431,55 @@ def simhash_pairs(
 # Exact-substring dedup (content-defined character anchors)
 # ---------------------------------------------------------------------------
 
+def _segmented(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_chars: int,
+    span: int,
+) -> DataFrame:
+    """Explode documents into overlapping ``seg_chars``-char segments that
+    preserve every ``span``-char window: consecutive segments overlap by
+    span - 1 chars, so any window lies fully inside at least one segment
+    (start p falls in segment k = floor((p-1)/step); p + span - 1 <=
+    k*step + seg_chars because overlap >= span - 1), and with
+    K = ceil((n - overlap)/step) segments the last one reaches the end of
+    the document and is itself >= span chars long. Selections made from
+    two overlapping segments are identical values — the caller's distinct
+    collapses them — so the selected-gram SET equals the unsegmented
+    computation's exactly.
+
+    This is the document-length memory bound: the per-row gram array
+    becomes O(seg_chars), not O(document) — a 10 MB document would
+    otherwise materialize an ~80 MB long-array inside the projection.
+
+    Returns (id, seg, n_segs); n_segs lets the caller keep whole-document
+    clamp semantics for single-segment (short) documents.
+    """
+    overlap = span - 1
+    step = seg_chars - overlap
+    if step < 1:
+        raise ValueError(f"seg_chars={seg_chars} must exceed span-1={overlap}")
+    k_expr = F.expr(
+        f"CAST(greatest(ceil((length({text_col}) - {overlap})"
+        f" / CAST({step} AS DOUBLE)) - 1, 0) AS INT)"
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col), k_expr.alias("_k"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, _k), s -> struct("
+                    f"substring({text_col}, s * {step} + 1, {seg_chars}) AS seg,"
+                    f" _k + 1 AS n_segs))"
+                )
+            ).alias("sg"),
+        )
+        .select(id_col, F.col("sg.seg").alias("seg"), F.col("sg.n_segs").alias("n_segs"))
+    )
+
+
 def char_anchor_pairs(
     df: DataFrame,
     width: int = 40,
@@ -438,6 +487,7 @@ def char_anchor_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_holders: int | None = None,
+    seg_chars: int | None = None,
 ) -> DataFrame:
     """ExactSubstr-style duplication detection (Lee et al. 2022,
     arXiv:2107.06499 'Deduplicating Training Data Makes Language Models
@@ -470,13 +520,18 @@ def char_anchor_pairs(
     more than ~1k holders: they are boilerplate classes, not pairs).
     """
     n = F.length(F.col(text_col))
+    live = fan_out(df).where(n >= width)
+    if seg_chars is not None:
+        # document-length memory bound: O(seg_chars) gram arrays; anchor
+        # selection is per-window content, so the anchor SET is unchanged
+        # (see _segmented) — set this at 100 TB where documents can be MBs
+        live = _segmented(live, text_col, id_col, seg_chars, span=width)
+        text_col = "seg"
     # Hash inside an array transform BEFORE exploding, so the generator
     # emits 8-byte longs, not rows that still carry the document body.
     gh_array = _gram_hash_array(text_col, width)
     grams = (
-        fan_out(df)
-        .where(n >= width)
-        .select(F.col(id_col), F.explode(gh_array).alias("gh"))
+        live.select(F.col(id_col), F.explode(gh_array).alias("gh"))
         .where(F.col("gh") % stride == 0)
         .distinct()
     )
@@ -535,6 +590,7 @@ def winnowing_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_holders: int | None = None,
+    seg_chars: int | None = None,
 ) -> DataFrame:
     """Winnowing fingerprint pairs (Schleimer, Wilkerson & Aiken 2003 —
     the MOSS algorithm): per document, hash every ``width``-char window,
@@ -560,19 +616,39 @@ def winnowing_pairs(
     Emits (id1, id2, n_shared_fingerprints), id1 < id2.
     """
     n = F.length(F.col(text_col))
+    live = fan_out(df).where(n >= width)
+    if seg_chars is not None:
+        # document-length memory bound (see _segmented): overlap of
+        # width + window - 2 chars keeps every SLIDING-MIN window (span
+        # width + window - 1 chars) inside one segment, so the selected
+        # fingerprint SET is unchanged. Multi-segment documents never need
+        # the short-document clamp (every segment is >= span chars —
+        # guaranteed by the K = ceil((n - overlap)/step) construction), so
+        # the clamp applies only when n_segs = 1, i.e. exactly when the
+        # unsegmented computation would clamp too.
+        live = _segmented(
+            live, text_col, id_col, seg_chars, span=width + window - 1
+        )
+        clamp = f"CASE WHEN n_segs = 1 THEN 1 ELSE size(gh) - {window - 1} END"
+        gh_src = "seg"
+    else:
+        clamp = "1"
+        gh_src = text_col
     # windows of `window` consecutive gram hashes; array_min of each is the
     # selected fingerprint. size(gh) - window + 1 window starts; documents
     # shorter than width + window - 1 chars still yield >= 1 window via the
-    # greatest(..., 1) clamp (their whole gram array is one short window).
+    # greatest(..., clamp) floor (their whole gram array is one short
+    # window).
     fp_array = F.expr(
         f"array_distinct(transform("
-        f"  sequence(1, greatest(size(gh) - {window - 1}, 1)),"
+        f"  sequence(1, greatest(size(gh) - {window - 1}, {clamp})),"
         f"  j -> array_min(slice(gh, j, {window}))))"
     )
+    sel = [F.col(id_col), _gram_hash_array(gh_src, width).alias("gh")]
+    if seg_chars is not None:
+        sel.append(F.col("n_segs"))  # the clamp predicate needs it in scope
     grams = (
-        fan_out(df)
-        .where(n >= width)
-        .select(F.col(id_col), _gram_hash_array(text_col, width).alias("gh"))
+        live.select(*sel)
         .select(F.col(id_col), F.explode(fp_array).alias("gh"))
         .distinct()
     )

@@ -186,3 +186,63 @@ def test_winnowing_fixture_pairs_share_real_runs(spark, sf_dir):
         t1, t2 = texts[r["id1"]], texts[r["id2"]]
         grams1 = {t1[i : i + 40] for i in range(len(t1) - 39)}
         assert any(t2[i : i + 40] in grams1 for i in range(len(t2) - 39))
+
+
+def _long_docs(spark):
+    """Deterministic ~1.5k-char documents with planted shared runs at
+    different offsets, long enough to span several 200-char segments."""
+    import hashlib
+
+    def blob(seed: str, n_words: int) -> str:
+        out = []
+        for i in range(n_words):
+            out.append(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:7])
+        return " ".join(out)
+
+    shared_a = "the shared licence paragraph that spans segments " * 4
+    shared_b = blob("shared-b", 30)
+    rows = [
+        (1, blob("one", 120) + " " + shared_a + " " + blob("one-t", 100)),
+        (2, shared_a + " " + blob("two", 200)),
+        (3, blob("three", 80) + " " + shared_b),
+        (4, blob("four-pre", 150) + " " + shared_b + " " + blob("four", 60)),
+        (5, blob("five", 220)),
+        (6, "short doc under segment size but over width ok?"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_segmented_anchor_pairs_identical(spark):
+    """seg_chars bounds per-row memory without changing the anchor SET:
+    pair results are identical with and without segmentation."""
+    docs = _long_docs(spark)
+    base = {
+        (r["id1"], r["id2"]): r["n_shared_anchors"]
+        for r in char_anchor_pairs(docs, 40, 20).collect()
+    }
+    seg = {
+        (r["id1"], r["id2"]): r["n_shared_anchors"]
+        for r in char_anchor_pairs(docs, 40, 20, seg_chars=200).collect()
+    }
+    assert base == seg and base  # non-trivial and identical
+
+
+def test_segmented_winnowing_pairs_identical(spark):
+    """Same invariant for winnowing: the overlap of width+window-2 chars
+    preserves every sliding-min window, so fingerprint sets (and hence
+    pairs) are identical; the short-doc clamp still applies only to
+    single-segment documents."""
+    from big_data_assignment2_2025_spark.operators.dedup import (
+        winnowing_pairs,
+    )
+
+    docs = _long_docs(spark)
+    base = {
+        (r["id1"], r["id2"]): r["n_shared_fingerprints"]
+        for r in winnowing_pairs(docs, 40, 20).collect()
+    }
+    seg = {
+        (r["id1"], r["id2"]): r["n_shared_fingerprints"]
+        for r in winnowing_pairs(docs, 40, 20, seg_chars=200).collect()
+    }
+    assert base == seg and base
