@@ -449,9 +449,15 @@ def _segmented(
     collapses them — so the selected-gram SET equals the unsegmented
     computation's exactly.
 
-    This is the document-length memory bound: the per-row gram array
-    becomes O(seg_chars), not O(document) — a 10 MB document would
-    otherwise materialize an ~80 MB long-array inside the projection.
+    This is the document-length memory bound — the per-row gram array
+    becomes O(seg_chars), not O(document) — and, more importantly, the
+    document-length TIME bound: Spark's char-indexed ``substring`` on a
+    long string costs O(offset) (UTF8String scans bytes to find the char
+    position), so the unsegmented gram pass is O(n^2) in document length.
+    Measured on 8 x 256 KB docs: unsegmented 151.5 s, seg_chars=65536
+    38.8 s, 16384 12.2 s, 4096 3.5 s (the md5 floor) — hence the 4096
+    default; overlap overhead at 4096 is <= 1.5%. ``seg_chars=None``
+    disables segmentation (exact original single-pass expression).
 
     Returns (id, seg, n_segs); n_segs lets the caller keep whole-document
     clamp semantics for single-segment (short) documents.
@@ -487,7 +493,7 @@ def char_anchor_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_holders: int | None = None,
-    seg_chars: int | None = None,
+    seg_chars: int | None = 4096,
 ) -> DataFrame:
     """ExactSubstr-style duplication detection (Lee et al. 2022,
     arXiv:2107.06499 'Deduplicating Training Data Makes Language Models
@@ -590,7 +596,7 @@ def winnowing_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_holders: int | None = None,
-    seg_chars: int | None = None,
+    seg_chars: int | None = 4096,
 ) -> DataFrame:
     """Winnowing fingerprint pairs (Schleimer, Wilkerson & Aiken 2003 —
     the MOSS algorithm): per document, hash every ``width``-char window,
