@@ -464,25 +464,37 @@ def _segmented(
     """
     overlap = span - 1
     step = seg_chars - overlap
-    if step < 1:
-        raise ValueError(f"seg_chars={seg_chars} must exceed span-1={overlap}")
-    k_expr = F.expr(
-        f"CAST(greatest(ceil((length({text_col}) - {overlap})"
-        f" / CAST({step} AS DOUBLE)) - 1, 0) AS INT)"
+    if step < overlap:
+        # each segment is stitched from a chunk plus the FIRST `overlap`
+        # chars of the NEXT chunk only; chunks are `step` chars, so the
+        # stitch is complete only when step >= overlap
+        raise ValueError(
+            f"seg_chars={seg_chars} must be >= 2*span-2={2 * overlap}"
+        )
+    # ONE regex pass cuts the document into step-sized chunks (O(n) — an
+    # offset-substring loop would pay Spark's O(p) char-indexed substring
+    # per segment, O(n^2/step) per document, measured 3x slower already at
+    # 1 MB docs); each segment is its chunk plus the first `overlap` chars
+    # of the next (O(overlap) substring at offset 1). A final chunk
+    # shorter than `span` starts no complete window — every window
+    # touching it begins in the previous chunk and is covered by that
+    # segment's overlap — so it is dropped, EXCEPT for single-chunk
+    # documents where the caller's short-document clamp applies.
+    chunks = F.expr(f"regexp_extract_all({text_col}, '(?s).{{1,{step}}}', 0)")
+    seg_struct = (
+        f"transform(_ch, (c, i) -> struct("
+        f"concat(c, coalesce(substring(try_element_at(_ch, i + 2), 1, {overlap}), '')) AS seg,"
+        f" size(_ch) AS n_segs))"
     )
     return (
-        df.select(F.col(id_col), F.col(text_col), k_expr.alias("_k"))
+        df.select(F.col(id_col), chunks.alias("_ch"))
+        .select(id_col, F.explode(F.expr(seg_struct)).alias("sg"))
         .select(
             id_col,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, _k), s -> struct("
-                    f"substring({text_col}, s * {step} + 1, {seg_chars}) AS seg,"
-                    f" _k + 1 AS n_segs))"
-                )
-            ).alias("sg"),
+            F.col("sg.seg").alias("seg"),
+            F.col("sg.n_segs").alias("n_segs"),
         )
-        .select(id_col, F.col("sg.seg").alias("seg"), F.col("sg.n_segs").alias("n_segs"))
+        .where((F.col("n_segs") == 1) | (F.length("seg") >= span))
     )
 
 

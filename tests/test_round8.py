@@ -246,3 +246,35 @@ def test_segmented_winnowing_pairs_identical(spark):
         for r in winnowing_pairs(docs, 40, 20, seg_chars=200).collect()
     }
     assert base == seg and base
+
+
+def test_segmented_tail_chunk_edge(spark):
+    """A document whose length is just past one chunk step leaves a tail
+    chunk shorter than the window span: the tail starts no complete
+    window and must be dropped, not fingerprinted with garbage windows —
+    pair results stay identical to the unsegmented computation."""
+    from big_data_assignment2_2025_spark.operators.dedup import (
+        winnowing_pairs,
+    )
+
+    base_text = ("x" * 50).join(str(i) for i in range(40))  # ~2k chars
+    # seg_chars=120, winnow span=59 -> step=62: many chunks, short tails
+    docs = spark.createDataFrame(
+        [(1, base_text + " tail"), (2, base_text), (3, base_text[-150:])],
+        ["doc_id", "text"],
+    )
+    # below 2*span-2 the one-next-chunk stitch cannot complete a segment:
+    # rejected loudly instead of silently shrinking coverage
+    import pytest
+
+    with pytest.raises(ValueError):
+        winnowing_pairs(docs, 40, 20, seg_chars=100).collect()
+    base = {
+        (r["id1"], r["id2"]): r["n_shared_fingerprints"]
+        for r in winnowing_pairs(docs, 40, 20, seg_chars=None).collect()
+    }
+    seg = {
+        (r["id1"], r["id2"]): r["n_shared_fingerprints"]
+        for r in winnowing_pairs(docs, 40, 20, seg_chars=120).collect()
+    }
+    assert base == seg and base
