@@ -37,6 +37,7 @@ from . import (
     round7j_queries,
     round7k_queries,
     round8_queries,
+    round8c_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -79,6 +80,7 @@ _MODULES = [
     round7j_queries,
     round7k_queries,
     round8_queries,
+    round8c_queries,
     storage_queries,
 ]
 

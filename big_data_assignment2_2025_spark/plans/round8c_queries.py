@@ -1,0 +1,145 @@
+"""Round-8c queries: snapshot versioning — time travel and incremental
+consumption over the manifest-committed store (``sources/snapshots.py``).
+
+No reference counterpart (the reference's Cassandra store holds exactly
+one mutable state, ``app/index.sh:23-38``); storage-family extension per
+SURVEY.md §7. The gate proves the three contracts a reproducible training
+pipeline needs:
+
+- **time travel**: after an append AND a compaction rewrite, version 1
+  still reads as exactly the original subset (``storage_time_travel``
+  row 1 vs the oracle's filtered scan);
+- **compaction is logically free**: version 3 (compacted) hashes equal to
+  version 2 (rows 2 and 3 agree with the oracle's full scan);
+- **incremental consumption is O(new data)**: ``storage_snapshot_diff``
+  reads ONLY the commit directory added in v1→v2 yet reproduces the
+  oracle's "the appended third" — the backfill path that never rescans
+  the corpus.
+
+Both oracles run on the raw ``documents`` view: the staged store is an
+implementation detail; its reads must be indistinguishable from filtering
+the source, which is precisely what hash-gating checks.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import (
+    derived_cache_ok,
+    fixture_fingerprint,
+    load_table,
+    mark_derived_cache,
+)
+from ..sources.snapshots import SnapshotStore
+
+#: the append split: v1 = doc_id % 3 != 0 (overwrite), v2 += doc_id % 3 == 0
+_SPLIT_MOD = 3
+
+
+def _staged_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
+    """Per-fixture snapshot store with exactly three committed versions:
+    v1 overwrite (two thirds of documents), v2 append (the remaining
+    third), v3 compact. Fingerprint-gated like every derived copy
+    (``bucketed_table`` discipline) so a regenerated fixture rebuilds."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"snapstore_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(base, fprint):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        store = SnapshotStore(base)
+        docs = load_table(spark, sf_dir, "documents")
+        store.commit(
+            docs.where(F.col("doc_id") % _SPLIT_MOD != 0), mode="overwrite"
+        )
+        store.commit(
+            docs.where(F.col("doc_id") % _SPLIT_MOD == 0), mode="append"
+        )
+        store.compact(spark)
+        # commit point for the CACHE (the store's own commits are already
+        # atomic): _SUCCESS + fingerprint marker, after all three versions
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
+        mark_derived_cache(base, fprint)
+    return SnapshotStore(base)
+
+
+def _version_stats(df: DataFrame, version: int) -> DataFrame:
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    ).select(F.lit(version).alias("version"), "n_rows", "n_docs", "sum_chars")
+
+
+def storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-version corpus stats read through the manifest store: v1 must
+    still be the pre-append subset (time travel), v3 must equal v2
+    (compaction rewrote files, not rows). Each read opens exactly the
+    files its manifest names — no directory listing, so the answer is
+    stable even while later commits land."""
+    store = _staged_store(spark, sf_dir)
+    out = None
+    for v in (1, 2, 3):
+        part = _version_stats(store.read(spark, v), v)
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("version")
+
+
+TIME_TRAVEL_SQL = f"""
+SELECT 1 AS version, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % {_SPLIT_MOD} <> 0
+UNION ALL
+SELECT 2, COUNT(*), COUNT(DISTINCT doc_id), CAST(SUM(n_chars) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 3, COUNT(*), COUNT(DISTINCT doc_id), CAST(SUM(n_chars) AS BIGINT)
+FROM documents
+ORDER BY version
+"""
+
+
+def storage_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stats of the v1→v2 delta, read INCREMENTALLY: only the
+    commit directory the v2 manifest added is opened (``SnapshotStore.
+    diff``), never the v1 members. At 100 TB this is the nightly-backfill
+    contract — new-data cost, not table cost; the oracle reproduces the
+    same rows from the raw source, proving the added-files read IS the
+    appended row set."""
+    store = _staged_store(spark, sf_dir)
+    return (
+        store.diff(spark, 1, 2)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SNAPSHOT_DIFF_SQL = f"""
+SELECT lang, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id % {_SPLIT_MOD} = 0
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES = {
+    "storage_time_travel": storage_time_travel,
+    "storage_snapshot_diff": storage_snapshot_diff,
+}
+
+ORACLES = {
+    "storage_time_travel": TIME_TRAVEL_SQL,
+    "storage_snapshot_diff": SNAPSHOT_DIFF_SQL,
+}

@@ -1,0 +1,163 @@
+"""Snapshot-store contracts: atomic commit, time travel, compaction as a
+logical no-op, incremental diff, crash-orphan invisibility, optimistic
+concurrency, and vacuum safety."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+import pytest
+
+from big_data_assignment2_2025_spark.plans.round8c_queries import (
+    storage_snapshot_diff,
+    storage_time_travel,
+)
+from big_data_assignment2_2025_spark.sources.snapshots import SnapshotStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return SnapshotStore(str(tmp_path / "snap"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "k")
+
+
+def _keys(spark, store, version=None):
+    return sorted(
+        r.k for r in store.read(spark, version).select("k").collect()
+    )
+
+
+def test_commit_append_read_roundtrip(spark, store):
+    v1 = store.commit(_df(spark, 0, 10), mode="overwrite")
+    v2 = store.commit(_df(spark, 10, 15), mode="append")
+    assert (v1, v2) == (1, 2)
+    assert _keys(spark, store) == list(range(15))
+    assert store.versions() == [1, 2]
+
+
+def test_time_travel_survives_append_and_compact(spark, store):
+    store.commit(_df(spark, 0, 10), mode="overwrite")
+    store.commit(_df(spark, 10, 15), mode="append")
+    store.compact(spark)
+    # v1 is still exactly the pre-append rows; latest has everything
+    assert _keys(spark, store, version=1) == list(range(10))
+    assert _keys(spark, store) == list(range(15))
+
+
+def test_compact_is_logical_noop_with_fewer_files(spark, store):
+    store.commit(_df(spark, 0, 100).repartition(8), mode="overwrite")
+    store.commit(_df(spark, 100, 120).repartition(4), mode="append")
+    v3 = store.compact(spark, target_files=1)
+    assert _keys(spark, store, v3) == _keys(spark, store, 2)
+
+    def n_parquet_files(version):
+        n = 0
+        for m in store.manifest(version)["members"]:
+            n += len(
+                glob.glob(os.path.join(store.base_dir, m, "*.parquet"))
+            )
+        return n
+
+    assert n_parquet_files(3) < n_parquet_files(2)
+    assert n_parquet_files(3) == 1
+
+
+def test_overwrite_starts_fresh_but_history_remains(spark, store):
+    store.commit(_df(spark, 0, 10), mode="overwrite")
+    store.commit(_df(spark, 50, 55), mode="overwrite")
+    assert _keys(spark, store) == list(range(50, 55))
+    assert _keys(spark, store, version=1) == list(range(10))
+
+
+def test_diff_reads_only_added_commits(spark, store):
+    store.commit(_df(spark, 0, 10), mode="overwrite")
+    store.commit(_df(spark, 10, 15), mode="append")
+    store.commit(_df(spark, 15, 18), mode="append")
+    d = store.diff(spark, 1, 3)
+    assert sorted(r.k for r in d.collect()) == list(range(10, 18))
+    # the plan's read must not touch the v1 member directory
+    v1_member = store.manifest(1)["members"][0]
+    assert v1_member not in d._jdf.queryExecution().toString()
+
+
+def test_diff_refuses_non_append_ranges(spark, store):
+    store.commit(_df(spark, 0, 10), mode="overwrite")
+    store.commit(_df(spark, 10, 15), mode="append")
+    store.compact(spark)
+    with pytest.raises(ValueError, match="non-append"):
+        store.diff(spark, 1, 3)
+    with pytest.raises(ValueError, match="v_from < v_to"):
+        store.diff(spark, 2, 2)
+
+
+def test_crash_orphan_data_is_invisible(spark, store):
+    """A writer that crashed after its data write but before publishing a
+    manifest leaves a directory no reader opens and vacuum removes."""
+    store.commit(_df(spark, 0, 10), mode="overwrite")
+    orphan = os.path.join("data", f"c99999999-{uuid.uuid4().hex[:8]}")
+    _df(spark, 1000, 1010).write.parquet(
+        os.path.join(store.base_dir, orphan)
+    )
+    assert _keys(spark, store) == list(range(10))  # orphan invisible
+    removed = store.vacuum()
+    assert removed == [orphan]
+    assert _keys(spark, store) == list(range(10))  # still intact
+
+
+def test_interrupted_manifest_tmp_is_ignored(spark, store):
+    store.commit(_df(spark, 0, 10), mode="overwrite")
+    tmp = store._manifest_path(2) + ".tmp-deadbeef"
+    with open(tmp, "w") as fh:
+        fh.write('{"version": 2, "members"')  # truncated mid-write
+    assert store.versions() == [1]
+    assert store.latest_version() == 1
+
+
+def test_concurrent_commit_same_version_loses(spark, store):
+    store.commit(_df(spark, 0, 10), mode="overwrite")
+    doc = {"version": 2, "mode": "append", "members": [], "added": []}
+    store._publish(2, doc)
+    with pytest.raises(FileExistsError):
+        store._publish(2, doc)
+    # the losing writer's temp file did not survive
+    assert not glob.glob(store._manifest_path(2) + ".tmp-*")
+
+
+def test_vacuum_respects_retained_versions(spark, store):
+    store.commit(_df(spark, 0, 10), mode="overwrite")
+    store.commit(_df(spark, 10, 15), mode="append")
+    store.compact(spark)
+    # retain only v3: v1/v2's member dirs become unreachable
+    removed = store.vacuum(keep_versions=[3])
+    assert len(removed) == 2
+    assert _keys(spark, store, version=3) == list(range(15))
+
+
+def test_manifest_content_shape(spark, store):
+    store.commit(_df(spark, 0, 5), mode="overwrite")
+    store.commit(_df(spark, 5, 8), mode="append")
+    m2 = store.manifest(2)
+    assert m2["mode"] == "append"
+    assert len(m2["members"]) == 2 and len(m2["added"]) == 1
+    assert m2["added"][0] == m2["members"][-1]
+    raw = json.load(open(store._manifest_path(2)))
+    assert raw == m2
+
+
+def test_gated_queries_run_and_agree(spark, sf_dir):
+    tt = storage_time_travel(spark, sf_dir).collect()
+    assert [r.version for r in tt] == [1, 2, 3]
+    v1, v2, v3 = tt
+    # compaction is a logical no-op; append only adds
+    assert (v2.n_rows, v2.n_docs, v2.sum_chars) == (
+        v3.n_rows, v3.n_docs, v3.sum_chars
+    )
+    assert v1.n_rows < v2.n_rows
+    diff = storage_snapshot_diff(spark, sf_dir).collect()
+    assert sum(r.n_rows for r in diff) == v2.n_rows - v1.n_rows
