@@ -134,12 +134,108 @@ ORDER BY lang
 """
 
 
+def _merge_changes(docs: DataFrame) -> DataFrame:
+    """Deterministic changes batch over the documents corpus, one row per
+    op, ops disjoint by construction:
+
+    - DELETE  every ``doc_id % 7 == 0`` row;
+    - UPSERT (update) ``doc_id % 5 == 0`` rows not deleted: ``n_chars``
+      becomes ``n_chars + 1000``; every other column NULL, exercising
+      partial-update inheritance;
+    - UPSERT (insert) one new row per ``doc_id % 11 == 0`` source row at
+      key ``doc_id + 10_000_000`` (collision-free), ``lang='xx'``,
+      ``source='merge'``, ``n_chars = doc_id % 97``.
+    """
+    did = F.col("doc_id")
+    snull = F.lit(None).cast("string")
+    deletes = docs.where(did % 7 == 0).select(
+        "doc_id",
+        snull.alias("text"),
+        snull.alias("lang"),
+        snull.alias("source"),
+        F.lit(None).cast("bigint").alias("n_chars"),
+        F.lit("delete").alias("_op"),
+    )
+    updates = docs.where((did % 7 != 0) & (did % 5 == 0)).select(
+        "doc_id",
+        snull.alias("text"),
+        snull.alias("lang"),
+        snull.alias("source"),
+        (F.col("n_chars") + 1000).alias("n_chars"),
+        F.lit("upsert").alias("_op"),
+    )
+    inserts = docs.where(did % 11 == 0).select(
+        (did + 10_000_000).alias("doc_id"),
+        snull.alias("text"),
+        F.lit("xx").alias("lang"),
+        F.lit("merge").alias("source"),
+        (did % 97).alias("n_chars"),
+        F.lit("upsert").alias("_op"),
+    )
+    return deletes.unionAll(updates).unionAll(inserts)
+
+
+def _staged_merge_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
+    """Per-fixture merge demo store: v1 = full corpus, v2 = MERGE of the
+    deterministic changes batch. Fingerprint-gated like ``_staged_store``."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"mergestore_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(base, fprint):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        store = SnapshotStore(base)
+        docs = load_table(spark, sf_dir, "documents")
+        store.commit(docs, mode="overwrite")
+        store.merge(spark, _merge_changes(docs), keys=["doc_id"])
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
+        mark_derived_cache(base, fprint)
+    return SnapshotStore(base)
+
+
+def storage_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stats of the post-MERGE table: deletes gone, updated
+    rows carry ``+1000`` chars with their ORIGINAL language (the NULL
+    change column inherited it), inserted rows appear under ``lang='xx'``.
+    The oracle rebuilds the same end state from the raw source with pure
+    relational algebra — the merge path must be indistinguishable from
+    it. Pre-merge v1 stays readable (time travel over a mutable table);
+    ``tests/test_snapshots.py`` pins that and the row-level semantics."""
+    store = _staged_merge_store(spark, sf_dir)
+    return (
+        store.read(spark, 2)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+MERGE_UPSERT_SQL = """
+WITH merged AS (
+  SELECT doc_id, lang,
+         n_chars + CASE WHEN doc_id % 5 = 0 THEN 1000 ELSE 0 END AS n_chars
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'xx', doc_id % 97
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT lang, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM merged GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "storage_time_travel": storage_time_travel,
     "storage_snapshot_diff": storage_snapshot_diff,
+    "storage_merge_upsert": storage_merge_upsert,
 }
 
 ORACLES = {
     "storage_time_travel": TIME_TRAVEL_SQL,
     "storage_snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "storage_merge_upsert": MERGE_UPSERT_SQL,
 }

@@ -54,6 +54,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
@@ -154,6 +155,59 @@ class SnapshotStore:
              "compaction_of": prev},
         )
         return version
+
+    def merge(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        keys: list[str],
+        op_col: str = "_op",
+    ) -> int:
+        """MERGE: apply a changes batch (upserts + deletes) to the latest
+        version and publish the result as a new version — the lakehouse
+        verb that turns the append-only log into a mutable table WITHOUT
+        mutating any committed file.
+
+        ``changes`` carries the target schema plus ``op_col`` ∈
+        {'upsert', 'delete'}: an upsert row replaces the current row with
+        its key (or inserts if absent); a delete row removes it. Applied
+        as one full-outer join on ``keys`` — matched rows take the change
+        side, unmatched targets pass through, deletes drop. A NULL in an upsert
+        row's data column inherits the current value (partial-update
+        semantics via ``coalesce``).
+
+        Scale: this logical form shuffles the full table, which is what
+        engines fall back to when every file may hold matched keys. The
+        standard 100 TB refinement composes with the store's own
+        machinery: per-member key-range stats (``manifest_for`` in
+        ``plans/round7e_queries.py``) prune to the member files whose
+        [min,max] overlaps the change keys, only THOSE are rewritten, and
+        the new manifest = untouched members + rewritten members — merge
+        cost O(affected files + changes), not O(table). Time travel is
+        untouched either way: prior manifests keep naming the pre-merge
+        files."""
+        ops = (
+            changes.select(op_col).distinct().toPandas()[op_col].tolist()
+        )  # bounded: the op domain, ≤2 values
+        bad = set(ops) - {"upsert", "delete"}
+        if bad:
+            raise ValueError(f"unknown {op_col} values: {sorted(bad)}")
+        cur = self.read(spark)
+        data_cols = [c for c in cur.columns if c not in keys]
+        joined = cur.alias("t").join(
+            changes.alias("s"), on=keys, how="full_outer"
+        )
+        kept = joined.where(
+            F.col(f"s.{op_col}").isNull() | (F.col(f"s.{op_col}") != "delete")
+        )
+        out = kept.select(
+            *keys,
+            *[
+                F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+                for c in data_cols
+            ],
+        )
+        return self.commit(out, mode="overwrite")
 
     def vacuum(self, keep_versions: list[int] | None = None) -> list[str]:
         """Delete commit directories unreachable from every retained

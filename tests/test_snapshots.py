@@ -150,6 +150,52 @@ def test_manifest_content_shape(spark, store):
     assert raw == m2
 
 
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, _op string")
+
+
+def test_merge_upsert_insert_delete(spark, store):
+    base = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    store.commit(base, mode="overwrite")
+    v2 = store.merge(
+        spark,
+        _changes(
+            spark,
+            [(1, "B", "upsert"), (2, None, "delete"), (9, "z", "upsert")],
+        ),
+        keys=["k"],
+    )
+    got = {r.k: r.v for r in store.read(spark, v2).collect()}
+    assert got == {0: "a", 1: "B", 9: "z"}
+    # time travel: pre-merge version is untouched
+    pre = {r.k: r.v for r in store.read(spark, 1).collect()}
+    assert pre == {0: "a", 1: "b", 2: "c"}
+
+
+def test_merge_null_column_inherits_current_value(spark, store):
+    store.commit(
+        spark.createDataFrame([(1, "keep", 10)], "k long, v string, n long"),
+        mode="overwrite",
+    )
+    ch = spark.createDataFrame(
+        [(1, None, 99, "upsert")], "k long, v string, n long, _op string"
+    )
+    store.merge(spark, ch, keys=["k"])
+    row = store.read(spark).collect()[0]
+    assert (row.v, row.n) == ("keep", 99)  # NULL v inherited, n replaced
+
+
+def test_merge_rejects_unknown_op(spark, store):
+    store.commit(
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="unknown _op"):
+        store.merge(spark, _changes(spark, [(1, "b", "replace")]), keys=["k"])
+
+
 def test_gated_queries_run_and_agree(spark, sf_dir):
     tt = storage_time_travel(spark, sf_dir).collect()
     assert [r.version for r in tt] == [1, 2, 3]
