@@ -228,14 +228,90 @@ FROM merged GROUP BY lang ORDER BY lang
 """
 
 
+#: range-clustered appends for the pruned-read demo store
+_N_RANGE_COMMITS = 4
+
+
+def _staged_range_store(
+    spark: SparkSession, sf_dir: str
+) -> tuple[SnapshotStore, int]:
+    """Per-fixture store whose table arrived as ``_N_RANGE_COMMITS``
+    range-clustered appends (doc_id quartiles) committed WITH doc_id
+    stats — the shape a daily ingest naturally produces (each commit
+    covers a key span), which is exactly when manifest-stats pruning
+    pays. Returns the store and the fixture's max doc_id."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"rangestore_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # bounded scalar
+    if not derived_cache_ok(base, fprint):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        store = SnapshotStore(base)
+        step = (max_id + 1 + _N_RANGE_COMMITS - 1) // _N_RANGE_COMMITS
+        for k in range(_N_RANGE_COMMITS):
+            lo, hi = k * step, (k + 1) * step
+            store.commit(
+                docs.where(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ),
+                mode="append" if k else "overwrite",
+                stats_cols=["doc_id"],
+            )
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
+        mark_derived_cache(base, fprint)
+    return SnapshotStore(base), max_id
+
+
+def storage_snapshot_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language stats of the SECOND doc_id quartile, read through
+    manifest-stats pruning: of the four range-clustered commit members,
+    only the one whose [min, max] overlaps the slice is opened
+    (``tests/test_snapshots.py`` asserts the other three never appear in
+    the plan). The oracle filters the raw source with the same bounds —
+    pruning must be invisible to the result. At 100 TB with daily
+    appends this is the \"last week only\" read costing 7 commits, not
+    the table."""
+    store, max_id = _staged_range_store(spark, sf_dir)
+    step = (max_id + 1 + _N_RANGE_COMMITS - 1) // _N_RANGE_COMMITS
+    return (
+        store.read_where(spark, "doc_id", step, 2 * step)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+PRUNED_READ_SQL = f"""
+WITH b AS (
+  SELECT CAST((MAX(doc_id) + 1 + {_N_RANGE_COMMITS} - 1)
+              // {_N_RANGE_COMMITS} AS BIGINT) AS step
+  FROM documents
+)
+SELECT d.lang, COUNT(*) AS n_rows, CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+FROM documents d, b
+WHERE d.doc_id >= b.step AND d.doc_id < 2 * b.step
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 QUERIES = {
     "storage_time_travel": storage_time_travel,
     "storage_snapshot_diff": storage_snapshot_diff,
     "storage_merge_upsert": storage_merge_upsert,
+    "storage_snapshot_pruned_read": storage_snapshot_pruned_read,
 }
 
 ORACLES = {
     "storage_time_travel": TIME_TRAVEL_SQL,
     "storage_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "storage_merge_upsert": MERGE_UPSERT_SQL,
+    "storage_snapshot_pruned_read": PRUNED_READ_SQL,
 }

@@ -110,10 +110,24 @@ class SnapshotStore:
         finally:
             os.unlink(tmp)
 
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        stats_cols: list[str] | None = None,
+    ) -> int:
         """Write ``df`` as a new commit directory, publish the next
         version. ``mode='append'`` keeps prior members; ``'overwrite'``
-        starts the member list fresh (prior versions stay readable)."""
+        starts the member list fresh (prior versions stay readable).
+
+        ``stats_cols`` embeds per-member [min, max] for those columns in
+        the manifest — the metadata a ``read_where`` pruned read skips
+        with. Stats are computed by reading BACK the written files (one
+        column-pruned scan of just-written data: ground truth, not a
+        pre-write estimate that a non-deterministic upstream could
+        invalidate), and carried forward for retained members. Stats
+        columns must collect to JSON-representable values (numeric /
+        string); a real format would carry typed encodings."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         prev = self.latest_version()
@@ -121,17 +135,32 @@ class SnapshotStore:
         commit_dir = os.path.join(
             _DATA_DIR, f"c{version:08d}-{uuid.uuid4().hex[:8]}"
         )
-        df.write.parquet(os.path.join(self.base_dir, commit_dir))
-        members = [] if mode == "overwrite" or prev is None else list(
-            self.manifest(prev)["members"]
-        )
+        full_dir = os.path.join(self.base_dir, commit_dir)
+        df.write.parquet(full_dir)
+        keep_prev = mode == "append" and prev is not None
+        members = list(self.manifest(prev)["members"]) if keep_prev else []
+        stats = dict(self.manifest(prev).get("stats", {})) if keep_prev else {}
         members.append(commit_dir)
+        if stats_cols:
+            stats[commit_dir] = self._member_stats(
+                df.sparkSession, full_dir, stats_cols
+            )
         self._publish(
             version,
             {"version": version, "mode": mode, "members": members,
-             "added": [commit_dir]},
+             "added": [commit_dir], "stats": stats},
         )
         return version
+
+    @staticmethod
+    def _member_stats(
+        spark: SparkSession, full_dir: str, cols: list[str]
+    ) -> dict:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        row = spark.read.parquet(full_dir).agg(*aggs).collect()[0]
+        return {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in cols}
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Rewrite the CURRENT version's members into ``target_files``
@@ -245,6 +274,44 @@ class SnapshotStore:
         if v is None:
             raise ValueError("read() on an empty store")
         return spark.read.parquet(*self._member_paths(v))
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned time-travel read of rows with ``lo <= col < hi``:
+        members whose manifest [min, max] cannot overlap the range are
+        never opened (file-level skipping from pure metadata — the
+        planner-side move of ``orders_manifest_skipping``, served here by
+        the store itself with zero extra scan). Members without stats for
+        ``col`` are conservatively read. The exact predicate is still
+        applied after the read: pruning is a superset filter, correctness
+        never depends on it."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError("read_where() on an empty store")
+        doc = self.manifest(v)
+        stats = doc.get("stats", {})
+        keep, schema_donor = [], None
+        for m in doc["members"]:
+            schema_donor = schema_donor or m
+            s = stats.get(m, {}).get(col)
+            if s is None or (s[1] >= lo and s[0] < hi):
+                keep.append(m)
+        if not keep:  # provably empty — keep the schema, scan nothing
+            return (
+                spark.read.parquet(
+                    os.path.join(self.base_dir, schema_donor)
+                ).where(F.lit(False))
+            )
+        pruned = spark.read.parquet(
+            *[os.path.join(self.base_dir, m) for m in keep]
+        )
+        return pruned.where((F.col(col) >= lo) & (F.col(col) < hi))
 
     def diff(self, spark: SparkSession, v_from: int, v_to: int) -> DataFrame:
         """Rows in commit directories added in (v_from, v_to] — the

@@ -81,9 +81,9 @@ def test_diff_reads_only_added_commits(spark, store):
     store.commit(_df(spark, 15, 18), mode="append")
     d = store.diff(spark, 1, 3)
     assert sorted(r.k for r in d.collect()) == list(range(10, 18))
-    # the plan's read must not touch the v1 member directory
+    # the diff read must not open the v1 member directory
     v1_member = store.manifest(1)["members"][0]
-    assert v1_member not in d._jdf.queryExecution().toString()
+    assert v1_member not in "\n".join(d.inputFiles())
 
 
 def test_diff_refuses_non_append_ranges(spark, store):
@@ -194,6 +194,43 @@ def test_merge_rejects_unknown_op(spark, store):
     )
     with pytest.raises(ValueError, match="unknown _op"):
         store.merge(spark, _changes(spark, [(1, "b", "replace")]), keys=["k"])
+
+
+def test_read_where_prunes_by_manifest_stats(spark, store):
+    store.commit(_df(spark, 0, 100), mode="overwrite", stats_cols=["k"])
+    store.commit(_df(spark, 100, 200), mode="append", stats_cols=["k"])
+    store.commit(_df(spark, 200, 300), mode="append", stats_cols=["k"])
+    df = store.read_where(spark, "k", 120, 180)
+    assert sorted(r.k for r in df.collect()) == list(range(120, 180))
+    opened = "\n".join(df.inputFiles())
+    m1, m2, m3 = store.manifest(3)["members"]
+    assert m2 in opened  # the overlapping member is read...
+    assert m1 not in opened and m3 not in opened  # ...the others never open
+
+
+def test_read_where_no_overlap_is_empty_with_schema(spark, store):
+    store.commit(_df(spark, 0, 10), mode="overwrite", stats_cols=["k"])
+    df = store.read_where(spark, "k", 1000, 2000)
+    assert df.collect() == []
+    assert df.columns == ["k"]
+
+
+def test_read_where_without_stats_reads_conservatively(spark, store):
+    store.commit(_df(spark, 0, 10), mode="overwrite")  # no stats recorded
+    df = store.read_where(spark, "k", 5, 8)
+    assert sorted(r.k for r in df.collect()) == [5, 6, 7]
+
+
+def test_stats_survive_append_and_boundary_is_half_open(spark, store):
+    store.commit(_df(spark, 0, 50), mode="overwrite", stats_cols=["k"])
+    store.commit(_df(spark, 50, 60), mode="append", stats_cols=["k"])
+    m = store.manifest(2)
+    assert [m["stats"][mem]["k"] for mem in m["members"]] == [
+        [0, 49], [50, 59]
+    ]
+    # hi is exclusive: range ending exactly at a member's min skips it
+    df = store.read_where(spark, "k", 0, 50)
+    assert m["members"][1] not in "\n".join(df.inputFiles())
 
 
 def test_gated_queries_run_and_agree(spark, sf_dir):
