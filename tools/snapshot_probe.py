@@ -1,0 +1,125 @@
+"""Snapshot-store scale probe: measure the four claims the store's
+docstrings make, instead of asserting them.
+
+ 1. **Time travel is O(that version)**: reading v1 after N later appends
+    opens exactly v1's files — wall time and files-opened flat in N.
+ 2. **Latest-read is O(members)**: files opened grows with commit count
+    (the motivation for compaction), and one compact() collapses it.
+ 3. **diff is O(new data)**: files opened for diff(N-1, N) is constant.
+ 4. **Metadata stays metadata**: manifest bytes grow linearly in commit
+    count at ~100 B/commit (stats included) — KBs where the data is GBs;
+    the checkpoint move real formats make is only needed at ~10^4
+    commits.
+
+Writes SNAPSHOT_r{N}.json. Usage: python tools/snapshot_probe.py [round]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from big_data_assignment2_2025_spark.session import get_spark
+from big_data_assignment2_2025_spark.sources.snapshots import SnapshotStore
+
+ROWS_PER_COMMIT = 200_000
+N_APPENDS = 24
+
+
+def main() -> None:
+    round_no = sys.argv[1] if len(sys.argv) > 1 else "x"
+    spark = get_spark(app_name="snapshot_probe")
+    base = os.path.join(tempfile.gettempdir(), "snapprobe")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    store = SnapshotStore(base)
+
+    def batch(k: int):
+        lo = k * ROWS_PER_COMMIT
+        return (
+            spark.range(lo, lo + ROWS_PER_COMMIT, 1, 4)
+            .withColumnRenamed("id", "k")
+        )
+
+    t0 = time.time()
+    for k in range(N_APPENDS):
+        store.commit(
+            batch(k),
+            mode="append" if k else "overwrite",
+            stats_cols=["k"],
+        )
+    build_sec = round(time.time() - t0, 2)
+
+    def timed_count(df):
+        t = time.time()
+        n = df.count()
+        return n, round(time.time() - t, 3), len(df.inputFiles())
+
+    out: dict = {
+        "rows_per_commit": ROWS_PER_COMMIT,
+        "n_appends": N_APPENDS,
+        "build_sec": build_sec,
+    }
+
+    # 1. time travel flat in later history: v1 read opens only v1's files
+    n, sec, files = timed_count(store.read(spark, 1))
+    out["read_v1_after_appends"] = {"rows": n, "sec": sec, "files": files}
+    assert n == ROWS_PER_COMMIT
+
+    # 2. latest read opens every member; compaction collapses it
+    n, sec, files = timed_count(store.read(spark))
+    out["read_latest"] = {"rows": n, "sec": sec, "files": files}
+    vc = store.compact(spark, target_files=4)
+    n, sec, files_c = timed_count(store.read(spark, vc))
+    out["read_compacted"] = {"rows": n, "sec": sec, "files": files_c}
+    assert files_c < files and n == ROWS_PER_COMMIT * N_APPENDS
+
+    # 3. diff of the newest append is O(new data)
+    n, sec, files = timed_count(store.diff(spark, N_APPENDS - 1, N_APPENDS))
+    out["diff_last_append"] = {"rows": n, "sec": sec, "files": files}
+    assert n == ROWS_PER_COMMIT
+
+    # 3b. pruned read of one commit's key range opens ~1/N of the files
+    lo = (N_APPENDS // 2) * ROWS_PER_COMMIT
+    pruned = store.read_where(
+        spark, "k", lo, lo + ROWS_PER_COMMIT, version=N_APPENDS
+    )
+    n, sec, files = timed_count(pruned)
+    full_files = out["read_latest"]["files"]
+    out["pruned_read_one_range"] = {
+        "rows": n,
+        "sec": sec,
+        "files": files,
+        "files_full_scan": full_files,
+        "skip_ratio": round(1 - files / full_files, 3),
+    }
+    assert n == ROWS_PER_COMMIT
+
+    # 4. manifest growth: bytes per version
+    sizes = {
+        v: os.path.getsize(store._manifest_path(v))
+        for v in (1, N_APPENDS // 2, N_APPENDS)
+    }
+    out["manifest_bytes"] = {str(v): s for v, s in sizes.items()}
+    out["manifest_bytes_per_commit"] = round(
+        sizes[N_APPENDS] / N_APPENDS, 1
+    )
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"SNAPSHOT_r{round_no}.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out, indent=1))
+    shutil.rmtree(base)
+
+
+if __name__ == "__main__":
+    main()
