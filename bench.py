@@ -167,6 +167,10 @@ HEADLINE = [
     "embedding_semdedup",
     "docs_exact_substring_dedup",
     "docs_winnowing_dedup",
+    # round-8c: snapshot store — time travel, MERGE, stats-pruned read
+    "storage_time_travel",
+    "storage_merge_upsert",
+    "storage_snapshot_pruned_read",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

@@ -165,7 +165,12 @@ def cmd_delete(args) -> int:
     try:
         id_rows = [(int(d),) for d in args.doc_ids]
     except ValueError:
-        bad = [d for d in args.doc_ids if not d.lstrip("-").isdigit()]
+        bad = []
+        for d in args.doc_ids:
+            try:
+                int(d)
+            except ValueError:
+                bad.append(d)
         print(f"doc ids must be integers, got: {bad}", file=sys.stderr)
         return 2
     spark = _spark("cli-delete")

@@ -409,9 +409,12 @@ def semantic_dedup(
     cell-local aggregation. At 100 TB, write the corpus partitioned BY
     cell so the pair join is partition-local with no cross-cell traffic.
     """
+    # assignment feeds THREE consumers (both pair-join sides + the final
+    # left join); persist so the full-corpus argmax scan runs once, not
+    # per branch — same discipline as minhash_lsh_pairs above
     assigned = argmax_cell_assignment(
         corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
-    )
+    ).persist()
     a = assigned.select("cell", F.col("vid").alias("id1"), F.col("vid_vec").alias("v1"))
     b = assigned.select("cell", F.col("vid").alias("id2"), F.col("vid_vec").alias("v2"))
     dup_counts = (
@@ -423,7 +426,7 @@ def semantic_dedup(
         .groupBy("cell", F.col("id2").alias("vid"))
         .agg(F.count("*").alias("n_dup_lower"))
     )
-    return (
+    result = (
         assigned.select("cell", "vid")
         .join(dup_counts, ["cell", "vid"], "left")
         .select(
@@ -432,4 +435,10 @@ def semantic_dedup(
             F.coalesce("n_dup_lower", F.lit(0)).cast("long").alias("n_dup_lower"),
             F.when(F.col("n_dup_lower").isNull(), 1).otherwise(0).alias("kept"),
         )
+        .persist()
     )
+    # materialize the (narrow, vector-free) verdict rows now so the
+    # embedding-carrying assignment cache can be released before returning
+    result.count()
+    assigned.unpersist()
+    return result

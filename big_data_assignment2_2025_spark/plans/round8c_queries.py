@@ -243,12 +243,12 @@ def _staged_range_store(
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     base = os.path.join(tempfile.gettempdir(), f"rangestore_{tag}")
     fprint = fixture_fingerprint(sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # bounded scalar
     if not derived_cache_ok(base, fprint):
         if os.path.exists(base):
             shutil.rmtree(base)
         store = SnapshotStore(base)
+        docs = load_table(spark, sf_dir, "documents")
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # bounded scalar
         step = (max_id + 1 + _N_RANGE_COMMITS - 1) // _N_RANGE_COMMITS
         for k in range(_N_RANGE_COMMITS):
             lo, hi = k * step, (k + 1) * step
@@ -262,7 +262,16 @@ def _staged_range_store(
         with open(os.path.join(base, "_SUCCESS"), "w"):
             pass
         mark_derived_cache(base, fprint)
-    return SnapshotStore(base), max_id
+    store = SnapshotStore(base)
+    # cache hit costs zero table scans: the fixture's max doc_id is already
+    # in the manifest as the members' doc_id [min,max] stats
+    stats = store.manifest(store.latest_version()).get("stats", {})
+    max_id = max(
+        s["doc_id"][1]
+        for s in stats.values()
+        if s.get("doc_id") and s["doc_id"][1] is not None
+    )
+    return store, max_id
 
 
 def storage_snapshot_pruned_read(

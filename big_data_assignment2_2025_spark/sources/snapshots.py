@@ -221,6 +221,23 @@ class SnapshotStore:
         bad = set(ops) - {"upsert", "delete"}
         if bad:
             raise ValueError(f"unknown {op_col} values: {sorted(bad)}")
+        # a key appearing twice in the batch would match one target row
+        # against BOTH change rows in the full-outer join, silently
+        # duplicating it — the same condition real MERGE implementations
+        # reject. One bounded probe: the first offending key, if any.
+        dup = (
+            changes.groupBy(*keys)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key_vals = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"changes batch has multiple rows for key {key_vals}; "
+                "MERGE requires at most one change row per key"
+            )
         cur = self.read(spark)
         data_cols = [c for c in cur.columns if c not in keys]
         joined = cur.alias("t").join(
@@ -241,12 +258,29 @@ class SnapshotStore:
     def vacuum(self, keep_versions: list[int] | None = None) -> list[str]:
         """Delete commit directories unreachable from every retained
         manifest (default: retain all — vacuum only removes orphans left
-        by crashed writers). Returns the removed directories."""
+        by crashed writers). Returns the removed directories.
+
+        Non-retained MANIFESTS are deleted first: a manifest surviving
+        its data would leave ``latest_version()`` pointing at an
+        unreadable version, and the next append would copy its dead
+        member list forward — permanently. The latest version must be
+        retained (dropping the table's current state is a different
+        operation than garbage collection)."""
         import shutil
 
-        keep = set(self.versions()) if keep_versions is None else set(
-            keep_versions
-        )
+        all_versions = set(self.versions())
+        keep = all_versions if keep_versions is None else set(keep_versions)
+        missing = keep - all_versions
+        if missing:
+            raise ValueError(f"unknown versions: {sorted(missing)}")
+        latest = self.latest_version()
+        if latest is not None and latest not in keep:
+            raise ValueError(
+                f"latest version v{latest} must be retained; overwrite or "
+                "merge first if the current state should go away"
+            )
+        for v in sorted(all_versions - keep):
+            os.unlink(self._manifest_path(v))
         reachable: set[str] = set()
         for v in keep:
             reachable.update(self.manifest(v)["members"])
@@ -300,7 +334,11 @@ class SnapshotStore:
         for m in doc["members"]:
             schema_donor = schema_donor or m
             s = stats.get(m, {}).get(col)
-            if s is None or (s[1] >= lo and s[0] < hi):
+            # null bounds (empty member, or an all-NULL stats column) carry
+            # no pruning information — read conservatively, like no stats
+            if s is None or s[0] is None or s[1] is None or (
+                s[1] >= lo and s[0] < hi
+            ):
                 keep.append(m)
         if not keep:  # provably empty — keep the schema, scan nothing
             return (

@@ -11,6 +11,8 @@ import uuid
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from big_data_assignment2_2025_spark.plans.round8c_queries import (
     storage_snapshot_diff,
     storage_time_travel,
@@ -137,6 +139,43 @@ def test_vacuum_respects_retained_versions(spark, store):
     removed = store.vacuum(keep_versions=[3])
     assert len(removed) == 2
     assert _keys(spark, store, version=3) == list(range(15))
+    # the non-retained manifests went with their data: no dangling
+    # versions for latest_version()/diff() to trip over, and the next
+    # append starts from a fully readable member list
+    assert store.versions() == [3]
+    store.commit(_df(spark, 100, 102), mode="append")
+    assert _keys(spark, store) == list(range(15)) + [100, 101]
+
+
+def test_vacuum_refuses_to_drop_latest(spark, store):
+    store.commit(_df(spark, 0, 10), mode="overwrite")
+    store.commit(_df(spark, 10, 15), mode="append")
+    with pytest.raises(ValueError, match="must be retained"):
+        store.vacuum(keep_versions=[1])
+    with pytest.raises(ValueError, match="unknown versions"):
+        store.vacuum(keep_versions=[2, 9])
+
+
+def test_merge_rejects_duplicate_change_keys(spark, store):
+    store.commit(_df(spark, 0, 3), mode="overwrite")
+    dup = _changes(spark, [(1, "A", "upsert"), (1, "B", "upsert")])
+    with pytest.raises(ValueError, match="multiple rows for key"):
+        store.merge(spark, dup, keys=["k"])
+    assert store.versions() == [1]  # nothing was committed
+
+
+def test_read_where_null_stats_read_conservatively(spark, store):
+    store.commit(_df(spark, 0, 10), mode="overwrite", stats_cols=["k"])
+    # an empty append records [null, null] stats — no pruning info
+    store.commit(
+        _df(spark, 0, 10).where(F.lit(False)), mode="append",
+        stats_cols=["k"],
+    )
+    assert store.manifest(2)["stats"][
+        store.manifest(2)["members"][1]
+    ]["k"] == [None, None]
+    df = store.read_where(spark, "k", 3, 6)  # must not raise
+    assert sorted(r.k for r in df.collect()) == [3, 4, 5]
 
 
 def test_manifest_content_shape(spark, store):

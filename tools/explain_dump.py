@@ -678,6 +678,26 @@ COMMENTARY = {
         "caught — pick this when recall must be certain, the anchor gate "
         "when shuffle volume must be minimal."
     ),
+    "storage_merge_upsert": (
+        "Snapshot-store MERGE (round 8c). One `SortMergeJoin FullOuter` on "
+        "the key is the entire mutation: change rows replace matched "
+        "targets via `coalesce` projections, deletes drop in the post-join "
+        "filter, unmatched targets stream through. This is the documented "
+        "logical-form fallback — O(table) shuffle once, no per-row "
+        "round-trips; the O(affected-files) refinement (manifest key-range "
+        "pruning + member rewrite) composes from read_where's machinery. "
+        "The read side opens exactly the files the version manifest names."
+    ),
+    "storage_snapshot_pruned_read": (
+        "Manifest-stats pruned read (round 8c). The plan scans ONE of the "
+        "four range-clustered commit directories — member selection "
+        "happened in metadata before the reader was even constructed, so "
+        "the FileScan's file list IS the prune result (compare "
+        "`orders_manifest_skipping`, which derives the same effect from a "
+        "stats side-scan; here the stats ride in the commit manifest for "
+        "free). The residual range predicate still pushes into the scan: "
+        "pruning is a superset filter, row-group skipping finishes the job."
+    ),
 }
 
 

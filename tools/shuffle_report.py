@@ -174,6 +174,14 @@ QUERIES_TO_PROFILE = [
     "embedding_semdedup",
     "docs_exact_substring_dedup",
     "docs_winnowing_dedup",
+    # round 8c: snapshot store — time travel (expect three independent
+    # scans + scalar aggs, zero data-sized exchange beyond the version
+    # reads), MERGE (expect ONE key-keyed full-outer exchange — the
+    # documented logical-form fallback), and the stats-pruned read
+    # (expect scan_rows ~ 1/4 of the table: one member dir opened)
+    "storage_time_travel",
+    "storage_merge_upsert",
+    "storage_snapshot_pruned_read",
 ]
 
 
