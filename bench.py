@@ -167,10 +167,12 @@ HEADLINE = [
     "embedding_semdedup",
     "docs_exact_substring_dedup",
     "docs_winnowing_dedup",
-    # round-8c: snapshot store — time travel, MERGE, stats-pruned read
+    # round-8c: snapshot store — time travel, MERGE, stats-pruned read,
+    # file-pruned MERGE
     "storage_time_travel",
     "storage_merge_upsert",
     "storage_snapshot_pruned_read",
+    "storage_merge_pruned",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

@@ -311,11 +311,124 @@ GROUP BY d.lang ORDER BY d.lang
 """
 
 
+def _staged_pruned_merge_store(
+    spark: SparkSession, sf_dir: str
+) -> SnapshotStore:
+    """Per-fixture PRUNED-merge demo: the documents corpus committed as
+    ``_N_RANGE_COMMITS`` range-clustered appends with doc_id stats (same
+    layout as ``_staged_range_store``, separate directory so the two
+    demos cannot disturb each other's versions), then one
+    ``merge(prune=True)`` whose change keys all live in the SECOND
+    quartile — so exactly one of the four members is rewritten; the
+    other three are carried into the merged manifest verbatim, never
+    read. Changes: delete ``doc_id % 3 == 0`` in the quartile, add 500
+    chars to the rest of the quartile (lang inherited through the NULL
+    column), insert one ``lang='yy'`` row per ``doc_id % 13 == 0``
+    source row at ``doc_id + 20_000_000``."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"prunemerge_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(base, fprint):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        store = SnapshotStore(base)
+        docs = load_table(spark, sf_dir, "documents")
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        step = (max_id + 1 + _N_RANGE_COMMITS - 1) // _N_RANGE_COMMITS
+        for k in range(_N_RANGE_COMMITS):
+            store.commit(
+                docs.where(
+                    (F.col("doc_id") >= k * step)
+                    & (F.col("doc_id") < (k + 1) * step)
+                ),
+                mode="append" if k else "overwrite",
+                stats_cols=["doc_id"],
+            )
+        did = F.col("doc_id")
+        in_q2 = (did >= step) & (did < 2 * step)
+        snull = F.lit(None).cast("string")
+        deletes = docs.where(in_q2 & (did % 3 == 0)).select(
+            "doc_id", snull.alias("text"), snull.alias("lang"),
+            snull.alias("source"),
+            F.lit(None).cast("bigint").alias("n_chars"),
+            F.lit("delete").alias("_op"),
+        )
+        updates = docs.where(in_q2 & (did % 3 != 0)).select(
+            "doc_id", snull.alias("text"), snull.alias("lang"),
+            snull.alias("source"),
+            (F.col("n_chars") + 500).alias("n_chars"),
+            F.lit("upsert").alias("_op"),
+        )
+        inserts = docs.where(did % 13 == 0).select(
+            (did + 20_000_000).alias("doc_id"), snull.alias("text"),
+            F.lit("yy").alias("lang"), F.lit("merge2").alias("source"),
+            (did % 89).alias("n_chars"),
+            F.lit("upsert").alias("_op"),
+        )
+        store.merge(
+            spark,
+            deletes.unionAll(updates).unionAll(inserts),
+            keys=["doc_id"],
+            prune=True,
+        )
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
+        mark_derived_cache(base, fprint)
+    return SnapshotStore(base)
+
+
+def storage_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stats of the table after a FILE-PRUNED merge: three
+    of the four range-clustered members were carried into the merged
+    manifest without being read or rewritten (``tests/test_snapshots.py``
+    pins that member accounting; the staged manifest's ``rewrote`` field
+    records it), yet the end state must be indistinguishable from the
+    oracle's full relational rebuild — pruning is an access-path
+    optimization, never a semantic one. This is the O(affected files +
+    changes) merge a 100 TB key-clustered table needs: the overlap
+    probe is one bounded aggregate over the change keys, the join reads
+    one member, and time travel still serves every pre-merge version."""
+    store = _staged_pruned_merge_store(spark, sf_dir)
+    return (
+        store.read(spark)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+MERGE_PRUNED_SQL = f"""
+WITH b AS (
+  SELECT CAST((MAX(doc_id) + 1 + {_N_RANGE_COMMITS} - 1)
+              // {_N_RANGE_COMMITS} AS BIGINT) AS step
+  FROM documents
+),
+merged AS (
+  SELECT d.doc_id, d.lang,
+         d.n_chars + CASE WHEN d.doc_id >= b.step AND d.doc_id < 2 * b.step
+                               AND d.doc_id % 3 <> 0
+                          THEN 500 ELSE 0 END AS n_chars
+  FROM documents d, b
+  WHERE NOT (d.doc_id >= b.step AND d.doc_id < 2 * b.step
+             AND d.doc_id % 3 = 0)
+  UNION ALL
+  SELECT doc_id + 20000000, 'yy', doc_id % 89
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT lang, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM merged GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "storage_time_travel": storage_time_travel,
     "storage_snapshot_diff": storage_snapshot_diff,
     "storage_merge_upsert": storage_merge_upsert,
     "storage_snapshot_pruned_read": storage_snapshot_pruned_read,
+    "storage_merge_pruned": storage_merge_pruned,
 }
 
 ORACLES = {
@@ -323,4 +436,5 @@ ORACLES = {
     "storage_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "storage_merge_upsert": MERGE_UPSERT_SQL,
     "storage_snapshot_pruned_read": PRUNED_READ_SQL,
+    "storage_merge_pruned": MERGE_PRUNED_SQL,
 }

@@ -191,6 +191,7 @@ class SnapshotStore:
         changes: DataFrame,
         keys: list[str],
         op_col: str = "_op",
+        prune: bool = False,
     ) -> int:
         """MERGE: apply a changes batch (upserts + deletes) to the latest
         version and publish the result as a new version — the lakehouse
@@ -201,20 +202,24 @@ class SnapshotStore:
         {'upsert', 'delete'}: an upsert row replaces the current row with
         its key (or inserts if absent); a delete row removes it. Applied
         as one full-outer join on ``keys`` — matched rows take the change
-        side, unmatched targets pass through, deletes drop. A NULL in an upsert
-        row's data column inherits the current value (partial-update
-        semantics via ``coalesce``).
+        side, unmatched targets pass through, deletes drop. A NULL in an
+        upsert row's data column inherits the current value
+        (partial-update semantics via ``coalesce``).
 
-        Scale: this logical form shuffles the full table, which is what
-        engines fall back to when every file may hold matched keys. The
-        standard 100 TB refinement composes with the store's own
-        machinery: per-member key-range stats (``manifest_for`` in
-        ``plans/round7e_queries.py``) prune to the member files whose
-        [min,max] overlaps the change keys, only THOSE are rewritten, and
-        the new manifest = untouched members + rewritten members — merge
-        cost O(affected files + changes), not O(table). Time travel is
-        untouched either way: prior manifests keep naming the pre-merge
-        files."""
+        ``prune=False`` (the logical form) joins against the FULL table:
+        O(table) shuffle, the fallback engines use when every file may
+        hold matched keys. ``prune=True`` is the 100 TB form: members of
+        the current version whose manifest [min, max] on ``keys[0]``
+        cannot contain any change key are carried into the new manifest
+        UNTOUCHED — never read, never rewritten — and the join runs only
+        over the affected members plus the changes. Merge cost becomes
+        O(affected files + changes); for key-clustered tables (ingest by
+        id range or by day) that is typically one or two members out of
+        hundreds. Requires single-column keys with recorded stats; member
+        sets without usable stats degrade per-member to "affected"
+        (correctness never depends on pruning), and a fully stat-less
+        version falls back to the logical form. Time travel is untouched
+        either way: prior manifests keep naming the pre-merge files."""
         ops = (
             changes.select(op_col).distinct().toPandas()[op_col].tolist()
         )  # bounded: the op domain, ≤2 values
@@ -238,7 +243,26 @@ class SnapshotStore:
                 f"changes batch has multiple rows for key {key_vals}; "
                 "MERGE requires at most one change row per key"
             )
-        cur = self.read(spark)
+        prev = self.latest_version()
+        if prev is None:
+            raise ValueError("merge() on an empty store")
+        doc = self.manifest(prev)
+        if prune and len(keys) == 1:
+            split = self._split_affected(
+                spark, doc, changes, keys[0]
+            )
+            if split is not None:
+                return self._merge_pruned(
+                    spark, doc, changes, keys, op_col, *split
+                )
+        cur = self.read(spark, prev)
+        out = self._apply_changes(cur, changes, keys, op_col)
+        return self.commit(out, mode="overwrite")
+
+    @staticmethod
+    def _apply_changes(
+        cur: DataFrame, changes: DataFrame, keys: list[str], op_col: str
+    ) -> DataFrame:
         data_cols = [c for c in cur.columns if c not in keys]
         joined = cur.alias("t").join(
             changes.alias("s"), on=keys, how="full_outer"
@@ -246,14 +270,86 @@ class SnapshotStore:
         kept = joined.where(
             F.col(f"s.{op_col}").isNull() | (F.col(f"s.{op_col}") != "delete")
         )
-        out = kept.select(
+        return kept.select(
             *keys,
             *[
                 F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
                 for c in data_cols
             ],
         )
-        return self.commit(out, mode="overwrite")
+
+    def _split_affected(
+        self, spark: SparkSession, doc: dict, changes: DataFrame, key: str
+    ) -> tuple[list[str], list[str]] | None:
+        """(affected, untouched) member split for a pruned merge, or None
+        when no member has usable stats (caller falls back to the logical
+        form). The overlap probe is ONE bounded aggregate over the change
+        keys — one 0/1 cell per ranged member, rows never leave the
+        executors unaggregated."""
+        stats = doc.get("stats", {})
+        ranged, affected = [], []
+        for m in doc["members"]:
+            s = stats.get(m, {}).get(key)
+            if s is None or s[0] is None or s[1] is None:
+                affected.append(m)  # no information — must be read
+            else:
+                ranged.append((m, s[0], s[1]))
+        if not ranged:
+            return None
+        probes = [
+            F.max(
+                F.when(F.col(key).between(lo, hi), 1).otherwise(0)
+            ).alias(f"m{i}")
+            for i, (_, lo, hi) in enumerate(ranged)
+        ]
+        row = changes.agg(*probes).collect()[0]
+        untouched = []
+        for i, (m, _, _) in enumerate(ranged):
+            (affected if row[f"m{i}"] == 1 else untouched).append(m)
+        return affected, untouched
+
+    def _merge_pruned(
+        self,
+        spark: SparkSession,
+        doc: dict,
+        changes: DataFrame,
+        keys: list[str],
+        op_col: str,
+        affected: list[str],
+        untouched: list[str],
+    ) -> int:
+        prev = doc["version"]
+        if affected:
+            cur = spark.read.parquet(
+                *[os.path.join(self.base_dir, m) for m in affected]
+            )
+        else:  # pure insert / no-op batch: empty target, schema preserved
+            cur = spark.read.parquet(
+                os.path.join(self.base_dir, doc["members"][0])
+            ).where(F.lit(False))
+        out = self._apply_changes(cur, changes, keys, op_col)
+        version = prev + 1
+        commit_dir = os.path.join(
+            _DATA_DIR, f"c{version:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        full_dir = os.path.join(self.base_dir, commit_dir)
+        out.write.parquet(full_dir)
+        prev_stats = doc.get("stats", {})
+        stats = {m: prev_stats[m] for m in untouched if m in prev_stats}
+        # keep pruning alive across merges: re-stat the rewritten member
+        # on every column the prior manifest tracked anywhere
+        stat_cols = sorted({c for s in prev_stats.values() for c in s})
+        if stat_cols:
+            stats[commit_dir] = self._member_stats(
+                spark, full_dir, stat_cols
+            )
+        self._publish(
+            version,
+            {"version": version, "mode": "merge",
+             "members": untouched + [commit_dir], "added": [commit_dir],
+             "stats": stats, "rewrote": affected},
+        )
+        return version
 
     def vacuum(self, keep_versions: list[int] | None = None) -> list[str]:
         """Delete commit directories unreachable from every retained

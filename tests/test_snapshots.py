@@ -14,6 +14,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from big_data_assignment2_2025_spark.plans.round8c_queries import (
+    _N_RANGE_COMMITS,
+    _staged_pruned_merge_store,
     storage_snapshot_diff,
     storage_time_travel,
 )
@@ -164,6 +166,112 @@ def test_merge_rejects_duplicate_change_keys(spark, store):
     assert store.versions() == [1]  # nothing was committed
 
 
+def _range_committed(spark, base):
+    """Three range-clustered commits with k stats: [0,100), [100,200),
+    [200,300)."""
+    s = SnapshotStore(base)
+    for k in range(3):
+        s.commit(
+            _df(spark, 100 * k, 100 * (k + 1)).withColumn(
+                "v", F.col("k").cast("string")
+            ),
+            mode="append" if k else "overwrite",
+            stats_cols=["k"],
+        )
+    return s
+
+
+def test_pruned_merge_equals_logical_merge(spark, tmp_path):
+    ch_rows = [
+        (150, "U", "upsert"),   # update inside member 2
+        (160, None, "delete"),  # delete inside member 2
+        (999, "I", "upsert"),   # insert outside every range
+    ]
+    results = []
+    for mode, prune in (("log", False), ("pru", True)):
+        s = _range_committed(spark, str(tmp_path / mode))
+        s.merge(spark, _changes(spark, ch_rows), keys=["k"], prune=prune)
+        results.append(
+            sorted((r.k, r.v) for r in s.read(spark).collect())
+        )
+    assert results[0] == results[1]
+    assert (150, "U") in results[1] and (999, "I") in results[1]
+    assert all(k != 160 for k, _ in results[1])
+
+
+def test_pruned_merge_rewrites_only_affected_members(spark, tmp_path):
+    s = _range_committed(spark, str(tmp_path / "s"))
+    old_members = s.manifest(3)["members"]
+    s.merge(
+        spark,
+        _changes(spark, [(150, "U", "upsert")]),
+        keys=["k"],
+        prune=True,
+    )
+    m = s.manifest(4)
+    assert m["mode"] == "merge"
+    # members 1 and 3 carried over verbatim; only member 2 was rewritten
+    assert old_members[0] in m["members"] and old_members[2] in m["members"]
+    assert m["rewrote"] == [old_members[1]]
+    assert old_members[1] not in m["members"]
+    # their stats survived, the new member got fresh ones
+    assert set(m["stats"]) == {
+        old_members[0], old_members[2], m["added"][0]
+    }
+    # and the untouched rows are still all there
+    assert sorted(r.k for r in s.read(spark).collect()) == sorted(
+        set(range(300)) | {150}
+    )
+
+
+def test_pruned_merge_pure_insert_touches_nothing(spark, tmp_path):
+    s = _range_committed(spark, str(tmp_path / "s"))
+    old_members = s.manifest(3)["members"]
+    s.merge(
+        spark,
+        _changes(spark, [(999, "I", "upsert")]),
+        keys=["k"],
+        prune=True,
+    )
+    m = s.manifest(4)
+    assert m["rewrote"] == []
+    assert m["members"][:3] == old_members
+    assert sorted(r.k for r in s.read(spark).collect()) == (
+        list(range(300)) + [999]
+    )
+
+
+def test_pruned_merge_falls_back_without_stats(spark, store):
+    store.commit(
+        _df(spark, 0, 10).withColumn("v", F.col("k").cast("string")),
+        mode="overwrite",  # no stats recorded
+    )
+    store.merge(
+        spark,
+        _changes(spark, [(5, "X", "upsert")]),
+        keys=["k"],
+        prune=True,
+    )
+    assert store.manifest(2)["mode"] == "overwrite"  # logical path ran
+    assert dict(
+        (r.k, r.v) for r in store.read(spark).collect()
+    )[5] == "X"
+
+
+def test_read_where_still_prunes_after_pruned_merge(spark, tmp_path):
+    s = _range_committed(spark, str(tmp_path / "s"))
+    s.merge(
+        spark,
+        _changes(spark, [(150, "U", "upsert")]),
+        keys=["k"],
+        prune=True,
+    )
+    df = s.read_where(spark, "k", 0, 100)
+    assert sorted(r.k for r in df.collect()) == list(range(100))
+    opened = "\n".join(df.inputFiles())
+    assert s.manifest(4)["added"][0] not in opened
+
+
 def test_read_where_null_stats_read_conservatively(spark, store):
     store.commit(_df(spark, 0, 10), mode="overwrite", stats_cols=["k"])
     # an empty append records [null, null] stats — no pruning info
@@ -283,3 +391,14 @@ def test_gated_queries_run_and_agree(spark, sf_dir):
     assert v1.n_rows < v2.n_rows
     diff = storage_snapshot_diff(spark, sf_dir).collect()
     assert sum(r.n_rows for r in diff) == v2.n_rows - v1.n_rows
+
+
+def test_staged_pruned_merge_rewrote_exactly_one_member(spark, sf_dir):
+    store = _staged_pruned_merge_store(spark, sf_dir)
+    m = store.manifest(store.latest_version())
+    assert m["mode"] == "merge"
+    # change keys live in one doc_id quartile: of the four range commits,
+    # one was rewritten and three carried over untouched
+    assert len(m["rewrote"]) == 1
+    assert len(m["members"]) == _N_RANGE_COMMITS
+    assert len(m["stats"]) == _N_RANGE_COMMITS

@@ -698,6 +698,17 @@ COMMENTARY = {
         "free). The residual range predicate still pushes into the scan: "
         "pruning is a superset filter, row-group skipping finishes the job."
     ),
+    "storage_merge_pruned": (
+        "File-pruned MERGE (round 8c). The read is the merged table: "
+        "three of the four range-clustered members appear UNMODIFIED in "
+        "the scan's file list (carried into the merged manifest without "
+        "ever being read at merge time) plus the one rewritten member "
+        "that absorbed the quartile's deletes/updates and the inserts. "
+        "The merge itself joined change rows against ONE member — the "
+        "overlap probe was a single bounded aggregate over the change "
+        "keys — so merge cost is O(affected files + changes), the form "
+        "that makes daily upserts viable on a 100 TB key-clustered table."
+    ),
 }
 
 

@@ -182,6 +182,9 @@ QUERIES_TO_PROFILE = [
     "storage_time_travel",
     "storage_merge_upsert",
     "storage_snapshot_pruned_read",
+    # file-pruned MERGE: expect the read side bounded by ONE member dir
+    # (scan_rows ~ table/4 + changes), three members never opened
+    "storage_merge_pruned",
 ]
 
 
