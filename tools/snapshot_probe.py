@@ -10,6 +10,10 @@ docstrings make, instead of asserting them.
     count at ~100 B/commit (stats included) — KBs where the data is GBs;
     the checkpoint move real formats make is only needed at ~10^4
     commits.
+ 5. **Pruned MERGE is O(affected files + changes)**: the same one-member
+    change batch merged with prune=True vs prune=False — the pruned form
+    rewrites 1 of N members and never reads the rest, the logical form
+    full-outer-joins the whole table.
 
 Writes SNAPSHOT_r{N}.json. Usage: python tools/snapshot_probe.py [round]
 """
@@ -24,6 +28,8 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
 
 from big_data_assignment2_2025_spark.session import get_spark
 from big_data_assignment2_2025_spark.sources.snapshots import SnapshotStore
@@ -100,6 +106,51 @@ def main() -> None:
         "skip_ratio": round(1 - files / full_files, 3),
     }
     assert n == ROWS_PER_COMMIT
+
+    # 5. pruned vs logical MERGE of a one-member change batch, run on two
+    # fresh equal stores (the main store was compacted above, which
+    # deliberately drops the range clustering pruning needs)
+    merge_out = {}
+    for label, prune in (("logical", False), ("pruned", True)):
+        mbase = os.path.join(tempfile.gettempdir(), f"snapprobe_m_{label}")
+        if os.path.exists(mbase):
+            shutil.rmtree(mbase)
+        ms = SnapshotStore(mbase)
+        for k in range(N_APPENDS):
+            ms.commit(
+                batch(k),
+                mode="append" if k else "overwrite",
+                stats_cols=["k"],
+            )
+        lo = (N_APPENDS // 2) * ROWS_PER_COMMIT
+        changes = (
+            batch(N_APPENDS // 2)
+            .where(F.col("k") < lo + 1000)
+            .select(
+                "k",
+                F.when(F.col("k") % 2 == 0, F.lit("upsert"))
+                .otherwise(F.lit("delete"))
+                .alias("_op"),
+            )
+        )
+        t = time.time()
+        v = ms.merge(spark, changes, keys=["k"], prune=prune)
+        sec = round(time.time() - t, 3)
+        doc = ms.manifest(v)
+        merge_out[label] = {
+            "sec": sec,
+            "mode": doc["mode"],
+            "n_members_after": len(doc["members"]),
+            "rewrote": len(doc.get("rewrote", doc["members"])),
+            "rows_after": ms.read(spark, v).count(),
+        }
+        shutil.rmtree(mbase)
+    assert merge_out["pruned"]["rewrote"] == 1
+    assert (
+        merge_out["pruned"]["rows_after"]
+        == merge_out["logical"]["rows_after"]
+    )
+    out["merge_one_member_batch"] = merge_out
 
     # 4. manifest growth: bytes per version
     sizes = {
