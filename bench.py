@@ -173,6 +173,8 @@ HEADLINE = [
     "storage_merge_upsert",
     "storage_snapshot_pruned_read",
     "storage_merge_pruned",
+    # round-8c: SymSpell deletion-blocked "did you mean"
+    "search_spell_suggest",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

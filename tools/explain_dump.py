@@ -709,6 +709,17 @@ COMMENTARY = {
         "keys — so merge cost is O(affected files + changes), the form "
         "that makes daily upserts viable on a 100 TB key-clustered table."
     ),
+    "search_spell_suggest": (
+        "SymSpell deletion-blocked \"did you mean\" (round 8c). The "
+        "deletion variants fold into the scan projection (explode of a "
+        "transform over sequence — no shuffle to build them); the only "
+        "data-sized exchanges are the vocabulary aggregate and the "
+        "variant equi-join, whose probe count is deletion-neighborhood "
+        "collisions (~L+1 variants/term), not the |vocab| x |queries| "
+        "levenshtein cross the oracle uses to prove completeness for "
+        "edit distance <= 1. The tiny query side broadcasts; top-3 is a "
+        "partitioned row_number, never a global sort."
+    ),
 }
 
 

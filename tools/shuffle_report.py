@@ -185,6 +185,10 @@ QUERIES_TO_PROFILE = [
     # file-pruned MERGE: expect the read side bounded by ONE member dir
     # (scan_rows ~ table/4 + changes), three members never opened
     "storage_merge_pruned",
+    # SymSpell suggestion: expect the variant equi-join to move
+    # O(vocab x (L+1)) variant rows, never a |vocab| x |queries|
+    # levenshtein cross (the oracle runs that cross to prove parity)
+    "search_spell_suggest",
 ]
 
 
