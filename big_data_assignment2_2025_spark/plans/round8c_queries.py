@@ -233,6 +233,27 @@ FROM merged GROUP BY lang ORDER BY lang
 _N_RANGE_COMMITS = 4
 
 
+def _commit_range_clustered(
+    spark: SparkSession, store: SnapshotStore, docs: DataFrame
+) -> int:
+    """Commit ``docs`` as ``_N_RANGE_COMMITS`` doc_id-quartile appends
+    with doc_id stats — the shared staging of both pruning demos (one
+    helper so the clustering scheme cannot silently diverge between
+    them). Returns the quartile step."""
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # bounded scalar
+    step = (max_id + 1 + _N_RANGE_COMMITS - 1) // _N_RANGE_COMMITS
+    for k in range(_N_RANGE_COMMITS):
+        store.commit(
+            docs.where(
+                (F.col("doc_id") >= k * step)
+                & (F.col("doc_id") < (k + 1) * step)
+            ),
+            mode="append" if k else "overwrite",
+            stats_cols=["doc_id"],
+        )
+    return step
+
+
 def _staged_range_store(
     spark: SparkSession, sf_dir: str
 ) -> tuple[SnapshotStore, int]:
@@ -248,18 +269,9 @@ def _staged_range_store(
         if os.path.exists(base):
             shutil.rmtree(base)
         store = SnapshotStore(base)
-        docs = load_table(spark, sf_dir, "documents")
-        max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # bounded scalar
-        step = (max_id + 1 + _N_RANGE_COMMITS - 1) // _N_RANGE_COMMITS
-        for k in range(_N_RANGE_COMMITS):
-            lo, hi = k * step, (k + 1) * step
-            store.commit(
-                docs.where(
-                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-                ),
-                mode="append" if k else "overwrite",
-                stats_cols=["doc_id"],
-            )
+        _commit_range_clustered(
+            spark, store, load_table(spark, sf_dir, "documents")
+        )
         with open(os.path.join(base, "_SUCCESS"), "w"):
             pass
         mark_derived_cache(base, fprint)
@@ -334,17 +346,7 @@ def _staged_pruned_merge_store(
             shutil.rmtree(base)
         store = SnapshotStore(base)
         docs = load_table(spark, sf_dir, "documents")
-        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-        step = (max_id + 1 + _N_RANGE_COMMITS - 1) // _N_RANGE_COMMITS
-        for k in range(_N_RANGE_COMMITS):
-            store.commit(
-                docs.where(
-                    (F.col("doc_id") >= k * step)
-                    & (F.col("doc_id") < (k + 1) * step)
-                ),
-                mode="append" if k else "overwrite",
-                stats_cols=["doc_id"],
-            )
+        step = _commit_range_clustered(spark, store, docs)
         did = F.col("doc_id")
         in_q2 = (did >= step) & (did < 2 * step)
         snull = F.lit(None).cast("string")
@@ -431,12 +433,13 @@ FROM merged GROUP BY lang ORDER BY lang
 #: out-of-vocabulary query terms, each edit-distance 1 from corpus vocab
 _TYPO_QUERIES = ["tabl", "strem", "qury", "filtr", "windw"]
 
-#: term plus every single-character deletion of it (SymSpell's index unit)
+#: term plus every single-character deletion of it (SymSpell's index
+#: unit); array_union already deduplicates ("aab" -> one "ab")
 _DELETES_SQL = (
-    "array_distinct(array_union(array({c}), "
+    "array_union(array({c}), "
     "transform(sequence(1, length({c})), "
     "i -> concat(substring({c}, 1, i - 1), "
-    "substring({c}, i + 1, length({c}))))))"
+    "substring({c}, i + 1, length({c})))))"
 )
 
 

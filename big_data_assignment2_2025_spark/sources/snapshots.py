@@ -220,44 +220,59 @@ class SnapshotStore:
         (correctness never depends on pruning), and a fully stat-less
         version falls back to the logical form. Time travel is untouched
         either way: prior manifests keep naming the pre-merge files."""
-        ops = (
-            changes.select(op_col).distinct().toPandas()[op_col].tolist()
-        )  # bounded: the op domain, ≤2 values
-        bad = set(ops) - {"upsert", "delete"}
-        if bad:
-            raise ValueError(f"unknown {op_col} values: {sorted(bad)}")
-        # a key appearing twice in the batch would match one target row
-        # against BOTH change rows in the full-outer join, silently
-        # duplicating it — the same condition real MERGE implementations
-        # reject. One bounded probe: the first offending key, if any.
-        dup = (
-            changes.groupBy(*keys)
-            .count()
-            .where(F.col("count") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            key_vals = {k: dup[0][k] for k in keys}
-            raise ValueError(
-                f"changes batch has multiple rows for key {key_vals}; "
-                "MERGE requires at most one change row per key"
+        # merge runs several bounded probe actions over the changes batch
+        # (op domain, duplicate keys, member overlap) before the join —
+        # persist so an expensive changes lineage computes once, not 4x
+        changes = changes.persist()
+        try:
+            ops = (
+                changes.select(op_col).distinct().toPandas()[op_col].tolist()
+            )  # bounded: the op domain, ≤2 values
+            bad = set(ops) - {"upsert", "delete"}
+            if bad:
+                raise ValueError(f"unknown {op_col} values: {sorted(bad)}")
+            # a key appearing twice in the batch would match one target
+            # row against BOTH change rows in the full-outer join,
+            # silently duplicating it — the same condition real MERGE
+            # implementations reject. One bounded probe: the first
+            # offending key, if any.
+            dup = (
+                changes.groupBy(*keys)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .collect()
             )
-        prev = self.latest_version()
-        if prev is None:
-            raise ValueError("merge() on an empty store")
-        doc = self.manifest(prev)
-        if prune and len(keys) == 1:
-            split = self._split_affected(
-                spark, doc, changes, keys[0]
-            )
-            if split is not None:
-                return self._merge_pruned(
-                    spark, doc, changes, keys, op_col, *split
+            if dup:
+                key_vals = {k: dup[0][k] for k in keys}
+                raise ValueError(
+                    f"changes batch has multiple rows for key {key_vals}; "
+                    "MERGE requires at most one change row per key"
                 )
-        cur = self.read(spark, prev)
-        out = self._apply_changes(cur, changes, keys, op_col)
-        return self.commit(out, mode="overwrite")
+            prev = self.latest_version()
+            if prev is None:
+                raise ValueError("merge() on an empty store")
+            doc = self.manifest(prev)
+            if prune and len(keys) == 1:
+                split = self._split_affected(spark, doc, changes, keys[0])
+                if split is not None:
+                    return self._merge_pruned(
+                        spark, doc, changes, keys, op_col, *split
+                    )
+            cur = self.read(spark, prev)
+            out = self._apply_changes(cur, changes, keys, op_col)
+            # the logical path rewrites the whole table into one member:
+            # re-stat it on every column the prior manifest tracked, so a
+            # logical merge never silently turns off read_where pruning
+            # and future pruned merges (stats are the pruning's fuel)
+            stat_cols = sorted(
+                {c for s in doc.get("stats", {}).values() for c in s}
+            )
+            return self.commit(
+                out, mode="overwrite", stats_cols=stat_cols or None
+            )
+        finally:
+            changes.unpersist()
 
     @staticmethod
     def _apply_changes(
@@ -323,7 +338,18 @@ class SnapshotStore:
             cur = spark.read.parquet(
                 *[os.path.join(self.base_dir, m) for m in affected]
             )
-        else:  # pure insert / no-op batch: empty target, schema preserved
+        else:
+            # no member can hold a change key: deletes are no-ops; if the
+            # batch has no inserts either, publish nothing — a no-op merge
+            # must not accumulate empty members (whose [null,null] stats
+            # would read as "affected" in every later pruned merge)
+            has_insert = (
+                changes.where(F.col(op_col) == "upsert").limit(1).count()
+                > 0
+            )
+            if not has_insert:
+                return prev
+            # pure insert batch: empty target, schema preserved
             cur = spark.read.parquet(
                 os.path.join(self.base_dir, doc["members"][0])
             ).where(F.lit(False))

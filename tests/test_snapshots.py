@@ -258,6 +258,53 @@ def test_pruned_merge_falls_back_without_stats(spark, store):
     )[5] == "X"
 
 
+def test_logical_merge_preserves_tracked_stats(spark, tmp_path):
+    """A non-pruned merge must not erase the manifest stats — otherwise
+    one logical merge would permanently disable read_where pruning and
+    every future pruned merge."""
+    s = _range_committed(spark, str(tmp_path / "s"))
+    v = s.merge(
+        spark,
+        _changes(spark, [(150, "U", "upsert")]),
+        keys=["k"],
+        prune=False,
+    )
+    m = s.manifest(v)
+    assert m["mode"] == "overwrite"
+    assert [mem in m["stats"] for mem in m["members"]] == [True]
+    lo, hi = m["stats"][m["members"][0]]["k"]
+    assert (lo, hi) == (0, 299)
+    # and a pruned merge right after still has fuel to prune with
+    v2 = s.merge(
+        spark,
+        _changes(spark, [(10, "W", "upsert")]),
+        keys=["k"],
+        prune=True,
+    )
+    assert s.manifest(v2)["mode"] == "merge"
+
+
+def test_noop_pruned_merge_publishes_nothing(spark, tmp_path):
+    """A delete-only batch whose keys miss every member range is a no-op:
+    no new version, no empty member accumulation."""
+    s = _range_committed(spark, str(tmp_path / "s"))
+    v = s.merge(
+        spark,
+        _changes(spark, [(9999, None, "delete")]),
+        keys=["k"],
+        prune=True,
+    )
+    assert v == 3 and s.versions() == [1, 2, 3]
+    # an insert-only miss batch still lands
+    v2 = s.merge(
+        spark,
+        _changes(spark, [(9999, "I", "upsert")]),
+        keys=["k"],
+        prune=True,
+    )
+    assert v2 == 4 and s.manifest(4)["rewrote"] == []
+
+
 def test_read_where_still_prunes_after_pruned_merge(spark, tmp_path):
     s = _range_committed(spark, str(tmp_path / "s"))
     s.merge(

@@ -133,6 +133,7 @@ def main() -> None:
                 .alias("_op"),
             )
         )
+        n_members_before = len(ms.manifest(ms.latest_version())["members"])
         t = time.time()
         v = ms.merge(spark, changes, keys=["k"], prune=prune)
         sec = round(time.time() - t, 3)
@@ -141,7 +142,10 @@ def main() -> None:
             "sec": sec,
             "mode": doc["mode"],
             "n_members_after": len(doc["members"]),
-            "rewrote": len(doc.get("rewrote", doc["members"])),
+            # logical merges carry no "rewrote" field — they read and
+            # rewrite every pre-merge member
+            "rewrote": len(doc["rewrote"]) if "rewrote" in doc
+            else n_members_before,
             "rows_after": ms.read(spark, v).count(),
         }
         shutil.rmtree(mbase)
