@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
+    jaccard_pairs_prefix,
     minhash_dedup,
     shingles_df,
     simhash_pairs,
@@ -78,13 +79,18 @@ LIMIT 25
 
 
 def dedup_ngram_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with 3-gram Jaccard >= 0.5 (the near-dup removal set)."""
+    """All pairs with 3-gram Jaccard >= 0.5 (the near-dup removal set).
+
+    Since round 9 the plan is the prefix-filtered exact form
+    (``jaccard_pairs_prefix``): identical output to the naive inverted-index
+    join (the oracle below is unchanged), but candidates come from the
+    rarest-first document prefixes only, so hot boilerplate shingles no
+    longer drive quadratic pair fan-out (the r8 memprobe measured 2.2 GB
+    of spill on the unfiltered plan at the 10x fixture)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles_df(docs, n=3)
-    return (
-        jaccard_pairs(sh)
-        .where(F.col("jaccard") >= 0.5)
-        .select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+    return jaccard_pairs_prefix(sh, threshold=0.5).select(
+        "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
     )
 
 

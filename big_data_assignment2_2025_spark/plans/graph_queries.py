@@ -37,7 +37,21 @@ from ..sources.readers import load_table
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str, min_support: int = 2) -> DataFrame:
     """Canonical undirected edge list (u < v) of parts sharing >= min_support
-    orders. One bounded self-join on the order key + one hash aggregation."""
+    orders.
+
+    Shape: one self-join on the order key generates co-purchase pairs
+    (fan-out <= order_size^2 per order; TPC-H orders hold <= 7 parts, so
+    the join is linear in orders, never parts^2), one hash aggregation
+    counts per-pair support. The join carries an explicit SHUFFLE_HASH
+    hint: the default sort-merge join SORTS both 2x-fact-sized sides,
+    which the r8 memory probe measured as 1.6 GB of spill on a squeezed
+    heap (and a collect_set basket variant inherits the same sort via
+    ObjectHashAggregate's sort-based fallback). A shuffled-hash join
+    builds a per-partition map of one side instead — no sort anywhere,
+    and the build side is safe by construction: it is the narrow
+    (orderkey, partkey) projection, uniformly spread by order key, so
+    per-partition build size is |li| / shuffle-partitions, the sizing
+    knob a cluster deployment already tunes."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -45,9 +59,19 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str, min_support: int = 2) ->
     )
     a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    # The support count is declared over an EXPLICIT repartition on the
+    # pair key. Co-purchase pairs barely repeat within a map partition
+    # (each order contributes a pair once), so Spark's default
+    # partial-then-final aggregation would build a near-useless
+    # fan-out-sized hash map INSIDE the join stage — the second half of
+    # the r8 spill. With the child already hash-partitioned on (u, v),
+    # Catalyst plans one final aggregate in its own stage; the shuffled
+    # bytes are the same (partial aggregation wasn't reducing anything),
+    # and each stage now holds exactly one bounded hash table.
     edges = (
-        a.join(b, "l_orderkey")
+        a.join(b.hint("shuffle_hash"), "l_orderkey")
         .where(F.col("u") < F.col("v"))
+        .repartition("u", "v")
         .groupBy("u", "v")
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= min_support)
@@ -191,8 +215,14 @@ def graph_kcore_peel(
     edges = ckpt(edges0)
     summaries = []
     for rnd in (1, 2, 3):
-        adj = edges.select(F.col("u").alias("node")).unionAll(
-            edges.select(F.col("v").alias("node"))
+        # one exploded-stack pass over the edge list, NOT a unionAll of two
+        # projections: unionAll re-reads the (checkpointed) edges twice per
+        # round, which the r8 memprobe measured as 1.7 GB of aggregation
+        # spill at the 10x fixture; explode(array(u, v)) emits the same
+        # 2|E| degree rows from a single scan and keeps the map-side
+        # partial count on one input stream
+        adj = edges.select(
+            F.explode(F.array(F.col("u"), F.col("v"))).alias("node")
         )
         keep = ckpt(
             adj.groupBy("node")

@@ -59,6 +59,18 @@ from pyspark.sql import functions as F
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
+#: bounded optimistic-concurrency retries before a writer gives up
+_OCC_RETRIES = 5
+
+
+class SnapshotConflictError(RuntimeError):
+    """An optimistic commit could not land: either the bounded rebase
+    retries were exhausted (livelock under heavy contention) or the
+    operation is not rebaseable (``compact`` of a version that stopped
+    being latest — its rewritten file set no longer describes the table).
+    The store is untouched; any already-written data directory is an
+    orphan that ``vacuum()`` collects."""
+
 
 class SnapshotStore:
     """Single-table versioned store rooted at ``base_dir`` (any
@@ -109,6 +121,15 @@ class SnapshotStore:
             os.link(tmp, final)  # fails (EEXIST) instead of clobbering
         finally:
             os.unlink(tmp)
+        # the link is the commit point, but POSIX only promises the NEW
+        # DIRECTORY ENTRY is durable once the directory itself is fsynced;
+        # without this a crash right after "commit" could lose the entry
+        # while keeping the (already-fsynced) file contents
+        dfd = os.open(os.path.dirname(final), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def commit(
         self,
@@ -127,30 +148,60 @@ class SnapshotStore:
         pre-write estimate that a non-deterministic upstream could
         invalidate), and carried forward for retained members. Stats
         columns must collect to JSON-representable values (numeric /
-        string); a real format would carry typed encodings."""
+        string); a real format would carry typed encodings.
+
+        Concurrency: an OCC loser (another writer published our version
+        number first) REBASES — the data directory is written once and
+        reused, the member list and carried-forward stats are recomputed
+        from the new latest manifest, and the publish retries one version
+        up, bounded at ``_OCC_RETRIES``. Both commit() modes commute with
+        rebasing: append is blind (any interleaving of appends is
+        serializable), and overwrite declares the full new table state
+        (last-writer-wins IS its contract). Read-modify-write semantics
+        must NOT ride this blind rebase — ``merge()`` recomputes against
+        the new state instead."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-        prev = self.latest_version()
-        version = (prev or 0) + 1
-        commit_dir = os.path.join(
-            _DATA_DIR, f"c{version:08d}-{uuid.uuid4().hex[:8]}"
-        )
-        full_dir = os.path.join(self.base_dir, commit_dir)
+        commit_dir, full_dir = self._new_member_dir()
         df.write.parquet(full_dir)
-        keep_prev = mode == "append" and prev is not None
-        members = list(self.manifest(prev)["members"]) if keep_prev else []
-        stats = dict(self.manifest(prev).get("stats", {})) if keep_prev else {}
-        members.append(commit_dir)
-        if stats_cols:
-            stats[commit_dir] = self._member_stats(
-                df.sparkSession, full_dir, stats_cols
-            )
-        self._publish(
-            version,
-            {"version": version, "mode": mode, "members": members,
-             "added": [commit_dir], "stats": stats},
+        new_stats = (
+            self._member_stats(df.sparkSession, full_dir, stats_cols)
+            if stats_cols
+            else None
         )
-        return version
+        for _ in range(_OCC_RETRIES):
+            prev = self.latest_version()
+            version = (prev or 0) + 1
+            keep_prev = mode == "append" and prev is not None
+            members = (
+                list(self.manifest(prev)["members"]) if keep_prev else []
+            )
+            stats = (
+                dict(self.manifest(prev).get("stats", {}))
+                if keep_prev
+                else {}
+            )
+            members.append(commit_dir)
+            if new_stats is not None:
+                stats[commit_dir] = new_stats
+            try:
+                self._publish(
+                    version,
+                    {"version": version, "mode": mode, "members": members,
+                     "added": [commit_dir], "stats": stats},
+                )
+                return version
+            except FileExistsError:
+                continue  # rebase: re-read latest, retry one version up
+        raise SnapshotConflictError(
+            f"commit could not land after {_OCC_RETRIES} rebases "
+            "(sustained contention on the manifest log)"
+        )
+
+    def _new_member_dir(self) -> tuple[str, str]:
+        """Fresh uniquely-named commit directory (relative, absolute)."""
+        commit_dir = os.path.join(_DATA_DIR, f"c{uuid.uuid4().hex[:16]}")
+        return commit_dir, os.path.join(self.base_dir, commit_dir)
 
     @staticmethod
     def _member_stats(
@@ -166,23 +217,49 @@ class SnapshotStore:
         """Rewrite the CURRENT version's members into ``target_files``
         files; logically a no-op (same rows), physically fewer, larger
         files. Older manifests keep naming the original directories, so
-        pinned readers are untouched."""
+        pinned readers are untouched.
+
+        The compacted member is RE-STATTED on every column the prior
+        manifest tracked anywhere, so compaction never silently disables
+        ``read_where`` / pruned-merge file skipping (same discipline as
+        ``_merge_pruned``).
+
+        Concurrency: compaction is NOT rebaseable — its rewritten file is
+        a faithful copy of one specific version, so if another writer
+        commits first the copy no longer describes the latest table and
+        blindly retrying would REVERT that commit. A lost race raises
+        ``SnapshotConflictError``; re-run compact() against the new
+        latest (the orphan data directory is vacuum()-collectable)."""
         prev = self.latest_version()
         if prev is None:
             raise ValueError("compact() on an empty store")
+        doc = self.manifest(prev)
         version = prev + 1
-        commit_dir = os.path.join(
-            _DATA_DIR, f"c{version:08d}-{uuid.uuid4().hex[:8]}"
-        )
+        commit_dir, full_dir = self._new_member_dir()
         self.read(spark, prev).coalesce(target_files).write.parquet(
-            os.path.join(self.base_dir, commit_dir)
+            full_dir
         )
-        self._publish(
-            version,
-            {"version": version, "mode": "compact",
-             "members": [commit_dir], "added": [commit_dir],
-             "compaction_of": prev},
+        stat_cols = sorted(
+            {c for s in doc.get("stats", {}).values() for c in s}
         )
+        stats = (
+            {commit_dir: self._member_stats(spark, full_dir, stat_cols)}
+            if stat_cols
+            else {}
+        )
+        try:
+            self._publish(
+                version,
+                {"version": version, "mode": "compact",
+                 "members": [commit_dir], "added": [commit_dir],
+                 "stats": stats, "compaction_of": prev},
+            )
+        except FileExistsError:
+            raise SnapshotConflictError(
+                f"compact of v{prev} lost the race for v{version}: the "
+                "compacted file set no longer describes the latest "
+                "version; re-run compact() against the new latest"
+            ) from None
         return version
 
     def merge(
@@ -249,27 +326,62 @@ class SnapshotStore:
                     f"changes batch has multiple rows for key {key_vals}; "
                     "MERGE requires at most one change row per key"
                 )
-            prev = self.latest_version()
-            if prev is None:
-                raise ValueError("merge() on an empty store")
-            doc = self.manifest(prev)
-            if prune and len(keys) == 1:
-                split = self._split_affected(spark, doc, changes, keys[0])
-                if split is not None:
-                    return self._merge_pruned(
-                        spark, doc, changes, keys, op_col, *split
+            # MERGE is read-modify-write, so an OCC loss cannot be rebased
+            # blindly (that would revert the interleaved commit): each
+            # retry RE-READS the new latest manifest, re-validates the
+            # member/key-overlap split, recomputes the merge output
+            # against the new state, and re-publishes — the serializable
+            # outcome is "their commit, then our changes batch". A lost
+            # attempt's data directory becomes a vacuum()-able orphan.
+            for _ in range(_OCC_RETRIES):
+                prev = self.latest_version()
+                if prev is None:
+                    raise ValueError("merge() on an empty store")
+                doc = self.manifest(prev)
+                if prune and len(keys) == 1:
+                    split = self._split_affected(
+                        spark, doc, changes, keys[0]
                     )
-            cur = self.read(spark, prev)
-            out = self._apply_changes(cur, changes, keys, op_col)
-            # the logical path rewrites the whole table into one member:
-            # re-stat it on every column the prior manifest tracked, so a
-            # logical merge never silently turns off read_where pruning
-            # and future pruned merges (stats are the pruning's fuel)
-            stat_cols = sorted(
-                {c for s in doc.get("stats", {}).values() for c in s}
-            )
-            return self.commit(
-                out, mode="overwrite", stats_cols=stat_cols or None
+                    if split is not None:
+                        try:
+                            return self._merge_pruned(
+                                spark, doc, changes, keys, op_col, *split
+                            )
+                        except FileExistsError:
+                            continue  # rebase against the new latest
+                cur = self.read(spark, prev)
+                out = self._apply_changes(cur, changes, keys, op_col)
+                # the logical path rewrites the whole table into one
+                # member: re-stat it on every column the prior manifest
+                # tracked, so a logical merge never silently turns off
+                # read_where pruning and future pruned merges (stats are
+                # the pruning's fuel)
+                stat_cols = sorted(
+                    {c for s in doc.get("stats", {}).values() for c in s}
+                )
+                version = prev + 1
+                commit_dir, full_dir = self._new_member_dir()
+                out.write.parquet(full_dir)
+                stats = (
+                    {commit_dir: self._member_stats(
+                        spark, full_dir, stat_cols
+                    )}
+                    if stat_cols
+                    else {}
+                )
+                try:
+                    self._publish(
+                        version,
+                        {"version": version, "mode": "overwrite",
+                         "members": [commit_dir], "added": [commit_dir],
+                         "stats": stats},
+                    )
+                    return version
+                except FileExistsError:
+                    continue  # rebase against the new latest
+            raise SnapshotConflictError(
+                f"merge could not land after {_OCC_RETRIES} rebases "
+                "(sustained contention on the manifest log)"
             )
         finally:
             changes.unpersist()
@@ -355,10 +467,7 @@ class SnapshotStore:
             ).where(F.lit(False))
         out = self._apply_changes(cur, changes, keys, op_col)
         version = prev + 1
-        commit_dir = os.path.join(
-            _DATA_DIR, f"c{version:08d}-{uuid.uuid4().hex[:8]}"
-        )
-        full_dir = os.path.join(self.base_dir, commit_dir)
+        commit_dir, full_dir = self._new_member_dir()
         out.write.parquet(full_dir)
         prev_stats = doc.get("stats", {})
         stats = {m: prev_stats[m] for m in untouched if m in prev_stats}
