@@ -408,37 +408,45 @@ def semantic_dedup(
     shuffles left are the pair join on the int cell key and one
     cell-local aggregation. At 100 TB, write the corpus partitioned BY
     cell so the pair join is partition-local with no cross-cell traffic.
+
+    The returned frame is LAZY and nothing is persisted: the verdict is
+    ONE left join — every vector against its lower-id cellmates clearing
+    the threshold, folded straight into a count — so the assignment scan
+    is derived exactly twice (once per join side), not three times as the
+    earlier join-back-for-zero-rows shape did. (ReusedExchange cannot
+    dedupe the sides here: the argmax projection's higher-order-function
+    lambdas defeat plan canonicalization, so identical branches don't
+    unify.) Earlier revisions instead persisted the assignment and
+    eagerly counted the result, which charged plan-only callers a full
+    job and leaked one cache entry per call; at production scale the
+    right materialization is writing the assignment out partitioned by
+    cell, not executor cache.
     """
-    # assignment feeds THREE consumers (both pair-join sides + the final
-    # left join); persist so the full-corpus argmax scan runs once, not
-    # per branch — same discipline as minhash_lsh_pairs above
     assigned = argmax_cell_assignment(
         corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
-    ).persist()
-    a = assigned.select("cell", F.col("vid").alias("id1"), F.col("vid_vec").alias("v1"))
-    b = assigned.select("cell", F.col("vid").alias("id2"), F.col("vid_vec").alias("v2"))
-    dup_counts = (
-        a.join(b, "cell")
-        .where(F.col("id1") < F.col("id2"))
-        .where(
-            F.round(cosine_similarity(F.col("v1"), F.col("v2")), 6) >= threshold
-        )
-        .groupBy("cell", F.col("id2").alias("vid"))
-        .agg(F.count("*").alias("n_dup_lower"))
     )
-    result = (
-        assigned.select("cell", "vid")
-        .join(dup_counts, ["cell", "vid"], "left")
+    a = assigned.select(
+        F.col("cell").alias("a_cell"),
+        F.col("vid").alias("id1"),
+        F.col("vid_vec").alias("v1"),
+    )
+    b = assigned.select("cell", F.col("vid").alias("id2"), F.col("vid_vec").alias("v2"))
+    cond = (
+        (F.col("a_cell") == F.col("cell"))
+        & (F.col("id1") < F.col("id2"))
+        & (
+            F.round(cosine_similarity(F.col("v1"), F.col("v2")), 6)
+            >= threshold
+        )
+    )
+    return (
+        b.join(a, cond, "left")
+        .groupBy("cell", "id2")
+        .agg(F.count("id1").alias("n_dup_lower"))
         .select(
             "cell",
-            F.col("vid").alias(id_col),
-            F.coalesce("n_dup_lower", F.lit(0)).cast("long").alias("n_dup_lower"),
-            F.when(F.col("n_dup_lower").isNull(), 1).otherwise(0).alias("kept"),
+            F.col("id2").alias(id_col),
+            F.col("n_dup_lower").cast("long").alias("n_dup_lower"),
+            F.when(F.col("n_dup_lower") == 0, 1).otherwise(0).alias("kept"),
         )
-        .persist()
     )
-    # materialize the (narrow, vector-free) verdict rows now so the
-    # embedding-carrying assignment cache can be released before returning
-    result.count()
-    assigned.unpersist()
-    return result

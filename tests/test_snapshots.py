@@ -133,6 +133,139 @@ def test_concurrent_commit_same_version_loses(spark, store):
     assert not glob.glob(store._manifest_path(2) + ".tmp-*")
 
 
+def _inject_race(store, interloper):
+    """Make ``interloper()`` run once, right before the store's next
+    manifest publish — a deterministic writer-vs-writer race."""
+    orig = store._publish
+    state = {"fired": False}
+
+    def racy(version, doc):
+        if not state["fired"]:
+            state["fired"] = True
+            interloper()
+        return orig(version, doc)
+
+    store._publish = racy
+
+
+def test_concurrent_append_rebases_and_both_land(spark, store):
+    store.commit(_df(spark, 0, 10), mode="overwrite")
+    _inject_race(
+        store,
+        lambda: SnapshotStore(store.base_dir).commit(
+            _df(spark, 100, 110), mode="append"
+        ),
+    )
+    v = store.commit(_df(spark, 10, 20), mode="append")
+    # the loser rebased one version up; BOTH appends are in the table
+    assert v == 3
+    assert _keys(spark, store) == list(range(20)) + list(range(100, 110))
+
+
+def test_merge_rebases_over_concurrent_commit(spark, store):
+    base = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    store.commit(base, mode="overwrite")
+    interloper_rows = spark.createDataFrame([(100, "x")], "k long, v string")
+    _inject_race(
+        store,
+        lambda: SnapshotStore(store.base_dir).commit(
+            interloper_rows, mode="append"
+        ),
+    )
+    store.merge(
+        spark,
+        _changes(spark, [(1, "B", "upsert"), (2, None, "delete")]),
+        keys=["k"],
+    )
+    got = sorted((r.k, r.v) for r in store.read(spark).collect())
+    # serializable outcome "their append, then our batch": the interleaved
+    # key 100 row SURVIVES (a blind overwrite-rebase would have erased it)
+    assert got == [(0, "a"), (1, "B"), (100, "x")]
+
+
+def test_pruned_merge_rebases_over_concurrent_commit(spark, tmp_path):
+    s = _range_committed(spark, str(tmp_path / "race"))
+    _inject_race(
+        s,
+        lambda: SnapshotStore(s.base_dir).commit(
+            _df(spark, 500, 510).withColumn(
+                "v", F.col("k").cast("string")
+            ),
+            mode="append",
+            stats_cols=["k"],
+        ),
+    )
+    s.merge(
+        spark,
+        _changes(spark, [(150, "U", "upsert")]),
+        keys=["k"],
+        prune=True,
+    )
+    keys = sorted(r.k for r in s.read(spark).collect())
+    assert keys == list(range(300)) + list(range(500, 510))
+    assert [
+        r.v for r in s.read(spark).where(F.col("k") == 150).collect()
+    ] == ["U"]
+
+
+def test_compact_race_refuses(spark, store):
+    from big_data_assignment2_2025_spark.sources.snapshots import (
+        SnapshotConflictError,
+    )
+
+    store.commit(_df(spark, 0, 10), mode="overwrite")
+    _inject_race(
+        store,
+        lambda: SnapshotStore(store.base_dir).commit(
+            _df(spark, 10, 15), mode="append"
+        ),
+    )
+    with pytest.raises(SnapshotConflictError, match="lost the race"):
+        store.compact(spark)
+    # the interleaved append was NOT reverted and stays readable
+    assert _keys(spark, store) == list(range(15))
+    # the abandoned compaction output is an unreferenced orphan
+    reachable = set()
+    for v in store.versions():
+        reachable.update(store.manifest(v)["members"])
+    data_root = os.path.join(store.base_dir, "data")
+    orphans = [
+        n for n in os.listdir(data_root)
+        if os.path.join("data", n) not in reachable
+    ]
+    assert len(orphans) == 1
+    assert store.vacuum() == [os.path.join("data", orphans[0])]
+
+
+def test_commit_retries_exhausted_raises(spark, store):
+    from big_data_assignment2_2025_spark.sources.snapshots import (
+        SnapshotConflictError,
+    )
+
+    store.commit(_df(spark, 0, 5), mode="overwrite")
+
+    def always_loses(version, doc):
+        raise FileExistsError(store._manifest_path(version))
+
+    store._publish = always_loses
+    with pytest.raises(SnapshotConflictError, match="rebases"):
+        store.commit(_df(spark, 5, 10), mode="append")
+
+
+def test_compact_preserves_tracked_stats(spark, store):
+    store.commit(_df(spark, 0, 10), mode="overwrite", stats_cols=["k"])
+    store.commit(_df(spark, 10, 15), mode="append", stats_cols=["k"])
+    v3 = store.compact(spark)
+    doc = store.manifest(v3)
+    (member,) = doc["members"]
+    # compaction re-stats the rewritten member on the tracked columns, so
+    # read_where pruning and pruned merges stay alive after compaction
+    assert doc["stats"][member]["k"] == [0, 14]
+    assert store.read_where(spark, "k", 50, 60).inputFiles() == []
+
+
 def test_vacuum_respects_retained_versions(spark, store):
     store.commit(_df(spark, 0, 10), mode="overwrite")
     store.commit(_df(spark, 10, 15), mode="append")
