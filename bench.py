@@ -49,6 +49,7 @@ HEADLINE = [
     "multimodal_decode_features",
     "bm25_search_materialized",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "asof_last_purchase",
     "percentile_stats",
     "pipeline_clean_corpus",

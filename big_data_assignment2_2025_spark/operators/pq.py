@@ -23,9 +23,14 @@ Spark mapping (and the 100 TB story):
   partial-then-global pattern as TakeOrderedAndProject), then a window
   takes the global top-k.
 
-Not oracle-checkable (trained codebooks aren't SQL-replayable); verified by
-a recall bound against exact L2 brute force in tests/test_pq.py — the same
-discipline as ivf_kmeans_topk and the MLlib MinHashLSH cross-check.
+Gating: the TRAINED-codebook variant is verified by a recall bound against
+exact L2 brute force in tests/test_pq.py (k-means codebooks aren't
+SQL-replayable — same discipline as ivf_kmeans_topk and the MLlib
+MinHashLSH cross-check). The full encode→ADC→top-k chain is additionally
+HASH-GATED through a deterministic-codebook twin
+(``pq_lowest_id_codebooks`` + plans/round9_queries.py ``ann_pq_topk`` /
+``ann_pq_rerank``), whose DuckDB oracle replays codebooks, codes, lookup
+tables and ranking from the parquet table alone.
 """
 
 from __future__ import annotations
@@ -80,6 +85,32 @@ def pq_train_codebooks(
             _kmeans(sample[:, j * d_sub : (j + 1) * d_sub], k, seed + j)
             for j in range(m)
         ]
+    )
+
+
+def pq_lowest_id_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic-codebook twin of ``pq_train_codebooks``: the per-
+    subspace codebook is simply the subvectors of the ``k`` LOWEST-ID
+    corpus vectors — the same trick ``ivf_topk`` uses for its coarse
+    centroids. No k-means, so any engine (the DuckDB oracle included) can
+    reconstruct the exact codebooks from the table alone, which is what
+    makes the full encode→ADC→top-k chain hash-gateable. Swap in the
+    trained codebooks for production recall; the plumbing is identical."""
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    sample = np.array([r[1] for r in rows], dtype=np.float64)
+    d = sample.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    d_sub = d // m
+    return np.stack(
+        [sample[:, j * d_sub : (j + 1) * d_sub] for j in range(m)]
     )
 
 
@@ -168,16 +199,24 @@ def pq_topk(
                 continue
             c = np.stack(pdf["codes"].to_numpy())  # (B, m)
             ids = pdf[id_col].to_numpy()
-            # gather: d2[q, b] = sum_j L[q, j, c[b, j]]
+            # gather: d2[q, b] = sum_j L[q, j, c[b, j]], then ROUND to 6
+            # decimals before any ordering — double accumulation order
+            # differs between engines, and ranking on the rounded value
+            # keeps the top-k cut deterministic (ties break by id), the
+            # same engine-parity discipline as plans/similarity_queries
             d2 = np.zeros((len(qid), len(ids)), dtype=np.float64)
             for j in range(L.shape[1]):
                 d2 += L[:, j, c[:, j]]
+            d2 = np.round(d2, 6)
             out = {"query_id": [], "neighbor_id": [], "approx_d2": []}
-            kk = min(take, len(ids))
             for qi in range(len(qid)):
-                # deterministic partial top-k: (distance, id) lexsort
-                order = np.lexsort((ids, d2[qi]))[:kk]
-                out["query_id"].extend([qid[qi]] * kk)
+                # deterministic partial top-k: (distance, id) lexsort.
+                # Exclude the query's own row BEFORE the cut — it would
+                # otherwise occupy one of the take slots in its home
+                # batch and the global top-k would come up one short.
+                order = np.lexsort((ids, d2[qi]))
+                order = order[ids[order] != qid[qi]][:take]
+                out["query_id"].extend([qid[qi]] * len(order))
                 out["neighbor_id"].extend(ids[order].tolist())
                 out["approx_d2"].extend(d2[qi][order].tolist())
             yield pd.DataFrame(out)

@@ -38,6 +38,7 @@ from . import (
     round7k_queries,
     round8_queries,
     round8c_queries,
+    round9_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -81,6 +82,7 @@ _MODULES = [
     round7k_queries,
     round8_queries,
     round8c_queries,
+    round9_queries,
     storage_queries,
 ]
 

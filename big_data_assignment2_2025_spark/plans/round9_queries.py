@@ -1,0 +1,139 @@
+"""Round-9 declared queries: the product-quantization ANN family,
+hash-gated end to end.
+
+PQ was the one ANN family without a CORRECTNESS entry (the trained
+codebooks of ``pq_train_codebooks`` aren't SQL-replayable). These queries
+run the SAME production operators — ``pq_encode``'s Catalyst argmin
+encoding and ``pq_topk``'s Arrow-batched ADC scan / exact rerank — over a
+deterministic-codebook twin (``pq_lowest_id_codebooks``: per-subspace
+centroids are the subvectors of the 16 lowest-id corpus vectors, the
+``ivf_topk`` trick), so DuckDB can reconstruct codebooks, codes, lookup
+tables and the ranked result from the parquet table alone.
+
+Engine-parity rules (same discipline as plans/similarity_queries.py):
+every distance is an IEEE-double chain over CAST-to-double floats; ADC
+distances are rounded to 6 decimals BEFORE ranking on both sides (double
+accumulation order differs between numpy's unrolled reduction and
+DuckDB's list_sum fold); all ranking ties break by neighbor id. The
+encode argmin compares full-precision subspace distances computed by the
+identical (a-b)*(a-b) left-fold on both engines, with ties to the lowest
+centroid index (``array_position`` picks the first minimum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.pq import pq_encode, pq_lowest_id_codebooks, pq_topk
+from ..sources.readers import load_table
+
+#: PQ geometry for the 64-dim fixture: 8 subspaces x 8 dims, 16 centroids
+_M, _K_CENTS, _D_SUB = 8, 16, 8
+#: Hamming-family-style shortlist for the IVFADC-style exact rerank
+_PQ_SHORTLIST = 32
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 neighbors (approximate L2) for query vectors vec_id < 5
+    over 8x16 lowest-id-codebook product quantization."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_lowest_id_codebooks(emb, m=_M, k=_K_CENTS)
+    codes = pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < 5)
+    return pq_topk(codes, queries, books, k=5)
+
+
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC-style two-stage retrieval: 32-candidate ADC shortlist over
+    the 8-byte PQ codes, exact-L2 rerank of only those candidates against
+    the float vectors — the production read path where the full-precision
+    table is probed per shortlist row, never scanned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_lowest_id_codebooks(emb, m=_M, k=_K_CENTS)
+    codes = pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") < 5)
+    return pq_topk(
+        codes, queries, books, k=5, shortlist=_PQ_SHORTLIST, corpus=emb
+    )
+
+
+# Shared oracle CTEs: cents = lowest-id codebooks; cdist = every
+# (vector, subspace, centroid) squared L2 over the subvector (the same
+# left-fold (a-b)*(a-b) chain as pq_encode's Catalyst expression); codes =
+# per-(vector, subspace) argmin with ties to the lowest centroid index;
+# adc = LUT-summed approximate distances, rounded before ranking.
+_PQ_CTES = f"""
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {_K_CENTS}),
+sub AS (SELECT unnest(range({_M})) AS j),
+cdist AS (
+  SELECT e.vec_id, s.j, c.cidx,
+         list_sum(list_transform(range(1, {_D_SUB} + 1), i ->
+           (CAST(c.cv[CAST(s.j * {_D_SUB} + i AS INTEGER)] AS DOUBLE)
+            - CAST(e.embedding[CAST(s.j * {_D_SUB} + i AS INTEGER)] AS DOUBLE))
+           * (CAST(c.cv[CAST(s.j * {_D_SUB} + i AS INTEGER)] AS DOUBLE)
+              - CAST(e.embedding[CAST(s.j * {_D_SUB} + i AS INTEGER)] AS DOUBLE))
+         )) AS d2
+  FROM embeddings e CROSS JOIN sub s CROSS JOIN cents c),
+codes AS (
+  SELECT vec_id, j, cidx FROM (
+    SELECT vec_id, j, cidx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                              ORDER BY d2 ASC, cidx ASC) AS r
+    FROM cdist) t WHERE r = 1),
+adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(SUM(q.d2), 6) AS approx_d2
+  FROM codes c
+  JOIN cdist q ON q.j = c.j AND q.cidx = c.cidx AND q.vec_id < 5
+  WHERE c.vec_id <> q.vec_id
+  GROUP BY 1, 2),
+adc_ranked AS (
+  SELECT query_id, neighbor_id, approx_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_d2 ASC, neighbor_id ASC) AS rank
+  FROM adc)
+"""
+
+ANN_PQ_TOPK_SQL = f"""
+WITH {_PQ_CTES}
+SELECT query_id, neighbor_id, approx_d2, CAST(rank AS INTEGER) AS rank
+FROM adc_ranked WHERE rank <= 5
+"""
+
+ANN_PQ_RERANK_SQL = f"""
+WITH {_PQ_CTES},
+shortlist AS (
+  SELECT query_id, neighbor_id FROM adc_ranked
+  WHERE rank <= {_PQ_SHORTLIST}),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_sum(list_transform(range(1, len(eq.embedding) + 1), i ->
+           (CAST(eq.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+            - CAST(ec.embedding[CAST(i AS INTEGER)] AS DOUBLE))
+           * (CAST(eq.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+              - CAST(ec.embedding[CAST(i AS INTEGER)] AS DOUBLE))
+         )), 6) AS exact_d2
+  FROM shortlist s
+  JOIN embeddings eq ON eq.vec_id = s.query_id
+  JOIN embeddings ec ON ec.vec_id = s.neighbor_id),
+reranked AS (
+  SELECT query_id, neighbor_id, exact_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY exact_d2 ASC, neighbor_id ASC) AS rank
+  FROM rer)
+SELECT query_id, neighbor_id, exact_d2, CAST(rank AS INTEGER) AS rank
+FROM reranked WHERE rank <= 5
+"""
+
+QUERIES = {
+    "ann_pq_topk": ann_pq_topk,
+    "ann_pq_rerank": ann_pq_rerank,
+}
+
+ORACLES = {
+    "ann_pq_topk": ANN_PQ_TOPK_SQL,
+    "ann_pq_rerank": ANN_PQ_RERANK_SQL,
+}

@@ -50,6 +50,15 @@ COMMENTARY = {
         "written partitioned BY cell so the probe prunes at the scan — the "
         "plan shape is already the pruned-scan shape."
     ),
+    "ann_pq_topk": (
+        "Product-quantization ADC scan. Encoding is a pure Catalyst argmin "
+        "over literal codebooks (whole-stage codegen, zero shuffle); search "
+        "is one Arrow-batched mapInPandas emitting <= |Q| x k rows per "
+        "batch (partial top-k), then a window takes the global top-k — the "
+        "same partial-then-global shape as TakeOrderedAndProject. The "
+        "corpus floats are never read at query time; at 100 TB the codes "
+        "column is ~32x smaller than the embeddings it stands in for."
+    ),
     "events_sessionize": (
         "Gap-based sessionization. One `Exchange hashpartitioning(user_id)` "
         "feeds BOTH the lag/cumsum window and the per-session aggregation — "

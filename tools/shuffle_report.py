@@ -75,6 +75,7 @@ QUERIES_TO_PROFILE = [
     "dedup_simhash_idf",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "index_term_freq",
     "events_rolling_dau",
     "embedding_gram_matrix",
