@@ -22,11 +22,21 @@ centroid index (``array_position`` picks the first minimum).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens_of
 from ..operators.pq import pq_encode, pq_lowest_id_codebooks, pq_topk
-from ..sources.readers import load_table
+from ..sources.readers import (
+    derived_cache_ok,
+    fixture_fingerprint,
+    load_table,
+    mark_derived_cache,
+)
+from .round8c_queries import _DELETES_SQL
 
 #: PQ geometry for the 64-dim fixture: 8 subspaces x 8 dims, 16 centroids
 _M, _K_CENTS, _D_SUB = 8, 16, 8
@@ -128,12 +138,136 @@ SELECT query_id, neighbor_id, exact_d2, CAST(rank AS INTEGER) AS rank
 FROM reranked WHERE rank <= 5
 """
 
+# --------------------------------------------------------------------------
+# "Did you mean", edit distance 2 — SymSpell deletes-2 blocking
+# --------------------------------------------------------------------------
+
+#: out-of-vocabulary query terms, each edit-distance 2 from a common
+#: corpus term (table, stream, query, filter, window)
+_TYPO2_QUERIES = ["tbl", "strm", "qry", "fltr", "wndw"]
+
+#: {c} ∪ deletes1(c) ∪ deletes2(c): apply the single-deletion expansion
+#: to every member of the distance-1 set and dedupe — Garbe's deletes-2
+#: index unit, which extends SymSpell's completeness guarantee to ED <= 2
+_DELETES2_SQL = (
+    "array_distinct(flatten(transform("
+    + _DELETES_SQL
+    + ", s -> "
+    + _DELETES_SQL.format(c="s")
+    + ")))"
+)
+
+
+def _staged_spell_vocab2(spark: SparkSession, sf_dir: str) -> str:
+    """(term, df, variant) SymSpell deletes-2 index parquet per fixture —
+    same build-once-with-the-corpus discipline as the distance-1 index
+    (``round8c_queries._staged_spell_vocab``); ~1 + L + C(L,2) variants
+    per vocabulary term, the classic SymSpell space-for-probes trade."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"spellvocab2_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(path, fprint):
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            tokens_of(docs)
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .select(
+                "term", "df",
+                F.explode(
+                    F.expr(_DELETES2_SQL.format(c="term"))
+                ).alias("variant"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        mark_derived_cache(path, fprint)
+    return path
+
+
+def search_spell_suggest_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 "did you mean" suggestions per query term at Levenshtein
+    distance <= 2, ranked by document frequency then term.
+
+    Candidate generation extends the round-8c SymSpell blocking to edit
+    distance 2 with Garbe's deletes-2 sets: if ED(a, b) <= 2 then the
+    <=2-deletion neighborhoods of a and b intersect (every substitution /
+    transposition / indel combination reduces to deleting at most two
+    characters from each side), so the equi-join on the variant key is
+    COMPLETE for ED <= 2 — the oracle proves it against the naive
+    |vocab| x |queries| levenshtein cross. A non-equi length guard
+    (|len(term) - len(query)| <= 2, implied by ED <= 2) prunes the
+    short-variant collisions that distance-2 deletion sets of short
+    strings otherwise generate. Exact levenshtein verifies candidates;
+    ranking is deterministic (df desc, term asc)."""
+    from pyspark.sql import Window
+
+    vexp = spark.read.parquet(_staged_spell_vocab2(spark, sf_dir))
+    qdf = spark.createDataFrame(
+        [(q,) for q in _TYPO2_QUERIES], "query_term string"
+    )
+    qexp = qdf.select(
+        "query_term",
+        F.explode(
+            F.expr(_DELETES2_SQL.format(c="query_term"))
+        ).alias("variant"),
+    )
+    cands = (
+        qexp.join(
+            vexp,
+            (qexp.variant == vexp.variant)
+            & (
+                F.abs(F.length("term") - F.length("query_term")) <= 2
+            ),
+        )
+        .select("query_term", "term", "df")
+        .distinct()
+    )
+    scored = cands.where(
+        (F.levenshtein("query_term", "term") <= 2)
+        & (F.col("term") != F.col("query_term"))
+    )
+    w = Window.partitionBy("query_term").orderBy(
+        F.desc("df"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "query_term", "rank", F.col("term").alias("suggestion"), "df"
+        )
+        .orderBy("query_term", "rank")
+    )
+
+
+SPELL_SUGGEST_D2_SQL = """
+WITH q(query_term) AS (
+  VALUES ('tbl'), ('strm'), ('qry'), ('fltr'), ('wndw')),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+'))
+           AS term
+  FROM documents),
+vocab AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+scored AS (
+  SELECT q.query_term, v.term AS suggestion, v.df,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q.query_term
+                                 ORDER BY v.df DESC, v.term ASC)
+              AS INTEGER) AS rank
+  FROM q JOIN vocab v
+    ON levenshtein(q.query_term, v.term) <= 2 AND v.term <> q.query_term)
+SELECT query_term, rank, suggestion, df
+FROM scored WHERE rank <= 3 ORDER BY query_term, rank
+"""
+
+
 QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_rerank": ann_pq_rerank,
+    "search_spell_suggest_d2": search_spell_suggest_d2,
 }
 
 ORACLES = {
     "ann_pq_topk": ANN_PQ_TOPK_SQL,
     "ann_pq_rerank": ANN_PQ_RERANK_SQL,
+    "search_spell_suggest_d2": SPELL_SUGGEST_D2_SQL,
 }
