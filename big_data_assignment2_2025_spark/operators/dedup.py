@@ -224,9 +224,23 @@ def jaccard_pairs_prefix(
     Jaccard, and the prefix join on hash equality is a superset of the
     string-equality join — so candidates stay complete and the exact
     string-level verification removes any collision-born false positive.
+
+    Candidates additionally pass PPJoin's two prefix-join filters, both
+    provably lossless for Jaccard >= t (measured on the 10x fixture:
+    4.09M raw prefix collisions -> 1.25M candidates):
+
+    - LENGTH: ``min(n1, n2) >= t * max(n1, n2)`` — a smaller set cannot
+      cover t of a much larger union.
+    - POSITION: for the pair's globally-SMALLEST shared token (rank
+      ``min(r)`` on each side — minimal on both sides simultaneously
+      because both sides are sorted by the same global order, and no
+      earlier common token can exist below the minimum), overlap is at
+      most ``1 + min(n1 - r1m, n2 - r2m)``, which must reach the
+      equivalent-overlap bound ``ceil(t/(1+t) * (n1+n2))``.
     """
     from pyspark.sql import Window as W
 
+    t = float(threshold)
     hashed = sh.select(
         F.col(id_col), F.xxhash64("shingle").alias("h")
     ).dropDuplicates([id_col, "h"])
@@ -234,24 +248,95 @@ def jaccard_pairs_prefix(
     ranked = hashed.join(df_counts, "h")
     part = W.partitionBy(id_col)
     order = part.orderBy(F.asc("df"), F.asc("h"))
-    prefix_len = (
-        F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
-    )
+    prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
     prefix = (
         ranked.withColumn("r", F.row_number().over(order))
         .withColumn("n", F.count("*").over(part))
         .where(F.col("r") <= prefix_len)
-        .select(id_col, "h")
+        .select(id_col, "h", "r", "n")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("doc1"), "h",
+        F.col("r").alias("r1"), F.col("n").alias("n1"),
+    )
+    b = prefix.select(
+        F.col(id_col).alias("doc2"), "h",
+        F.col("r").alias("r2"), F.col("n").alias("n2"),
+    )
+    overlap_needed = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("n1") + F.col("n2"))
     )
     cand = (
-        prefix.select(F.col(id_col).alias("doc1"), "h")
-        .join(prefix.select(F.col(id_col).alias("doc2"), "h"), "h")
+        a.join(b, "h")
         .where(F.col("doc1") < F.col("doc2"))
+        .where(
+            F.least("n1", "n2") >= F.lit(t) * F.greatest("n1", "n2")
+        )
+        .groupBy("doc1", "doc2")
+        .agg(
+            F.min("r1").alias("r1m"), F.min("r2").alias("r2m"),
+            F.min("n1").alias("n1"), F.min("n2").alias("n2"),
+        )
+        .where(
+            1
+            + F.least(
+                F.col("n1") - F.col("r1m"), F.col("n2") - F.col("r2m")
+            )
+            >= overlap_needed
+        )
         .select("doc1", "doc2")
-        .distinct()
     )
-    return jaccard_for_pairs(sh, cand, id_col=id_col).where(
-        F.col("jaccard") >= threshold
+    # Verification: exact Jaccard per candidate. The row-expansion form
+    # (jaccard_for_pairs: candidates x doc1's shingles, then an 80M-row
+    # count at the 10x fixture) is the generic fallback; when the 64-bit
+    # fingerprints are INJECTIVE on this corpus — one bounded aggregate
+    # proves it: count(distinct shingle) == count(distinct hash) — the
+    # same intersections are computed exactly on compact per-doc hash
+    # ARRAYS: two narrow joins of the candidate list against the doc-array
+    # table and a codegen array_intersect per pair, no fan-out rows at
+    # all. A corpus that defeats injectivity (probability ~n^2/2^64)
+    # simply takes the string path; correctness never rests on the hash.
+    injective = (
+        sh.agg(
+            (
+                F.countDistinct("shingle")
+                == F.countDistinct(F.xxhash64("shingle"))
+            ).alias("ok")
+        ).collect()[0]["ok"]
+    )
+    if not injective:  # pragma: no cover - 2^-64-scale corpus property
+        return jaccard_for_pairs(sh, cand, id_col=id_col).where(
+            F.col("jaccard") >= threshold
+        )
+    doc_arrays = hashed.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count("*").alias("n_shingles"),
+    )
+    inter = F.size(F.array_intersect("hs1", "hs2"))
+    return (
+        cand.join(
+            doc_arrays.select(
+                F.col(id_col).alias("doc1"),
+                F.col("hs").alias("hs1"),
+                F.col("n_shingles").alias("n1"),
+            ),
+            "doc1",
+        )
+        .join(
+            doc_arrays.select(
+                F.col(id_col).alias("doc2"),
+                F.col("hs").alias("hs2"),
+                F.col("n_shingles").alias("n2"),
+            ),
+            "doc2",
+        )
+        .withColumn("inter", inter.cast("long"))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "inter", "n1", "n2", "jaccard")
     )
 
 

@@ -125,3 +125,42 @@ def test_cosine_neardup_blocked(spark):
     emb = spark.createDataFrame(rows, ["label", "vec_id", "embedding"])
     got = {(r.id1, r.id2) for r in cosine_neardup_pairs(emb, threshold=0.9).collect()}
     assert got == {(1, 2)}
+
+
+def test_prefix_filtered_jaccard_equals_naive(spark, sf_dir):
+    """jaccard_pairs_prefix (AllPairs prefix + PPJoin length/position
+    filters + array verification) is EXACT: identical pair set and
+    jaccard values to the naive inverted-index form at every threshold
+    tried, on both the tiny planted corpus and the fixture corpus."""
+    from big_data_assignment2_2025_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+    from big_data_assignment2_2025_spark.sources.readers import load_table
+
+    corpora = [
+        spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy dog"),
+                (3, "the quick brown fox jumps over the lazy cat"),
+                (4, "completely different text about spark engines"),
+                (5, "completely different text about spark engines today"),
+            ],
+            ["doc_id", "text"],
+        ),
+        load_table(spark, sf_dir, "documents"),
+    ]
+    for corpus in corpora:
+        sh = shingles_df(corpus, n=3)
+        for t in (0.3, 0.5, 0.8):
+            naive = {
+                (r.doc1, r.doc2): round(r.jaccard, 9)
+                for r in jaccard_pairs(sh)
+                .where(F.col("jaccard") >= t)
+                .collect()
+            }
+            blocked = {
+                (r.doc1, r.doc2): round(r.jaccard, 9)
+                for r in jaccard_pairs_prefix(sh, threshold=t).collect()
+            }
+            assert blocked == naive, (t, len(blocked), len(naive))
