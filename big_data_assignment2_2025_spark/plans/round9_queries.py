@@ -260,14 +260,153 @@ FROM scored WHERE rank <= 3 ORDER BY query_term, rank
 """
 
 
+# --------------------------------------------------------------------------
+# Z-order clustering + manifest-stats file skipping (functions/zorder.py)
+# --------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_COMMITS = 8
+
+
+def _staged_zorder_store(spark: SparkSession, sf_dir: str) -> str:
+    """Lineitem re-clustered BY MORTON KEY into a SnapshotStore of
+    ``_Z_COMMITS`` zkey-range members with zkey stats — the layout
+    ``OPTIMIZE ZORDER BY (l_partkey, l_suppkey)`` produces: every file's
+    [min, max] zkey envelope is tight, so a 2-D box query prunes files
+    through ONE column's stats. Fingerprint-gated like all derived
+    copies."""
+    import shutil
+
+    from ..functions.zorder import zorder_key2
+    from ..sources.snapshots import SnapshotStore
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"zorderstore_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(base, fprint):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+        )
+        z = li.withColumn(
+            "zkey", zorder_key2("l_partkey", "l_suppkey", bits=_Z_BITS)
+        )
+        zmax = z.agg(F.max("zkey")).collect()[0][0]
+        store = SnapshotStore(base)
+        for b in range(_Z_COMMITS):
+            chunk = z.where(
+                F.col("zkey") * _Z_COMMITS / (zmax + 1) >= b
+            ).where(F.col("zkey") * _Z_COMMITS / (zmax + 1) < b + 1)
+            store.commit(
+                chunk,
+                mode="overwrite" if b == 0 else "append",
+                stats_cols=["zkey"],
+            )
+        mark_derived_cache(base, fprint)
+    return base
+
+
+def _zkey_py(x: int, y: int, bits: int = _Z_BITS) -> int:
+    key = 0
+    for i in range(bits):
+        key += ((x >> i) & 1) << (2 * i)
+        key += ((y >> i) & 1) << (2 * i + 1)
+    return key
+
+
+def storage_zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axis-aligned box aggregate (l_partkey x l_suppkey) served from the
+    Z-ORDERED store through manifest-stats pruning: the box maps to the
+    zkey range [zkey(p1, s1), zkey(p2, s2)] (valid superset by the Morton
+    key's per-coordinate monotonicity), ``read_where`` opens only members
+    whose zkey envelope overlaps it, and the exact box predicate
+    re-applies after the prune. The oracle is a PLAIN box filter over the
+    source table — pruning must be semantically invisible, which is
+    precisely what the hash gate checks. tests/test_zorder.py pins that
+    members really are skipped (inputFiles) and that a corner box prunes
+    most of the store."""
+    from ..sources.snapshots import SnapshotStore
+
+    store = SnapshotStore(_staged_zorder_store(spark, sf_dir))
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = li.agg(
+        F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
+    ).collect()[0]
+    p1, p2 = 0, int(mx["p"]) // 4
+    s1, s2 = 0, int(mx["s"]) // 4
+    lo, hi = _zkey_py(p1, s1), _zkey_py(p2, s2)
+    pruned = store.read_where(spark, "zkey", lo, hi + 1)
+    return (
+        pruned.where(
+            F.col("l_partkey").between(p1, p2)
+            & F.col("l_suppkey").between(s1, s2)
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+STORAGE_ZORDER_BOX_SQL = """
+WITH b AS (
+  SELECT CAST(MAX(l_partkey) // 4 AS BIGINT) AS p2,
+         CAST(MAX(l_suppkey) // 4 AS BIGINT) AS s2
+  FROM lineitem)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem, b
+WHERE l_partkey BETWEEN 0 AND b.p2 AND l_suppkey BETWEEN 0 AND b.s2
+"""
+
+
+def zorder_key_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine gate for the Morton-key bit math itself: the 20
+    largest zkeys over distinct (l_partkey, l_suppkey) pairs, engine vs
+    the oracle's identical integer fold."""
+    from ..functions.zorder import zorder_key2
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        li.withColumn(
+            "zkey", zorder_key2("l_partkey", "l_suppkey", bits=_Z_BITS)
+        )
+        .orderBy(F.desc("zkey"))
+        .limit(20)
+        .select("l_partkey", "l_suppkey", "zkey")
+    )
+
+
+def _zorder_topk_sql() -> str:
+    from ..functions.zorder import zorder_key2_sql
+
+    z = zorder_key2_sql("l_partkey", "l_suppkey", bits=_Z_BITS)
+    return f"""
+WITH d AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT l_partkey, l_suppkey, CAST({z} AS BIGINT) AS zkey
+FROM d ORDER BY zkey DESC LIMIT 20
+"""
+
+
 QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_rerank": ann_pq_rerank,
     "search_spell_suggest_d2": search_spell_suggest_d2,
+    "storage_zorder_box_read": storage_zorder_box_read,
+    "zorder_key_topk": zorder_key_topk,
 }
 
 ORACLES = {
     "ann_pq_topk": ANN_PQ_TOPK_SQL,
     "ann_pq_rerank": ANN_PQ_RERANK_SQL,
     "search_spell_suggest_d2": SPELL_SUGGEST_D2_SQL,
+    "storage_zorder_box_read": STORAGE_ZORDER_BOX_SQL,
+    "zorder_key_topk": _zorder_topk_sql(),
 }

@@ -59,6 +59,14 @@ COMMENTARY = {
         "corpus floats are never read at query time; at 100 TB the codes "
         "column is ~32x smaller than the embeddings it stands in for."
     ),
+    "storage_zorder_box_read": (
+        "Z-order clustered store read. The 2-D box becomes ONE zkey range "
+        "(Morton-key per-coordinate monotonicity), the snapshot manifest's "
+        "per-member [min, max] zkey stats prune files before any scan, and "
+        "the exact box predicate re-applies after — at 100 TB the fact "
+        "table is laid out once by OPTIMIZE-ZORDER and every axis-aligned "
+        "box on the interleaved dimensions skips most of the files."
+    ),
     "events_sessionize": (
         "Gap-based sessionization. One `Exchange hashpartitioning(user_id)` "
         "feeds BOTH the lag/cumsum window and the per-session aggregation — "
