@@ -188,7 +188,10 @@ def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -
 
 
 def jaccard_pairs_prefix(
-    sh: DataFrame, threshold: float, id_col: str = "doc_id"
+    sh: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    assume_injective: bool | None = None,
 ) -> DataFrame:
     """EXACT thresholded Jaccard via prefix filtering (AllPairs, Bayardo et
     al. WWW'07; PPJoin, Xiao et al. WWW'08) — same result set as
@@ -296,8 +299,14 @@ def jaccard_pairs_prefix(
     # table and a codegen array_intersect per pair, no fan-out rows at
     # all. A corpus that defeats injectivity (probability ~n^2/2^64)
     # simply takes the string path; correctness never rests on the hash.
+    # The probe is an EAGER job at plan-construction time; callers that
+    # build the plan repeatedly over one corpus should run it once and
+    # pass ``assume_injective`` (plans/dedup_queries.py caches it per
+    # fixture fingerprint).
     injective = (
-        sh.agg(
+        assume_injective
+        if assume_injective is not None
+        else sh.agg(
             (
                 F.countDistinct("shingle")
                 == F.countDistinct(F.xxhash64("shingle"))

@@ -21,7 +21,11 @@ from ..operators.dedup import (
     simhash_pairs,
     simhash_signatures,
 )
-from ..sources.readers import load_table
+from ..sources.readers import fixture_fingerprint, load_table
+
+#: per-fixture cache of the shingle-fingerprint injectivity probe
+#: (see dedup_ngram_threshold)
+_INJECTIVE_CACHE: dict[str, bool] = {}
 
 # Shared oracle CTEs: tokens with position, distinct 3-gram shingles.
 _SHINGLES_CTE = """
@@ -89,9 +93,22 @@ def dedup_ngram_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     of spill on the unfiltered plan at the 10x fixture)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles_df(docs, n=3)
-    return jaccard_pairs_prefix(sh, threshold=0.5).select(
-        "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
-    )
+    # the operator's injectivity probe is an eager job; run it once per
+    # fixture and reuse (fingerprint-keyed, same discipline as staged
+    # derived data) so repeated plan builds stay cheap
+    key = fixture_fingerprint(sf_dir)
+    if key not in _INJECTIVE_CACHE:
+        _INJECTIVE_CACHE[key] = bool(
+            sh.agg(
+                (
+                    F.countDistinct("shingle")
+                    == F.countDistinct(F.xxhash64("shingle"))
+                ).alias("ok")
+            ).collect()[0]["ok"]
+        )
+    return jaccard_pairs_prefix(
+        sh, threshold=0.5, assume_injective=_INJECTIVE_CACHE[key]
+    ).select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
 
 
 DEDUP_NGRAM_THRESHOLD_SQL = f"""

@@ -37,7 +37,6 @@ def _normalize_plan(plan: str) -> str:
     s = plan
     s = re.sub(r"#\d+", "#x", s)                      # expression ids
     s = re.sub(r"plan_id=\d+", "plan_id=x", s)
-    s = re.sub(r"\[id=#x\]", "[id=#x]", s)
     s = re.sub(r"\(\d+\)", "(n)", s)                   # codegen stage ids
     s = re.sub(r"Statistics\([^)]*\)", "Statistics(x)", s)
     s = re.sub(r"file:[^\],\s]+", "file:x", s)         # local paths
