@@ -181,6 +181,8 @@ WHITELIST: dict[str, dict[str, str]] = {
     "pandas_udf_quantile_bucket": {"arrow_python": "the sanctioned @pandas_udf API-parity demo (Arrow-vectorized)"},
     "udtf_top_terms": {"arrow_python": "Python UDTF with useArrow=True (ArrowEvalPythonUDTF) — API-parity query, oracle proves native ops reproduce it"},
     "embedding_gram_matrix": {"arrow_python": "matrix-valued aggregate: one numpy M.T@M partial per Arrow batch (MapInPandas) — d^2 partial entries per batch on the wire, column exprs cannot fold a Gram matrix"},
+    "ann_pq_topk": {"arrow_python": "PQ ADC scan: numpy LUT scores a whole Arrow batch against all queries at once and emits only per-batch partial top-k (<= |Q|*k rows per batch) — a |Q|x256-double gather per row that column exprs cannot fold; encoding stays pure Catalyst"},
+    "ann_pq_rerank": {"arrow_python": "same sanctioned PQ ADC stage feeding the shortlist; the exact rerank itself is native zip_with/aggregate JVM exprs"},
     "events_type_stats_arrow": {"arrow_python": "sanctioned applyInArrow grouped-map demo — bounded group domain (5 event types), one Arrow batch per group, oracle proves native aggregation reproduces it"},
 }
 
