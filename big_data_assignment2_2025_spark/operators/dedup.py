@@ -187,6 +187,61 @@ def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -
     )
 
 
+def prefix_filtered_candidates(
+    hashed: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc1, doc2) candidate pairs from the AllPairs prefix inverted
+    index over ``hashed`` (distinct (id, h) fingerprint rows), pruned by
+    PPJoin's length and position filters — the candidate generator behind
+    ``jaccard_pairs_prefix``, exposed separately so tools/scale_probe.py
+    can measure its growth like every other bucketed family's."""
+    from pyspark.sql import Window as W
+
+    t = float(threshold)
+    df_counts = hashed.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = hashed.join(df_counts, "h")
+    part = W.partitionBy(id_col)
+    order = part.orderBy(F.asc("df"), F.asc("h"))
+    prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    prefix = (
+        ranked.withColumn("r", F.row_number().over(order))
+        .withColumn("n", F.count("*").over(part))
+        .where(F.col("r") <= prefix_len)
+        .select(id_col, "h", "r", "n")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("doc1"), "h",
+        F.col("r").alias("r1"), F.col("n").alias("n1"),
+    )
+    b = prefix.select(
+        F.col(id_col).alias("doc2"), "h",
+        F.col("r").alias("r2"), F.col("n").alias("n2"),
+    )
+    overlap_needed = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("n1") + F.col("n2"))
+    )
+    return (
+        a.join(b, "h")
+        .where(F.col("doc1") < F.col("doc2"))
+        .where(
+            F.least("n1", "n2") >= F.lit(t) * F.greatest("n1", "n2")
+        )
+        .groupBy("doc1", "doc2")
+        .agg(
+            F.min("r1").alias("r1m"), F.min("r2").alias("r2m"),
+            F.min("n1").alias("n1"), F.min("n2").alias("n2"),
+        )
+        .where(
+            1
+            + F.least(
+                F.col("n1") - F.col("r1m"), F.col("n2") - F.col("r2m")
+            )
+            >= overlap_needed
+        )
+        .select("doc1", "doc2")
+    )
+
+
 def jaccard_pairs_prefix(
     sh: DataFrame,
     threshold: float,
@@ -241,54 +296,10 @@ def jaccard_pairs_prefix(
       most ``1 + min(n1 - r1m, n2 - r2m)``, which must reach the
       equivalent-overlap bound ``ceil(t/(1+t) * (n1+n2))``.
     """
-    from pyspark.sql import Window as W
-
-    t = float(threshold)
     hashed = sh.select(
         F.col(id_col), F.xxhash64("shingle").alias("h")
     ).dropDuplicates([id_col, "h"])
-    df_counts = hashed.groupBy("h").agg(F.count("*").alias("df"))
-    ranked = hashed.join(df_counts, "h")
-    part = W.partitionBy(id_col)
-    order = part.orderBy(F.asc("df"), F.asc("h"))
-    prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-    prefix = (
-        ranked.withColumn("r", F.row_number().over(order))
-        .withColumn("n", F.count("*").over(part))
-        .where(F.col("r") <= prefix_len)
-        .select(id_col, "h", "r", "n")
-    )
-    a = prefix.select(
-        F.col(id_col).alias("doc1"), "h",
-        F.col("r").alias("r1"), F.col("n").alias("n1"),
-    )
-    b = prefix.select(
-        F.col(id_col).alias("doc2"), "h",
-        F.col("r").alias("r2"), F.col("n").alias("n2"),
-    )
-    overlap_needed = F.ceil(
-        F.lit(t / (1.0 + t)) * (F.col("n1") + F.col("n2"))
-    )
-    cand = (
-        a.join(b, "h")
-        .where(F.col("doc1") < F.col("doc2"))
-        .where(
-            F.least("n1", "n2") >= F.lit(t) * F.greatest("n1", "n2")
-        )
-        .groupBy("doc1", "doc2")
-        .agg(
-            F.min("r1").alias("r1m"), F.min("r2").alias("r2m"),
-            F.min("n1").alias("n1"), F.min("n2").alias("n2"),
-        )
-        .where(
-            1
-            + F.least(
-                F.col("n1") - F.col("r1m"), F.col("n2") - F.col("r2m")
-            )
-            >= overlap_needed
-        )
-        .select("doc1", "doc2")
-    )
+    cand = prefix_filtered_candidates(hashed, threshold, id_col=id_col)
     # Verification: exact Jaccard per candidate. The row-expansion form
     # (jaccard_for_pairs: candidates x doc1's shingles, then an 80M-row
     # count at the 10x fixture) is the generic fallback; when the 64-bit

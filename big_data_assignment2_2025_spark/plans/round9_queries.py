@@ -276,6 +276,138 @@ FROM scored WHERE rank <= 3 ORDER BY query_term, rank
 
 
 # --------------------------------------------------------------------------
+# SQ8 scalar-quantized ANN — the int8 compression rung between the binary
+# sign signatures (32x smaller, coarse) and PQ codes (32x, trained)
+# --------------------------------------------------------------------------
+
+#: quantization levels: symmetric int8, q in [-127, 127]
+_SQ8_LEVELS = 127
+
+
+def _sq8_quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, q array<int>, qnorm2 bigint): per-vector symmetric int8
+    quantization — scale = max|x| / 127, code = floor(x/scale + 0.5)
+    (explicit floor-half-up, identical IEEE chain in DuckDB, no
+    engine-specific round()). The scale cancels out of the cosine, so
+    scored distances are INTEGER dot products over int8 codes divided by
+    integer norms: exact cross-engine, and the scan reads 4x less than
+    fp32 — the standard FAISS SQ8 trade (quantization error only,
+    no training)."""
+    x = "CAST(e AS DOUBLE)"
+    scale = (
+        f"greatest(aggregate(embedding, CAST(0 AS DOUBLE),"
+        f" (a, e) -> greatest(a, abs({x}))), CAST(1e-12 AS DOUBLE))"
+        f" / {_SQ8_LEVELS}"
+    )
+    q = (
+        f"transform(embedding, e -> CAST(floor({x} / ({scale}) + 0.5D)"
+        f" AS INT))"
+    )
+    return emb.select(
+        "vec_id",
+        F.expr(q).alias("q"),
+        F.expr(
+            f"aggregate({q}, 0L, (a, c) -> a + CAST(c AS BIGINT) * c)"
+        ).alias("qnorm2"),
+    )
+
+
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-5 for query vectors vec_id < 5 over int8
+    scalar-quantized embeddings: integer dot product of the codes over
+    the integer norms (per-vector scales cancel), rounded to 6 decimals
+    before ranking, ties by neighbor id."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    sq = _sq8_quantized(emb)
+    qs = sq.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("qnorm2").alias("qn"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qq, q, (a, b) -> CAST(a AS BIGINT) * b),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    scored = (
+        sq.join(F.broadcast(qs))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot
+                / (
+                    F.sqrt(F.col("qn").cast("double"))
+                    * F.sqrt(F.col("qnorm2").cast("double"))
+                ),
+                6,
+            ).alias("cosine_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_q"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", "cosine_q",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+_SQ8_SCALE_SQL = (
+    f"greatest(list_max(list_transform(embedding,"
+    f" e -> abs(CAST(e AS DOUBLE)))), CAST(1e-12 AS DOUBLE))"
+    f" / {_SQ8_LEVELS}"
+)
+_SQ8_Q_SQL = (
+    f"list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE)"
+    f" / ({_SQ8_SCALE_SQL}) + 0.5) AS INTEGER))"
+)
+
+ANN_SQ8_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+sq AS (
+  SELECT vec_id, {_SQ8_Q_SQL} AS q FROM e
+),
+sqn AS (
+  SELECT vec_id, q,
+         list_sum(list_transform(q, c -> CAST(c AS BIGINT) * c)) AS qnorm2
+  FROM sq
+),
+qs AS (SELECT vec_id AS query_id, q AS qq, qnorm2 AS qn
+       FROM sqn WHERE vec_id < 5),
+scored AS (
+  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(range(1, len(c.q) + 1),
+             i -> CAST(qs.qq[CAST(i AS INTEGER)] AS BIGINT)
+                  * c.q[CAST(i AS INTEGER)]))
+           / (sqrt(CAST(qs.qn AS DOUBLE)) * sqrt(CAST(c.qnorm2 AS DOUBLE))),
+           6) AS cosine_q
+  FROM sqn c CROSS JOIN qs
+  WHERE qs.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_q DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine_q, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # Z-order clustering + manifest-stats file skipping (functions/zorder.py)
 # --------------------------------------------------------------------------
 
@@ -431,6 +563,7 @@ FROM d ORDER BY zkey DESC LIMIT 20
 QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_rerank": ann_pq_rerank,
+    "ann_sq8_topk": ann_sq8_topk,
     "search_spell_suggest_d2": search_spell_suggest_d2,
     "storage_zorder_box_read": storage_zorder_box_read,
     "zorder_key_topk": zorder_key_topk,
@@ -439,6 +572,7 @@ QUERIES = {
 ORACLES = {
     "ann_pq_topk": ANN_PQ_TOPK_SQL,
     "ann_pq_rerank": ANN_PQ_RERANK_SQL,
+    "ann_sq8_topk": ANN_SQ8_SQL,
     "search_spell_suggest_d2": SPELL_SUGGEST_D2_SQL,
     "storage_zorder_box_read": STORAGE_ZORDER_BOX_SQL,
     "zorder_key_topk": _zorder_topk_sql(),

@@ -95,3 +95,33 @@ def test_pq_partial_topk_survives_multiple_batches(spark, sf_dir):
         for r in pq_topk(codes8, queries, books, k=5).collect()
     }
     assert got1 == got8 and len(got1) == 25
+
+
+def test_sq8_codes_in_range_and_recall(spark, sf_dir):
+    """int8 codes stay in [-127, 127]; SQ8's top-5 recalls most of the
+    exact-cosine top-5 (scalar quantization of 64-dim floats loses little
+    ranking signal)."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_2025_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from big_data_assignment2_2025_spark.plans.round9_queries import (
+        _sq8_quantized,
+        ann_sq8_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = _sq8_quantized(emb)
+    bad = sq.where(
+        F.exists("q", lambda c: (c > 127) | (c < -127))
+    ).count()
+    assert bad == 0
+    exact = brute_force_topk(emb, emb.where(emb.vec_id < 5), k=5)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got_set = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_sq8_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact_set & got_set) / len(exact_set)
+    assert recall >= 0.8, recall

@@ -245,6 +245,18 @@ def _candidate_counts(spark, sf_dir: str, shard_divisor: int = 1) -> dict[str, i
         .distinct()
         .count()
     )
+    # AllPairs prefix + PPJoin length/position filters at t=0.5 — the
+    # round-9 exact path's candidate universe (dedup_ngram_threshold)
+    from big_data_assignment2_2025_spark.operators.dedup import (
+        prefix_filtered_candidates,
+    )
+
+    hashed = sh.select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    ).dropDuplicates(["doc_id", "h"])
+    out["ngram_prefix_filtered"] = prefix_filtered_candidates(
+        hashed, 0.5
+    ).count()
     # simhash chunk blocking: collisions in any of the 4 chunks (pre-hamming)
     def _chunk_collisions(sigs):
         n_chunks, chunk_bits = 4, SIMHASH_BITS // 4
