@@ -50,6 +50,7 @@ HEADLINE = [
     "bm25_search_materialized",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_sq8_topk",
     "asof_last_purchase",
     "percentile_stats",
     "pipeline_clean_corpus",

@@ -67,6 +67,14 @@ COMMENTARY = {
         "table is laid out once by OPTIMIZE-ZORDER and every axis-aligned "
         "box on the interleaved dimensions skips most of the files."
     ),
+    "ann_sq8_topk": (
+        "Scalar-quantized (int8) ANN scan: quantization is a pure scan-side "
+        "Catalyst projection, scoring is an integer dot product over codes "
+        "(the per-vector scales cancel out of the cosine) with a broadcast "
+        "query side — whole-stage codegen end to end, no Python. At 100 TB "
+        "the codes column scans 4x faster than fp32 and feeds the same "
+        "shortlist-then-exact-rerank composition as the Hamming family."
+    ),
     "events_sessionize": (
         "Gap-based sessionization. One `Exchange hashpartitioning(user_id)` "
         "feeds BOTH the lag/cumsum window and the per-session aggregation — "

@@ -76,6 +76,7 @@ QUERIES_TO_PROFILE = [
     "ann_lsh_bucketed",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_sq8_topk",
     "index_term_freq",
     "events_rolling_dau",
     "embedding_gram_matrix",
