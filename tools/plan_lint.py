@@ -101,6 +101,7 @@ WHITELIST: dict[str, dict[str, str]] = {
         "unpartitioned_window": "cumsum + running max over the DAILY aggregate (bounded by calendar)",
         "single_partition_sort": "same calendar-bounded daily frame",
     },
+    "ann_sq8_topk": {"bnlj": "deliberate: corpus int8 codes x BROADCAST bounded query-code set (5 rows, one 64-int array + norm each) — same shape as the Hamming family"},
     "ann_hamming_rerank": {"bnlj": "stage-1 shortlist: corpus signatures x BROADCAST bounded query-signature set (5 rows); stage 2 is an equi-join"},
     "events_seasonal_decompose": {
         "unpartitioned_window": "centered 7-row trend over the DAILY aggregate (bounded by calendar, ~36.5k rows/century)",
