@@ -277,11 +277,14 @@ def jaccard_pairs_prefix(
     not the strings: the global order is ``(df-of-hash asc, hash asc)``
     and the prefix inverted index joins on the 8-byte hash, so the per-doc
     rank sort moves fixed 24-byte rows instead of n-gram strings. A hash
-    collision only MERGES two shingles into one item, which can raise a
-    pair's hash-set Jaccard but never lower it below the string-set
-    Jaccard, and the prefix join on hash equality is a superset of the
-    string-equality join — so candidates stay complete and the exact
-    string-level verification removes any collision-born false positive.
+    collision MERGES two shingles into one item, which can move a pair's
+    hash-set Jaccard in EITHER direction (two intersection shingles
+    colliding lowers it: A={a,b,x}, B={a,b,y}, h(a)=h(b) gives string
+    J=1/2 but hash J=1/3), so hash-space prefixes are only guaranteed
+    complete when the fingerprints are injective on this corpus. That is
+    exactly what the eager probe below checks; when it fails, BOTH
+    candidate generation and verification rerun on the raw shingle
+    strings, where the prefix-filtering lemma holds unconditionally.
 
     Candidates additionally pass PPJoin's two prefix-join filters, both
     provably lossless for Jaccard >= t (measured on the 10x fixture:
@@ -325,7 +328,18 @@ def jaccard_pairs_prefix(
         ).collect()[0]["ok"]
     )
     if not injective:  # pragma: no cover - 2^-64-scale corpus property
-        return jaccard_for_pairs(sh, cand, id_col=id_col).where(
+        # Hash-space candidates are NOT provably complete under collision
+        # (see docstring) — regenerate the candidates from the raw shingle
+        # strings, where the prefix lemma holds unconditionally, then
+        # verify exactly on strings too.
+        str_cand = prefix_filtered_candidates(
+            sh.select(
+                F.col(id_col), F.col("shingle").alias("h")
+            ).dropDuplicates([id_col, "h"]),
+            threshold,
+            id_col=id_col,
+        )
+        return jaccard_for_pairs(sh, str_cand, id_col=id_col).where(
             F.col("jaccard") >= threshold
         )
     doc_arrays = hashed.groupBy(id_col).agg(

@@ -543,7 +543,10 @@ def zorder_key_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.withColumn(
             "zkey", zorder_key2("l_partkey", "l_suppkey", bits=_Z_BITS)
         )
-        .orderBy(F.desc("zkey"))
+        # Tiebreak on the raw coordinates: zkey is injective only while
+        # both coordinates fit the bit budget (sf0.1 does; sf1's
+        # l_partkey does not), so the LIMIT cut must not depend on it.
+        .orderBy(F.desc("zkey"), F.asc("l_partkey"), F.asc("l_suppkey"))
         .limit(20)
         .select("l_partkey", "l_suppkey", "zkey")
     )
@@ -556,7 +559,7 @@ def _zorder_topk_sql() -> str:
     return f"""
 WITH d AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
 SELECT l_partkey, l_suppkey, CAST({z} AS BIGINT) AS zkey
-FROM d ORDER BY zkey DESC LIMIT 20
+FROM d ORDER BY zkey DESC, l_partkey ASC, l_suppkey ASC LIMIT 20
 """
 
 

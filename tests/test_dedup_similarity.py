@@ -164,3 +164,38 @@ def test_prefix_filtered_jaccard_equals_naive(spark, sf_dir):
                 for r in jaccard_pairs_prefix(sh, threshold=t).collect()
             }
             assert blocked == naive, (t, len(blocked), len(naive))
+
+
+def test_prefix_jaccard_noninjective_string_path(spark):
+    """The non-injective fallback of jaccard_pairs_prefix regenerates
+    candidates from raw shingle STRINGS (hash-space prefixes are not
+    provably complete under collision) — forcing it with
+    assume_injective=False must reproduce the hash path exactly."""
+    from big_data_assignment2_2025_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+            (4, "completely different text about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = shingles_df(corpus, n=3)
+    for t in (0.3, 0.8):
+        hash_path = {
+            (r.doc1, r.doc2): round(r.jaccard, 9)
+            for r in jaccard_pairs_prefix(
+                sh, threshold=t, assume_injective=True
+            ).collect()
+        }
+        string_path = {
+            (r.doc1, r.doc2): round(r.jaccard, 9)
+            for r in jaccard_pairs_prefix(
+                sh, threshold=t, assume_injective=False
+            ).collect()
+        }
+        assert string_path == hash_path, (t, string_path, hash_path)
