@@ -18,6 +18,17 @@ correctness runs; here we only want execution cost, not row transfer).
 The headline set spans the engine's surface: BM25 search (the reference's
 flagship path), TPC-H-style aggregation/join/window queries, and the
 LLM-pipeline extensions (MinHash-LSH dedup, ANN similarity).
+
+SELECTION RULE: every operator family in the registry gets at least one
+timed representative — the family's most expensive/most production-shaped
+member (its "headliner") plus any member whose plan was individually
+re-engineered for scale (those are the regression canaries). Families of
+cheap scalar/SQL-surface queries (string/date/math funcs, set ops, join
+variants, pivot/unpivot, source round-trips) get ONE representative each,
+not the full enumeration — the un-benched members share their
+representative's plan shape, and the full registry is still timed
+indirectly by the per-round oracle sweeps. TPC-H is one family (q1/q3/q5
+represent the agg/join/topk shapes).
 """
 
 from __future__ import annotations
@@ -177,6 +188,44 @@ HEADLINE = [
     "storage_merge_pruned",
     # round-8c: SymSpell deletion-blocked "did you mean"
     "search_spell_suggest",
+    # round-9: compression-ladder ANN rerank twin, deletes-2 spell
+    # suggestion, z-order clustering (key math + manifest-pruned box read)
+    "search_spell_suggest_d2",
+    "zorder_key_topk",
+    "storage_zorder_box_read",
+    # round-9: the AllPairs/PPJoin prefix-filtered exact Jaccard re-plan —
+    # the regression canary for the dedup family's scale path
+    "dedup_ngram_threshold",
+    # round-10: scale-aware SemDeDup (k derived from corpus count)
+    "embedding_semdedup_scaled",
+    # round-10 coverage sweep: one representative per previously-unbenched
+    # family (see SELECTION RULE above)
+    "topk_orders",               # TakeOrderedAndProject family
+    "join_semi",                 # join-variant family (semi/anti/outer)
+    "set_union_all",             # set-op family
+    "string_funcs",              # scalar-func family
+    "pivot_status_by_segment",   # pivot/unpivot family
+    "unpivot_part_attrs",
+    "cube_agg",                  # cube/rollup family
+    "tsv_roundtrip",             # source/sink round-trip family
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    "python_datasource_calendar",  # custom python datasource
+    "tfidf_search",              # TF-IDF ranking family
+    "correlated_scalar_subquery",  # subquery-decorrelation family
+    "sql_lateral_topk",          # LATERAL join family
+    "udtf_top_terms",            # UDTF surface
+    "pandas_udf_quantile_bucket",  # pandas-UDF surface
+    "range_join_error_clicks",   # range/band join family
+    "merge_upsert_orders",       # batch MERGE family
+    "incremental_agg_refresh",   # incremental-view-maintenance family
+    "text_language_id",          # language-ID family
+    "knn_classify",              # kNN classification family
+    "dedup_cluster_components",  # iterative connected-components family
+    "split_train_test",          # train/test split family
+    "contamination_check",       # eval-contamination family
+    "islands_active_days",       # gaps-and-islands family
+    "decimal_exact_agg",         # exact-decimal aggregation family
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

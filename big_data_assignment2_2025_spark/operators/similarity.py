@@ -373,12 +373,22 @@ def argmax_cell_assignment(
     )
 
 
+#: default expected cell occupancy for the scale-aware quantizer: k =
+#: ceil(n / TARGET_CELL_ROWS) keeps within-cell pair work at
+#: ~n * (TARGET_CELL_ROWS - 1) / 2 — linear in the corpus. 50 keeps the
+#: DuckDB oracle's within-cell join cheap at every shipped fixture while
+#: differing from the fixed-k twin's 8 cells at sf0.01 (k=10), so the
+#: scaled gate is not vacuously the fixed gate.
+TARGET_CELL_ROWS = 50
+
+
 def semantic_dedup(
     corpus: DataFrame,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_rows: int = TARGET_CELL_ROWS,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space into cells, then mark
@@ -387,6 +397,16 @@ def semantic_dedup(
     space to sum(|cell|^2) instead of N^2, which is what makes semantic
     dedup tractable on a 100 TB corpus (the paper prunes LAION/C4 the
     same way: k-means first, pairwise cosine only inside each cluster).
+
+    ``n_cells=None`` (the default) derives the cell count from the
+    corpus: ``k = max(1, ceil(n / target_cell_rows))`` — the paper's own
+    regime (k grows with n, e.g. 50k clusters for LAION-440M). This is
+    the only 100 TB-viable default: a FIXED k means cell occupancy grows
+    ∝ n and within-cell pairs ∝ n² (measured: tools/scale_probe.py r9
+    saw 10.01x pair growth at a 10x corpus with k=8, vs ~10x with
+    scaled k). Deriving k costs one column-pruned count job at
+    plan-construction time; callers that already know the corpus size —
+    or need a plan with no eager work — pass ``n_cells`` explicitly.
 
     Deviations from the paper, for engine-replayable determinism: the
     coarse quantizer is the ``ivf_topk`` one (the ``n_cells`` lowest-id
@@ -422,6 +442,9 @@ def semantic_dedup(
     right materialization is writing the assignment out partitioned by
     cell, not executor cache.
     """
+    if n_cells is None:
+        n = corpus.select(id_col).count()
+        n_cells = max(1, -(-n // target_cell_rows))
     assigned = argmax_cell_assignment(
         corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
     )

@@ -39,6 +39,7 @@ from . import (
     round8_queries,
     round8c_queries,
     round9_queries,
+    round10_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -83,6 +84,7 @@ _MODULES = [
     round8_queries,
     round8c_queries,
     round9_queries,
+    round10_queries,
     storage_queries,
 ]
 

@@ -680,6 +680,19 @@ COMMENTARY = {
         "probe measures the fixed-cell-count pair blowup) and write the "
         "corpus partitioned BY cell so the pair join is partition-local."
     ),
+    "embedding_semdedup_scaled": (
+        "Scale-aware SemDeDup (round 10, the production default): n_cells "
+        "is derived from the corpus count (k = ceil(n/50), the paper's "
+        "k ∝ n regime) instead of the fixed-k twin's 8 cells. Fixed k "
+        "makes cell occupancy ∝ n and within-cell pairs ∝ n² — the 10x "
+        "probe measured 10.01x pair growth at fixed k vs ~1.0x normalized "
+        "with scaled k. Plan shape is identical to `embedding_semdedup` "
+        "(map-only broadcast-argmax assignment, one cell-keyed pair join, "
+        "one cell-local agg) plus one column-pruned count job at plan "
+        "build; the broadcast centroid row grows as k·d floats — at "
+        "k ~ 50k (LAION-440M scale) that is ~25 MB, still broadcastable, "
+        "and beyond that the assignment becomes its own blocked join."
+    ),
     "docs_exact_substring_dedup": (
         "ExactSubstr anchor dedup (round 8b). The O(total chars) 40-char "
         "window hash is computed inside an array `transform` BEFORE the "

@@ -103,6 +103,9 @@ PROBES = [
     # the corpus, see _candidate_counts) and content-defined anchor pairs
     # (salted copies share no 40-char window, so pair growth is linear)
     "embedding_semdedup",
+    # round-10: the scale-aware twin — n_cells derived from the corpus
+    # count, the configuration whose candidate growth must stay ~linear
+    "embedding_semdedup_scaled",
     "docs_exact_substring_dedup",
     "docs_winnowing_dedup",
 ]
@@ -343,6 +346,17 @@ def _candidate_counts(spark, sf_dir: str, shard_divisor: int = 1) -> dict[str, i
     out["semdedup_cell_pairs"] = _cell_pairs(8)
     if shard_divisor > 1:
         out["semdedup_cell_pairs_scaled"] = _cell_pairs(8 * shard_divisor)
+    # the round-10 default derivation (k = ceil(n / TARGET_CELL_ROWS)):
+    # measured at BOTH scales so pair_growth reports its normalized growth
+    # like every other family's
+    from big_data_assignment2_2025_spark.operators.similarity import (
+        TARGET_CELL_ROWS,
+    )
+
+    n_emb = emb.count()
+    out["semdedup_cell_pairs_auto"] = _cell_pairs(
+        max(1, -(-n_emb // TARGET_CELL_ROWS))
+    )
     # Char-gram families: the token salting ("c3_" on every token) inflates
     # WITHIN-copy window duplication — it lengthens every repeated token run
     # by ~3 chars/token, pushing sub-40-char runs past the window width —

@@ -174,6 +174,11 @@ QUERIES_TO_PROFILE = [
     # the two char-gram dedups (expect the gram/fingerprint distinct +
     # holder groupBy + pair agg; gram hashing never shuffles)
     "embedding_semdedup",
+    # round 10: the scale-aware twin — same exchange set as the fixed-k
+    # query (cell-keyed pair join + cell-local agg) plus one column-pruned
+    # count job for the k derivation; MORE cells means SMALLER pair-join
+    # partitions, never more shuffle stages
+    "embedding_semdedup_scaled",
     "docs_exact_substring_dedup",
     "docs_winnowing_dedup",
     # round 8c: snapshot store — time travel (expect three independent
