@@ -196,8 +196,10 @@ HEADLINE = [
     # round-9: the AllPairs/PPJoin prefix-filtered exact Jaccard re-plan —
     # the regression canary for the dedup family's scale path
     "dedup_ngram_threshold",
-    # round-10: scale-aware SemDeDup (k derived from corpus count)
+    # round-10: scale-aware SemDeDup (k derived from corpus count) and
+    # snapshot-store additive schema evolution
     "embedding_semdedup_scaled",
+    "storage_schema_evolution",
     # round-10 coverage sweep: one representative per previously-unbenched
     # family (see SELECTION RULE above)
     "topk_orders",               # TakeOrderedAndProject family

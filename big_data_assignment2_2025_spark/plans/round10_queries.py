@@ -1,5 +1,16 @@
 """Round-10 queries: scale-hardening gates from the r9 verdict.
 
+- **snapshot-store schema evolution** (``storage_schema_evolution``):
+  additive add-column over the manifest store — v1 commits a 3-column
+  documents subset, v2 is a SCHEMA-ONLY ``add_column`` (same members, no
+  data), v3 appends rows that carry the new column. The gate reads all
+  three versions across the evolution boundary: v1 time-travels to the
+  PRE-evolution schema (3 columns — no retroactive column), v2 shows the
+  evolved 4-column schema with every row NULL-backfilled, v3 mixes
+  backfilled old members with scored new rows. Manifest-schema reads
+  (``spark.read.schema(...)``) do the backfill by name with zero
+  per-file footer merging — the 100 TB path (``mergeSchema`` is
+  O(files) metadata reads).
 - **scale-aware SemDeDup** (``embedding_semdedup_scaled``): the r9 probe
   measured 10.01x (quadratic) within-cell pair growth at a 10x corpus
   with the fixed 8-cell quantizer, and ~10x (linear) with k scaled to the
@@ -15,10 +26,21 @@ No reference counterpart; analytics extensions per SURVEY.md §7.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.similarity import TARGET_CELL_ROWS, semantic_dedup
-from ..sources.readers import load_table
+from ..sources.readers import (
+    derived_cache_ok,
+    fixture_fingerprint,
+    load_table,
+    mark_derived_cache,
+)
+from ..sources.snapshots import SnapshotStore
 
 from .similarity_queries import COSINE_SQL_TEMPLATE as _COSINE
 
@@ -66,10 +88,105 @@ FROM assign s LEFT JOIN dup_counts d ON s.cell = d.cell AND s.vec_id = d.vec_id
 """
 
 
+#: the evolution split: v1 = doc_id % 3 != 0, v3 appends doc_id % 3 == 0
+_EVO_MOD = 3
+#: deterministic integer "score" both engines compute bit-for-bit
+_EVO_SCORE = 97
+
+
+def _staged_evolution_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
+    """Per-fixture snapshot store with an additive evolution boundary:
+    v1 overwrite (3 columns, two thirds of documents), v2 schema-only
+    ``add_column('tox_score', 'bigint')``, v3 append (the remaining
+    third, carrying the new column). Fingerprint-gated like every derived
+    copy (``bucketed_table`` discipline)."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"snapevo_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(base, fprint):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        store = SnapshotStore(base)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        store.commit(
+            docs.where(F.col("doc_id") % _EVO_MOD != 0), mode="overwrite"
+        )
+        store.add_column("tox_score", "bigint")
+        store.commit(
+            docs.where(F.col("doc_id") % _EVO_MOD == 0).withColumn(
+                "tox_score", (F.col("n_chars") % _EVO_SCORE).cast("long")
+            ),
+            mode="append",
+        )
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
+        mark_derived_cache(base, fprint)
+    return SnapshotStore(base)
+
+
+def storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-version stats across an additive schema-evolution boundary:
+    v1 (pre-evolution) must time-travel to the OLD 3-column schema — the
+    later column does not retroactively appear; v2 (schema-only alter)
+    shows the 4-column schema with the new column NULL on every
+    backfilled row; v3 (post-evolution append) mixes NULL-backfilled old
+    members with scored new rows. ``n_cols`` gates the per-version
+    schema width, ``schema_version`` the manifest bookkeeping."""
+    store = _staged_evolution_store(spark, sf_dir)
+    out = None
+    for v in (1, 2, 3):
+        df = store.read(spark, v)
+        sv = store.manifest(v)["schema_version"]
+        if "tox_score" in df.columns:
+            agg = df.agg(
+                F.count("*").alias("n_rows"),
+                F.count("tox_score").alias("n_scored"),
+                F.sum("tox_score").cast("long").alias("sum_score"),
+            )
+        else:
+            agg = df.agg(F.count("*").alias("n_rows")).select(
+                "n_rows",
+                F.lit(None).cast("long").alias("n_scored"),
+                F.lit(None).cast("long").alias("sum_score"),
+            )
+        part = agg.select(
+            F.lit(v).alias("version"),
+            F.lit(sv).alias("schema_version"),
+            F.lit(len(df.columns)).alias("n_cols"),
+            "n_rows",
+            "n_scored",
+            "sum_score",
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("version")
+
+
+SCHEMA_EVOLUTION_SQL = f"""
+SELECT CAST(1 AS INTEGER) AS version, CAST(1 AS INTEGER) AS schema_version,
+       CAST(3 AS INTEGER) AS n_cols, COUNT(*) AS n_rows,
+       CAST(NULL AS BIGINT) AS n_scored, CAST(NULL AS BIGINT) AS sum_score
+FROM documents WHERE doc_id % {_EVO_MOD} <> 0
+UNION ALL
+SELECT 2, 2, 4, COUNT(*), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+FROM documents WHERE doc_id % {_EVO_MOD} <> 0
+UNION ALL
+SELECT 3, 2, 4, COUNT(*),
+       COUNT(CASE WHEN doc_id % {_EVO_MOD} = 0 THEN 1 END),
+       CAST(SUM(CASE WHEN doc_id % {_EVO_MOD} = 0
+                     THEN n_chars % {_EVO_SCORE} END) AS BIGINT)
+FROM documents
+ORDER BY version
+"""
+
+
 QUERIES = {
     "embedding_semdedup_scaled": embedding_semdedup_scaled,
+    "storage_schema_evolution": storage_schema_evolution,
 }
 
 ORACLES = {
     "embedding_semdedup_scaled": SEMDEDUP_SCALED_SQL,
+    "storage_schema_evolution": SCHEMA_EVOLUTION_SQL,
 }

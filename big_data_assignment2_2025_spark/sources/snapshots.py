@@ -38,6 +38,19 @@ Design (the public Delta/Iceberg insight, re-expressed minimally):
   directories, so time travel survives compaction. Physical file removal
   is a separate, explicitly-invoked ``vacuum(before_version)`` that only
   deletes directories unreachable from every retained manifest.
+- **The schema is per-version manifest metadata** (the Iceberg/Delta
+  move): each manifest records the table schema (all-nullable Spark
+  StructType JSON) and a monotone ``schema_version``. Readers apply THAT
+  version's schema explicitly (``spark.read.schema(...)``), so (a) a
+  member written before an additive evolution NULL-backfills the new
+  column with zero per-file footer merging (``mergeSchema`` would open
+  every footer — O(files) metadata reads at 100 TB; the manifest schema
+  is one KB-sized lookup), and (b) time travel to a pre-evolution
+  version reads the OLD schema — the new column does not retroactively
+  appear. Evolution is ADDITIVE ONLY: ``commit(evolve_schema=True)``
+  appends a writing batch's new columns, ``add_column()`` publishes a
+  schema-only version (same members, no data); a type change or an
+  un-flagged new column is rejected loudly at commit time.
 
 Scale: a manifest holds one entry per COMMIT (not per row), so it stays
 KB-sized until the table has thousands of commits, at which point real
@@ -55,6 +68,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, StructField, StructType
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
@@ -106,6 +120,99 @@ class SnapshotStore:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
+    # -- schema evolution ----------------------------------------------------
+
+    @staticmethod
+    def _normalize(schema: StructType) -> StructType:
+        """All-nullable copy: the recorded table schema must read members
+        that predate a column (NULL backfill) and must not spuriously
+        conflict with a writer's non-null inference."""
+        return StructType(
+            [StructField(f.name, f.dataType, True) for f in schema.fields]
+        )
+
+    @staticmethod
+    def _merge_schema(
+        prev: StructType, new: StructType, evolve: bool
+    ) -> StructType:
+        """Additive evolution: fields shared with ``prev`` must keep their
+        exact type; fields only in ``new`` are appended (requires
+        ``evolve``); fields only in ``prev`` stay (a batch may write a
+        column subset — readers backfill NULL). Type changes are never
+        evolution — they would silently corrupt every pre-change member
+        under an explicit-schema read."""
+        prev_by_name = {f.name: f for f in prev.fields}
+        added = []
+        for f in new.fields:
+            old = prev_by_name.get(f.name)
+            if old is None:
+                added.append(StructField(f.name, f.dataType, True))
+            elif old.dataType != f.dataType:
+                raise ValueError(
+                    f"type change on column {f.name!r} "
+                    f"({old.dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()}) is not additive "
+                    "evolution; write a new table instead"
+                )
+        if added and not evolve:
+            raise ValueError(
+                "batch carries new columns "
+                f"{[f.name for f in added]}; pass evolve_schema=True to "
+                "evolve the table schema additively"
+            )
+        return StructType(list(prev.fields) + added)
+
+    def schema(self, version: int | None = None) -> StructType | None:
+        """The recorded table schema of ``version`` (default latest), or
+        None for manifests that predate schema tracking."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return None
+        s = self.manifest(v).get("schema")
+        return StructType.fromJson(s) if s else None
+
+    def add_column(self, name: str, dtype: DataType | str) -> int:
+        """Publish a schema-only version adding a nullable column: same
+        members, no data written — every existing row reads as NULL in the
+        new column until a later commit/merge fills it (Delta/Iceberg
+        ``ALTER TABLE ADD COLUMN``). OCC losers rebase: re-validate
+        against the new latest schema and retry one version up."""
+        if isinstance(dtype, str):
+            dtype = StructType.fromDDL(f"`{name}` {dtype}")[0].dataType
+        for _ in range(_OCC_RETRIES):
+            prev = self.latest_version()
+            if prev is None:
+                raise ValueError("add_column() on an empty store")
+            doc = self.manifest(prev)
+            if doc.get("schema") is None:
+                raise ValueError(
+                    "add_column() needs a schema-tracking manifest; commit "
+                    "once with this store version first"
+                )
+            prev_schema = StructType.fromJson(doc["schema"])
+            if name in prev_schema.fieldNames():
+                raise ValueError(f"column {name!r} already exists")
+            new_schema = StructType(
+                list(prev_schema.fields) + [StructField(name, dtype, True)]
+            )
+            version = prev + 1
+            try:
+                self._publish(
+                    version,
+                    {"version": version, "mode": "alter",
+                     "members": list(doc["members"]), "added": [],
+                     "stats": dict(doc.get("stats", {})),
+                     "schema": new_schema.jsonValue(),
+                     "schema_version": doc.get("schema_version", 1) + 1},
+                )
+                return version
+            except FileExistsError:
+                continue  # rebase: re-read latest, retry one version up
+        raise SnapshotConflictError(
+            f"add_column could not land after {_OCC_RETRIES} rebases "
+            "(sustained contention on the manifest log)"
+        )
+
     # -- commit protocol ----------------------------------------------------
 
     def _publish(self, version: int, doc: dict) -> None:
@@ -136,6 +243,7 @@ class SnapshotStore:
         df: DataFrame,
         mode: str = "append",
         stats_cols: list[str] | None = None,
+        evolve_schema: bool = False,
     ) -> int:
         """Write ``df`` as a new commit directory, publish the next
         version. ``mode='append'`` keeps prior members; ``'overwrite'``
@@ -159,7 +267,17 @@ class SnapshotStore:
         serializable), and overwrite declares the full new table state
         (last-writer-wins IS its contract). Read-modify-write semantics
         must NOT ride this blind rebase — ``merge()`` recomputes against
-        the new state instead."""
+        the new state instead.
+
+        Schema: the manifest records the table schema (all-nullable).
+        An append whose batch carries a column the table lacks is
+        rejected unless ``evolve_schema=True`` (additive evolution: the
+        new column is appended, pre-evolution members read as NULL); a
+        type change on a shared column always raises. A batch may WRITE
+        a column subset — readers backfill the missing columns with
+        NULL. A rejected schema leaves the already-written data
+        directory as a vacuum()-collectable orphan, like any lost
+        race."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         commit_dir, full_dir = self._new_member_dir()
@@ -169,18 +287,31 @@ class SnapshotStore:
             if stats_cols
             else None
         )
+        batch_schema = self._normalize(df.schema)
         for _ in range(_OCC_RETRIES):
             prev = self.latest_version()
             version = (prev or 0) + 1
             keep_prev = mode == "append" and prev is not None
-            members = (
-                list(self.manifest(prev)["members"]) if keep_prev else []
-            )
-            stats = (
-                dict(self.manifest(prev).get("stats", {}))
-                if keep_prev
-                else {}
-            )
+            prev_doc = self.manifest(prev) if keep_prev else {}
+            members = list(prev_doc.get("members", []))
+            stats = dict(prev_doc.get("stats", {}))
+            prev_schema_json = prev_doc.get("schema")
+            if prev_schema_json is not None:
+                schema = self._merge_schema(
+                    StructType.fromJson(prev_schema_json),
+                    batch_schema,
+                    evolve_schema,
+                )
+            else:
+                # fresh table, overwrite, or a legacy (pre-schema-tracking)
+                # lineage: the batch declares the schema
+                schema = batch_schema
+            schema_json = schema.jsonValue()
+            prev_sv = prev_doc.get("schema_version", 1)
+            sv = prev_sv + 1 if (
+                prev_schema_json is not None
+                and schema_json != prev_schema_json
+            ) else prev_sv
             members.append(commit_dir)
             if new_stats is not None:
                 stats[commit_dir] = new_stats
@@ -188,7 +319,8 @@ class SnapshotStore:
                 self._publish(
                     version,
                     {"version": version, "mode": mode, "members": members,
-                     "added": [commit_dir], "stats": stats},
+                     "added": [commit_dir], "stats": stats,
+                     "schema": schema_json, "schema_version": sv},
                 )
                 return version
             except FileExistsError:
@@ -252,7 +384,12 @@ class SnapshotStore:
                 version,
                 {"version": version, "mode": "compact",
                  "members": [commit_dir], "added": [commit_dir],
-                 "stats": stats, "compaction_of": prev},
+                 "stats": stats, "compaction_of": prev,
+                 # the rewrite reads under the recorded schema, so the
+                 # compacted member physically carries every evolved
+                 # column (NULL-backfilled) — schema version unchanged
+                 "schema": doc.get("schema"),
+                 "schema_version": doc.get("schema_version", 1)},
             )
         except FileExistsError:
             raise SnapshotConflictError(
@@ -374,7 +511,9 @@ class SnapshotStore:
                         version,
                         {"version": version, "mode": "overwrite",
                          "members": [commit_dir], "added": [commit_dir],
-                         "stats": stats},
+                         "stats": stats,
+                         "schema": doc.get("schema"),
+                         "schema_version": doc.get("schema_version", 1)},
                     )
                     return version
                 except FileExistsError:
@@ -390,7 +529,12 @@ class SnapshotStore:
     def _apply_changes(
         cur: DataFrame, changes: DataFrame, keys: list[str], op_col: str
     ) -> DataFrame:
+        # a changes batch may predate an additive schema evolution (an old
+        # writer): table columns it does not carry pass through from the
+        # target (and stay NULL for inserted rows) — the partial-update
+        # coalesce generalized to a missing column
         data_cols = [c for c in cur.columns if c not in keys]
+        s_cols = set(changes.columns)
         joined = cur.alias("t").join(
             changes.alias("s"), on=keys, how="full_outer"
         )
@@ -400,7 +544,11 @@ class SnapshotStore:
         return kept.select(
             *keys,
             *[
-                F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+                (
+                    F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}"))
+                    if c in s_cols
+                    else F.col(f"t.{c}")
+                ).alias(c)
                 for c in data_cols
             ],
         )
@@ -447,9 +595,10 @@ class SnapshotStore:
     ) -> int:
         prev = doc["version"]
         if affected:
-            cur = spark.read.parquet(
-                *[os.path.join(self.base_dir, m) for m in affected]
-            )
+            # manifest-schema read: an affected member written before an
+            # additive evolution NULL-backfills the newer columns, so the
+            # rewritten member comes out schema-complete
+            cur = self._read_members(spark, doc, affected)
         else:
             # no member can hold a change key: deletes are no-ops; if the
             # batch has no inserts either, publish nothing — a no-op merge
@@ -462,8 +611,8 @@ class SnapshotStore:
             if not has_insert:
                 return prev
             # pure insert batch: empty target, schema preserved
-            cur = spark.read.parquet(
-                os.path.join(self.base_dir, doc["members"][0])
+            cur = self._read_members(
+                spark, doc, [doc["members"][0]]
             ).where(F.lit(False))
         out = self._apply_changes(cur, changes, keys, op_col)
         version = prev + 1
@@ -482,7 +631,9 @@ class SnapshotStore:
             version,
             {"version": version, "mode": "merge",
              "members": untouched + [commit_dir], "added": [commit_dir],
-             "stats": stats, "rewrote": affected},
+             "stats": stats, "rewrote": affected,
+             "schema": doc.get("schema"),
+             "schema_version": doc.get("schema_version", 1)},
         )
         return version
 
@@ -532,13 +683,31 @@ class SnapshotStore:
             for m in self.manifest(version)["members"]
         ]
 
+    def _read_members(
+        self, spark: SparkSession, doc: dict, members: list[str]
+    ) -> DataFrame:
+        """Read ``members`` under the manifest's recorded schema: members
+        that predate an additive evolution NULL-backfill the newer
+        columns by NAME, with zero per-file footer merging (contrast
+        ``mergeSchema=true``, which opens every footer). Legacy manifests
+        without a recorded schema read by inference, as before."""
+        reader = spark.read
+        if doc.get("schema") is not None:
+            reader = reader.schema(StructType.fromJson(doc["schema"]))
+        return reader.parquet(
+            *[os.path.join(self.base_dir, m) for m in members]
+        )
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Time-travel read: exactly the files the manifest names — never a
-        directory listing of ``data/``."""
+        directory listing of ``data/`` — under exactly the schema that
+        version recorded (a later add-column does not retroactively
+        appear in a pinned read)."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise ValueError("read() on an empty store")
-        return spark.read.parquet(*self._member_paths(v))
+        doc = self.manifest(v)
+        return self._read_members(spark, doc, doc["members"])
 
     def read_where(
         self,
@@ -572,32 +741,34 @@ class SnapshotStore:
             ):
                 keep.append(m)
         if not keep:  # provably empty — keep the schema, scan nothing
-            return (
-                spark.read.parquet(
-                    os.path.join(self.base_dir, schema_donor)
-                ).where(F.lit(False))
+            return self._read_members(spark, doc, [schema_donor]).where(
+                F.lit(False)
             )
-        pruned = spark.read.parquet(
-            *[os.path.join(self.base_dir, m) for m in keep]
-        )
+        pruned = self._read_members(spark, doc, keep)
         return pruned.where((F.col(col) >= lo) & (F.col(col) < hi))
 
     def diff(self, spark: SparkSession, v_from: int, v_to: int) -> DataFrame:
         """Rows in commit directories added in (v_from, v_to] — the
         incremental-consumption read. O(new data): prior members are never
         opened. Raises if the range crosses an overwrite/compaction (the
-        added-directory set is not a row-level delta there)."""
+        added-directory set is not a row-level delta there); a schema-only
+        ``alter`` version adds no rows and passes through. The delta reads
+        under ``v_to``'s schema — the consumer's view."""
         if v_to <= v_from:
             raise ValueError(f"need v_from < v_to, got {v_from} >= {v_to}")
         added: list[str] = []
+        to_doc = None
         for v in range(v_from + 1, v_to + 1):
             doc = self.manifest(v)
-            if doc["mode"] != "append":
+            if doc["mode"] not in ("append", "alter"):
                 raise ValueError(
                     f"diff across non-append v{v} ({doc['mode']}) is not a "
                     "row-level delta; read both versions and anti-join"
                 )
             added.extend(doc["added"])
-        return spark.read.parquet(
-            *[os.path.join(self.base_dir, p) for p in added]
-        )
+            to_doc = doc
+        if not added:  # pure-alter range: no rows, the evolved schema
+            return spark.createDataFrame(
+                [], StructType.fromJson(to_doc["schema"])
+            )
+        return self._read_members(spark, to_doc, added)

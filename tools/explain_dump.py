@@ -680,6 +680,18 @@ COMMENTARY = {
         "probe measures the fixed-cell-count pair blowup) and write the "
         "corpus partitioned BY cell so the pair join is partition-local."
     ),
+    "storage_schema_evolution": (
+        "Snapshot-store additive schema evolution (round 10). Each of the "
+        "three per-version reads applies the MANIFEST's recorded schema "
+        "(`spark.read.schema(...)`), so a member written before the "
+        "add-column NULL-backfills the new column inside its own scan "
+        "projection — no join, no `mergeSchema` footer sweep (that is "
+        "O(files) metadata reads at 100 TB; the manifest schema is one "
+        "KB-sized lookup). v1 time-travels to the PRE-evolution 3-column "
+        "schema: per-version schemas mean evolution is never retroactive. "
+        "Plan: three member scans + scalar aggregates, zero data-sized "
+        "exchange."
+    ),
     "embedding_semdedup_scaled": (
         "Scale-aware SemDeDup (round 10, the production default): n_cells "
         "is derived from the corpus count (k = ceil(n/50), the paper's "

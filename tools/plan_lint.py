@@ -67,6 +67,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         " one row; the map-only argmax assignment — one BNLJ per plan"
         " branch that re-derives it)"
     },
+    "embedding_semdedup_scaled": {
+        "bnlj": "same 1-row broadcast centroid-array scalar as"
+        " embedding_semdedup; k = ceil(n/50) still collapses to ONE row"
+        " of k structs (~k*d floats — 25 MB at LAION-scale k=50k, still"
+        " broadcastable)"
+    },
     "graph_kcore_peel": {"bnlj": "three 1-row x 1-row per-round summary scalar cross joins"},
     "null_semantics_parity": {"bnlj": "two broadcast 1-row aggregate scalars assembled into the summary row"},
     "q6_forecast_revenue": {"bnlj": "1-row aggregate scalar"},

@@ -179,6 +179,10 @@ QUERIES_TO_PROFILE = [
     # count job for the k derivation; MORE cells means SMALLER pair-join
     # partitions, never more shuffle stages
     "embedding_semdedup_scaled",
+    # round 10: schema evolution — expect three independent member scans
+    # + scalar aggs (like time travel), ZERO data-sized exchange; the
+    # NULL backfill is a per-file projection, not a join
+    "storage_schema_evolution",
     "docs_exact_substring_dedup",
     "docs_winnowing_dedup",
     # round 8c: snapshot store — time travel (expect three independent
