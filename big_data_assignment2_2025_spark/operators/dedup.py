@@ -525,6 +525,16 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
       the weighted sum is linear in cnt): slower — md5 runs per occurrence
       instead of per distinct (doc, term), and tf's shuffle is small after
       map-side combine. Keep the tf stage.
+
+    SCALE TIER — fixture-scale baseline. On a template-heavy corpus the
+    PLAIN signature's chunk-block candidate growth is measurably
+    superlinear (2.27x normalized at a 10x corpus, tools/scale_probe.py:
+    documents sharing a boilerplate skeleton collide in chunks at any
+    signature width). The production default for the family is the
+    idf-filtered path — build tf, drop terms with df > 20% of docs, sign
+    with ``simhash_from_tf`` (the ``dedup_simhash_idf`` query) — whose
+    growth measures exactly linear (registry ``BASELINE_TIER`` records
+    the pairing).
     """
     toks = fan_out(df).select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("cnt"))

@@ -93,3 +93,19 @@ ORACLES = {}
 for _m in _MODULES:
     QUERIES.update(_m.QUERIES)
     ORACLES.update(getattr(_m, "ORACLES", {}))
+
+#: FIXTURE-SCALE BASELINE queries -> their measured-linear scale-path twin.
+#: A baseline entry is exact and oracle-stable at the shipped fixtures but
+#: has a MEASURED superlinear candidate/pair shape at the 10x scale probe;
+#: a 100 TB deployment must run the twin instead. Kept in the registry (not
+#: removed) because the pair is what makes the scale claim testable: the
+#: probe measures both and SCALING.md cites the numbers.
+#: - dedup_simhash: plain-signature chunk keyspace 2.27x superlinear at 10x
+#:   (template concentration) -> dedup_simhash_idf measured 1.00.
+#: - embedding_semdedup: fixed n_cells=8 makes within-cell pairs quadratic
+#:   (10.01x at 10x) -> embedding_semdedup_scaled derives k = ceil(n/50)
+#:   (measured ~linear; the operator's own default since round 10).
+BASELINE_TIER = {
+    "dedup_simhash": "dedup_simhash_idf",
+    "embedding_semdedup": "embedding_semdedup_scaled",
+}

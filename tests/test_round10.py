@@ -71,6 +71,20 @@ def test_semdedup_scaled_cell_occupancy_bounded_in_expectation(spark, sf_dir):
     assert pairs < 0.2 * n * (n - 1) // 2, (pairs, n)
 
 
+def test_baseline_tier_pairs_resolve():
+    """Every fixture-scale baseline names a live registry query AND a live
+    scale-path twin — the pairing the scale probe measures."""
+    from big_data_assignment2_2025_spark.plans.registry import (
+        BASELINE_TIER,
+        QUERIES,
+    )
+
+    for baseline, twin in BASELINE_TIER.items():
+        assert baseline in QUERIES, baseline
+        assert twin in QUERIES, twin
+        assert baseline != twin
+
+
 def test_semdedup_scaled_singleton_corpus(spark):
     """Degenerate corpus: one vector derives k=1 and is kept."""
     emb = spark.createDataFrame([(7, [1.0, 0.0])], ["vec_id", "embedding"])
