@@ -196,10 +196,11 @@ HEADLINE = [
     # round-9: the AllPairs/PPJoin prefix-filtered exact Jaccard re-plan —
     # the regression canary for the dedup family's scale path
     "dedup_ngram_threshold",
-    # round-10: scale-aware SemDeDup (k derived from corpus count) and
-    # snapshot-store additive schema evolution
+    # round-10: scale-aware SemDeDup (k derived from corpus count),
+    # snapshot-store additive schema evolution, partition-spec evolution
     "embedding_semdedup_scaled",
     "storage_schema_evolution",
+    "storage_partition_evolution",
     # round-10 coverage sweep: one representative per previously-unbenched
     # family (see SELECTION RULE above)
     "topk_orders",               # TakeOrderedAndProject family

@@ -181,12 +181,117 @@ ORDER BY version
 """
 
 
+#: the partition-evolution split mirrors the schema-evolution gate's
+_PSPEC_PRIORITY = "1-URGENT"
+
+
+def _staged_partition_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
+    """Per-fixture snapshot store with a partition-spec evolution
+    boundary: v1 overwrite (unpartitioned, two thirds of orders, stats
+    on o_orderkey), v2 spec-only ``set_partition_spec(identity(
+    o_orderpriority))``, v3 append (the remaining third — split into one
+    member per priority, partition values in the manifest), v4
+    ``compact()`` (rewrites EVERYTHING under the current spec — the
+    pre-spec member migrates into partition members, Iceberg's
+    rewrite-to-new-spec move). Fingerprint-gated like every derived
+    copy."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"snappspec_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(base, fprint):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        store = SnapshotStore(base)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        store.commit(
+            orders.where(F.col("o_orderkey") % _EVO_MOD != 0),
+            mode="overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        store.set_partition_spec([("o_orderpriority", "identity")])
+        store.commit(
+            orders.where(F.col("o_orderkey") % _EVO_MOD == 0),
+            mode="append",
+            stats_cols=["o_orderkey"],
+        )
+        store.compact(spark)
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
+        mark_derived_cache(base, fprint)
+    return SnapshotStore(base)
+
+
+def storage_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution across four versions, with the pruning
+    WITNESSED in the gate itself: ``n_members`` is each version's member
+    count and ``n_planned`` the members a priority point-read actually
+    opens (``planned_members_point``) — v1/v2 pre-spec (1 member, read
+    conservatively), v3 mixed-spec (6 members, planned 2: the pre-spec
+    member + the one matching partition), v4 post-compaction (5
+    partition members, planned 1). Row counts and the priority slice's
+    price sum must survive every boundary unchanged — pruning is a
+    superset filter, never a row filter."""
+    store = _staged_partition_store(spark, sf_dir)
+    out = None
+    for v in (1, 2, 3, 4):
+        doc = store.manifest(v)
+        planned = store.planned_members_point(
+            spark, "o_orderpriority", _PSPEC_PRIORITY, version=v
+        )
+        pri = store.read_point(
+            spark, "o_orderpriority", _PSPEC_PRIORITY, version=v
+        ).agg(
+            F.count("*").alias("n_pri"),
+            F.round(F.sum("o_totalprice"), 2).alias("pri_price"),
+        )
+        part = pri.select(
+            F.lit(v).alias("version"),
+            F.lit(len(doc["members"])).alias("n_members"),
+            F.lit(len(planned)).alias("n_planned"),
+            F.lit(store.read(spark, v).count()).cast("long").alias("n_rows"),
+            "n_pri",
+            "pri_price",
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("version")
+
+
+PARTITION_EVOLUTION_SQL = f"""
+WITH pre AS (
+  SELECT COUNT(*) AS n,
+         COUNT(CASE WHEN o_orderpriority = '{_PSPEC_PRIORITY}' THEN 1 END) AS np,
+         ROUND(SUM(CASE WHEN o_orderpriority = '{_PSPEC_PRIORITY}'
+                        THEN o_totalprice END), 2) AS pp
+  FROM orders WHERE o_orderkey % {_EVO_MOD} <> 0),
+com AS (
+  SELECT COUNT(*) AS n,
+         COUNT(CASE WHEN o_orderpriority = '{_PSPEC_PRIORITY}' THEN 1 END) AS np,
+         ROUND(SUM(CASE WHEN o_orderpriority = '{_PSPEC_PRIORITY}'
+                        THEN o_totalprice END), 2) AS pp
+  FROM orders)
+SELECT CAST(1 AS INTEGER) AS version, CAST(1 AS INTEGER) AS n_members,
+       CAST(1 AS INTEGER) AS n_planned, pre.n AS n_rows,
+       pre.np AS n_pri, pre.pp AS pri_price FROM pre
+UNION ALL
+SELECT 2, 1, 1, pre.n, pre.np, pre.pp FROM pre
+UNION ALL
+SELECT 3, 6, 2, com.n, com.np, com.pp FROM com
+UNION ALL
+SELECT 4, 5, 1, com.n, com.np, com.pp FROM com
+ORDER BY version
+"""
+
+
 QUERIES = {
     "embedding_semdedup_scaled": embedding_semdedup_scaled,
     "storage_schema_evolution": storage_schema_evolution,
+    "storage_partition_evolution": storage_partition_evolution,
 }
 
 ORACLES = {
     "embedding_semdedup_scaled": SEMDEDUP_SCALED_SQL,
     "storage_schema_evolution": SCHEMA_EVOLUTION_SQL,
+    "storage_partition_evolution": PARTITION_EVOLUTION_SQL,
 }

@@ -52,29 +52,60 @@ Design (the public Delta/Iceberg insight, re-expressed minimally):
   schema-only version (same members, no data); a type change or an
   un-flagged new column is rejected loudly at commit time.
 
+- **Partition specs are per-version metadata too** (the Iceberg
+  partition-spec-evolution move): ``set_partition_spec()`` publishes a
+  spec-only version; commits AFTER it split the batch into one member
+  per partition tuple (one ``partitionBy`` write job, not one job per
+  value) and record each member's transformed partition values in the
+  manifest. Members keep the spec they were WRITTEN under — old members
+  are never rewritten on a spec change, they just carry no values for
+  the new spec and are read conservatively, exactly Iceberg's contract.
+  Point/range reads prune members by exact partition value (stronger
+  than the [min,max] stats), so a spec'd table answers
+  ``read_point(col, v)`` by opening only the matching members plus the
+  pre-spec remainder. Transforms: ``identity``, ``bucket[N]``
+  (xxhash64 mod N — pruned via one scalar probe job that hashes the
+  literal with the SAME engine function), ``month`` / ``day``
+  (timestamp truncation, range-prunable via ISO string bounds).
+
 Scale: a manifest holds one entry per COMMIT (not per row), so it stays
 KB-sized until the table has thousands of commits, at which point real
 table formats checkpoint the log — the same move as ``orders_manifest_
 skipping``'s stats manifest, which this store would embed per member for
 file-level skipping. Version resolution lists ``_manifests/`` only (tiny,
-bounded by commit count).
+bounded by commit count). A partitioned commit adds one member per
+partition value — bounded loudly at ``_MAX_PARTITIONS`` per commit,
+because a too-fine spec (e.g. identity on a high-cardinality key) is the
+small-files failure mode that kills 100 TB tables.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import uuid
+from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DataType, StructField, StructType
+from pyspark.sql.types import DataType, IntegralType, StructField, StructType
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
 #: bounded optimistic-concurrency retries before a writer gives up
 _OCC_RETRIES = 5
+
+#: loud guard against small-files death: a spec producing more members
+#: than this in ONE commit is mis-designed (bucket it coarser instead)
+_MAX_PARTITIONS = 1024
+
+_BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
+
+#: Hive's directory name for a NULL partition value
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 class SnapshotConflictError(RuntimeError):
@@ -202,6 +233,8 @@ class SnapshotStore:
                     {"version": version, "mode": "alter",
                      "members": list(doc["members"]), "added": [],
                      "stats": dict(doc.get("stats", {})),
+                     "partitions": dict(doc.get("partitions", {})),
+                     "partition_spec": doc.get("partition_spec"),
                      "schema": new_schema.jsonValue(),
                      "schema_version": doc.get("schema_version", 1) + 1},
                 )
@@ -211,6 +244,283 @@ class SnapshotStore:
         raise SnapshotConflictError(
             f"add_column could not land after {_OCC_RETRIES} rebases "
             "(sustained contention on the manifest log)"
+        )
+
+    # -- partition-spec evolution --------------------------------------------
+
+    def partition_spec(self, version: int | None = None) -> dict | None:
+        """The partition spec recorded at ``version`` (default latest):
+        ``{"spec_id": N, "fields": [{"source", "transform"}, ...]}``, or
+        None for an unpartitioned lineage (spec_id 0)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return None
+        return self.manifest(v).get("partition_spec")
+
+    def set_partition_spec(self, fields) -> int:
+        """Publish a spec-only version (Iceberg partition-spec evolution):
+        same members, no data — commits AFTER this version split batches
+        by the spec and record per-member partition values; members
+        written BEFORE it are untouched and keep their original spec
+        (read conservatively by the new spec's pruning). ``fields`` is a
+        list of ``(source_column, transform)`` with transform in
+        ``identity | bucket[N] | month | day``; ``[]`` evolves back to
+        unpartitioned. OCC losers rebase like ``add_column``."""
+        norm = []
+        for f in fields:
+            src, tr = (f["source"], f["transform"]) if isinstance(f, dict) else f
+            if tr not in ("identity", "month", "day") and not _BUCKET_RE.match(tr):
+                raise ValueError(
+                    f"unknown transform {tr!r}; use identity|bucket[N]|month|day"
+                )
+            norm.append({"source": src, "transform": tr})
+        for _ in range(_OCC_RETRIES):
+            prev = self.latest_version()
+            if prev is None:
+                raise ValueError("set_partition_spec() on an empty store")
+            doc = self.manifest(prev)
+            schema_json = doc.get("schema")
+            if schema_json is not None:
+                names = set(StructType.fromJson(schema_json).fieldNames())
+                missing = [f["source"] for f in norm if f["source"] not in names]
+                if missing:
+                    raise ValueError(
+                        f"spec sources {missing} not in the table schema"
+                    )
+            spec_id = (doc.get("partition_spec") or {}).get("spec_id", 0) + 1
+            version = prev + 1
+            try:
+                self._publish(
+                    version,
+                    {"version": version, "mode": "alter",
+                     "members": list(doc["members"]), "added": [],
+                     "stats": dict(doc.get("stats", {})),
+                     "partitions": dict(doc.get("partitions", {})),
+                     "schema": schema_json,
+                     "schema_version": doc.get("schema_version", 1),
+                     "partition_spec": {"spec_id": spec_id, "fields": norm}},
+                )
+                return version
+            except FileExistsError:
+                continue  # rebase: re-read latest, retry one version up
+        raise SnapshotConflictError(
+            f"set_partition_spec could not land after {_OCC_RETRIES} "
+            "rebases (sustained contention on the manifest log)"
+        )
+
+    @staticmethod
+    def _transform_expr(field: dict) -> Column:
+        """The partition value as a Column — evaluated by the ENGINE at
+        write time, so pruning later compares against exactly what the
+        engine computed (the bucket probe reuses the same xxhash64)."""
+        src, tr = field["source"], field["transform"]
+        if tr == "identity":
+            return F.col(src)
+        m = _BUCKET_RE.match(tr)
+        if m:
+            return F.pmod(
+                F.xxhash64(F.col(src).cast("string")), F.lit(int(m.group(1)))
+            ).cast("int")
+        if tr == "month":
+            return F.date_format(F.col(src), "yyyy-MM")
+        if tr == "day":
+            return F.date_format(F.col(src), "yyyy-MM-dd")
+        raise ValueError(f"unknown transform {tr!r}")
+
+    @staticmethod
+    def _decode_part_value(field: dict, raw: str, src_types: dict):
+        """Typed partition value from a Hive-style directory component
+        (``%XX``-unescaped). Bucket values are ints; month/day are their
+        ISO string truncations; identity decodes by the source column's
+        type (integral -> int, everything else keeps the engine's
+        lexical form — ISO for dates, verbatim for strings)."""
+        if raw == _HIVE_NULL:
+            return None
+        s = unquote(raw)
+        tr = field["transform"]
+        if _BUCKET_RE.match(tr):
+            return int(s)
+        if tr in ("month", "day"):
+            return s
+        if isinstance(src_types.get(field["source"]), IntegralType):
+            return int(s)
+        return s
+
+    def _write_under_spec(
+        self, df: DataFrame, spec: dict | None
+    ) -> list[tuple[str, dict | None]]:
+        """Write ``df`` as this commit's member set under ``spec``:
+        unpartitioned -> one member directory (as before); spec'd -> ONE
+        ``partitionBy`` job over synthetic ``_pN`` transform columns
+        (table columns stay in the data files; the ``_pN`` values live
+        only in directory names and the manifest), then each leaf
+        directory is renamed into place as its own member. Returns
+        ``[(commit_dir, partitions_entry | None), ...]``. An empty
+        partitioned batch yields zero members. Loudly bounded at
+        ``_MAX_PARTITIONS`` members per commit — a finer spec is the
+        small-files failure mode, not a supported configuration."""
+        fields = (spec or {}).get("fields") or []
+        if not fields:
+            commit_dir, full_dir = self._new_member_dir()
+            df.write.parquet(full_dir)
+            return [(commit_dir, None)]
+        spec_id = spec["spec_id"]
+        stage = os.path.join(
+            self.base_dir, _DATA_DIR, f"stage-{uuid.uuid4().hex[:16]}"
+        )
+        pcols = [f"_p{i}" for i in range(len(fields))]
+        aug = df
+        for pc, fld in zip(pcols, fields):
+            aug = aug.withColumn(pc, self._transform_expr(fld))
+        aug.write.partitionBy(*pcols).parquet(stage)
+        leafs: list[tuple[str, list[str]]] = []
+
+        def _walk(d: str, depth: int, raw: list[str]) -> None:
+            if depth == len(fields):
+                leafs.append((d, raw))
+                return
+            prefix = f"_p{depth}="
+            for name in sorted(os.listdir(d)):
+                if name.startswith(prefix):
+                    _walk(
+                        os.path.join(d, name), depth + 1,
+                        raw + [name[len(prefix):]],
+                    )
+
+        _walk(stage, 0, [])
+        if len(leafs) > _MAX_PARTITIONS:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise ValueError(
+                f"partitioned commit would create {len(leafs)} members "
+                f"(> {_MAX_PARTITIONS}); the spec is too fine for this "
+                "batch — bucket coarser or drop a field"
+            )
+        src_types = {f.name: f.dataType for f in df.schema.fields}
+        out: list[tuple[str, dict | None]] = []
+        for leaf, raws in leafs:
+            commit_dir, full_dir = self._new_member_dir()
+            os.rename(leaf, full_dir)
+            values = [
+                {"source": fld["source"], "transform": fld["transform"],
+                 "value": self._decode_part_value(fld, raw, src_types)}
+                for fld, raw in zip(fields, raws)
+            ]
+            out.append((commit_dir, {"spec_id": spec_id, "fields": values}))
+        shutil.rmtree(stage, ignore_errors=True)  # _SUCCESS etc.
+        return out
+
+    @staticmethod
+    def _bucket_of(spark: SparkSession, value, n: int) -> int:
+        """The bucket the ENGINE assigns ``value`` — one scalar probe job
+        through the same xxhash64(cast-to-string) the write used, so
+        point pruning can never disagree with the writer's hashing."""
+        return spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(value).cast("string")), F.lit(n))
+            .cast("int").alias("b")
+        ).first()["b"]
+
+    @staticmethod
+    def _part_excludes_range(entry: dict, col: str, lo, hi) -> bool:
+        """True if the member's recorded partition values prove no row
+        has ``lo <= col < hi``. Conservative on any type mismatch."""
+        for fld in entry.get("fields", []):
+            if fld["source"] != col:
+                continue
+            v, tr = fld["value"], fld["transform"]
+            if v is None:
+                return True  # all-NULL partition: no row matches a range
+            if tr == "identity":
+                try:
+                    if not (lo <= v < hi):
+                        return True
+                except TypeError:
+                    pass
+            elif tr in ("month", "day") and isinstance(lo, str) and isinstance(hi, str):
+                # rows stringify with prefix v: member spans [v, v+"￿")
+                if v + "￿" <= lo or v >= hi:
+                    return True
+            # bucket: hash order is unrelated to value order — no range info
+        return False
+
+    def _part_excludes_point(
+        self, spark: SparkSession, entry: dict, col: str, value,
+        bucket_cache: dict,
+    ) -> bool:
+        """True if the member's partition values prove ``col == value``
+        is empty. Bucket probes are computed once per (value, n) via the
+        engine (memoized in ``bucket_cache``)."""
+        for fld in entry.get("fields", []):
+            if fld["source"] != col:
+                continue
+            v, tr = fld["value"], fld["transform"]
+            if v is None:
+                return value is not None
+            if tr == "identity":
+                if v != value:
+                    return True
+            elif tr in ("month", "day"):
+                if isinstance(value, str) and not value.startswith(v):
+                    return True
+            else:
+                m = _BUCKET_RE.match(tr)
+                if m:
+                    n = int(m.group(1))
+                    key = (repr(value), n)
+                    if key not in bucket_cache:
+                        bucket_cache[key] = self._bucket_of(spark, value, n)
+                    if bucket_cache[key] != v:
+                        return True
+        return False
+
+    def planned_members_point(
+        self, spark: SparkSession, col: str, value, version: int | None = None
+    ) -> list[str]:
+        """The member subset a ``read_point`` actually opens: partition
+        values prune first (exact), then [min,max] stats; members with
+        neither are read conservatively. Exposed so callers (and the
+        gate queries) can WITNESS the pruning, not just trust it."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError("planned_members_point() on an empty store")
+        doc = self.manifest(v)
+        parts = doc.get("partitions", {})
+        stats = doc.get("stats", {})
+        bucket_cache: dict = {}
+        keep = []
+        for m in doc["members"]:
+            entry = parts.get(m)
+            if entry and self._part_excludes_point(
+                spark, entry, col, value, bucket_cache
+            ):
+                continue
+            s = stats.get(m, {}).get(col)
+            if s is not None and s[0] is not None and s[1] is not None:
+                try:
+                    if not (s[0] <= value <= s[1]):
+                        continue
+                except TypeError:
+                    pass
+            keep.append(m)
+        return keep
+
+    def read_point(
+        self, spark: SparkSession, col: str, value, version: int | None = None
+    ) -> DataFrame:
+        """Point-lookup read of rows with ``col == value`` (non-NULL):
+        members are pruned by exact partition value — identity mismatch,
+        foreign bucket, non-covering month/day — then by stats, and the
+        exact predicate still applies after the read (pruning is a
+        superset filter, correctness never depends on it)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError("read_point() on an empty store")
+        doc = self.manifest(v)
+        keep = self.planned_members_point(spark, col, value, version=v)
+        if not keep:  # provably empty — keep the schema, scan nothing
+            donor = doc["members"][:1]  # [] falls back to the schema
+            return self._read_members(spark, doc, donor).where(F.lit(False))
+        return self._read_members(spark, doc, keep).where(
+            F.col(col) == F.lit(value)
         )
 
     # -- commit protocol ----------------------------------------------------
@@ -280,22 +590,33 @@ class SnapshotStore:
         race."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-        commit_dir, full_dir = self._new_member_dir()
-        df.write.parquet(full_dir)
+        # the CURRENT spec governs the write; data is written ONCE. A spec
+        # change racing in before our publish is fine — the members keep
+        # the spec they were written under (Iceberg's per-file spec id)
+        spec = self.partition_spec()
+        written = self._write_under_spec(df, spec)
         new_stats = (
-            self._member_stats(df.sparkSession, full_dir, stats_cols)
+            {
+                d: self._member_stats(
+                    df.sparkSession, os.path.join(self.base_dir, d), stats_cols
+                )
+                for d, _ in written
+            }
             if stats_cols
-            else None
+            else {}
         )
         batch_schema = self._normalize(df.schema)
         for _ in range(_OCC_RETRIES):
             prev = self.latest_version()
             version = (prev or 0) + 1
+            prev_doc = self.manifest(prev) if prev is not None else {}
             keep_prev = mode == "append" and prev is not None
-            prev_doc = self.manifest(prev) if keep_prev else {}
-            members = list(prev_doc.get("members", []))
-            stats = dict(prev_doc.get("stats", {}))
-            prev_schema_json = prev_doc.get("schema")
+            members = list(prev_doc.get("members", [])) if keep_prev else []
+            stats = dict(prev_doc.get("stats", {})) if keep_prev else {}
+            partitions = (
+                dict(prev_doc.get("partitions", {})) if keep_prev else {}
+            )
+            prev_schema_json = prev_doc.get("schema") if keep_prev else None
             if prev_schema_json is not None:
                 schema = self._merge_schema(
                     StructType.fromJson(prev_schema_json),
@@ -307,21 +628,27 @@ class SnapshotStore:
                 # lineage: the batch declares the schema
                 schema = batch_schema
             schema_json = schema.jsonValue()
-            prev_sv = prev_doc.get("schema_version", 1)
+            prev_sv = prev_doc.get("schema_version", 1) if keep_prev else 1
             sv = prev_sv + 1 if (
                 prev_schema_json is not None
                 and schema_json != prev_schema_json
             ) else prev_sv
-            members.append(commit_dir)
-            if new_stats is not None:
-                stats[commit_dir] = new_stats
+            for d, entry in written:
+                members.append(d)
+                if entry is not None:
+                    partitions[d] = entry
+            stats.update(new_stats)
+            doc = {"version": version, "mode": mode, "members": members,
+                   "added": [d for d, _ in written], "stats": stats,
+                   "schema": schema_json, "schema_version": sv,
+                   # the spec is table-level metadata: it survives
+                   # overwrite (the member list resets, the layout
+                   # contract does not)
+                   "partition_spec": prev_doc.get("partition_spec")}
+            if partitions:
+                doc["partitions"] = partitions
             try:
-                self._publish(
-                    version,
-                    {"version": version, "mode": mode, "members": members,
-                     "added": [commit_dir], "stats": stats,
-                     "schema": schema_json, "schema_version": sv},
-                )
+                self._publish(version, doc)
                 return version
             except FileExistsError:
                 continue  # rebase: re-read latest, retry one version up
@@ -367,24 +694,38 @@ class SnapshotStore:
             raise ValueError("compact() on an empty store")
         doc = self.manifest(prev)
         version = prev + 1
-        commit_dir, full_dir = self._new_member_dir()
-        self.read(spark, prev).coalesce(target_files).write.parquet(
-            full_dir
+        # the rewrite honors the CURRENT spec: pre-spec members get
+        # re-laid-out into partition members (how Iceberg migrates old
+        # files to a new spec — rewrite, never in place), so compaction
+        # doubles as spec migration; ``target_files`` applies per
+        # partition under a spec (coalesce bounds files per leaf)
+        written = self._write_under_spec(
+            self.read(spark, prev).coalesce(target_files),
+            doc.get("partition_spec"),
         )
         stat_cols = sorted(
             {c for s in doc.get("stats", {}).values() for c in s}
         )
         stats = (
-            {commit_dir: self._member_stats(spark, full_dir, stat_cols)}
+            {
+                d: self._member_stats(
+                    spark, os.path.join(self.base_dir, d), stat_cols
+                )
+                for d, _ in written
+            }
             if stat_cols
             else {}
         )
+        partitions = {d: e for d, e in written if e is not None}
         try:
             self._publish(
                 version,
                 {"version": version, "mode": "compact",
-                 "members": [commit_dir], "added": [commit_dir],
+                 "members": [d for d, _ in written],
+                 "added": [d for d, _ in written],
                  "stats": stats, "compaction_of": prev,
+                 "partitions": partitions,
+                 "partition_spec": doc.get("partition_spec"),
                  # the rewrite reads under the recorded schema, so the
                  # compacted member physically carries every evolved
                  # column (NULL-backfilled) — schema version unchanged
@@ -497,12 +838,19 @@ class SnapshotStore:
                     {c for s in doc.get("stats", {}).values() for c in s}
                 )
                 version = prev + 1
-                commit_dir, full_dir = self._new_member_dir()
-                out.write.parquet(full_dir)
+                # the rewrite honors the current spec (like compact): a
+                # logical merge over a spec'd table comes out re-laid-out
+                # into partition members, keeping point pruning alive
+                written = self._write_under_spec(
+                    out, doc.get("partition_spec")
+                )
                 stats = (
-                    {commit_dir: self._member_stats(
-                        spark, full_dir, stat_cols
-                    )}
+                    {
+                        d: self._member_stats(
+                            spark, os.path.join(self.base_dir, d), stat_cols
+                        )
+                        for d, _ in written
+                    }
                     if stat_cols
                     else {}
                 )
@@ -510,8 +858,13 @@ class SnapshotStore:
                     self._publish(
                         version,
                         {"version": version, "mode": "overwrite",
-                         "members": [commit_dir], "added": [commit_dir],
+                         "members": [d for d, _ in written],
+                         "added": [d for d, _ in written],
                          "stats": stats,
+                         "partitions": {
+                             d: e for d, e in written if e is not None
+                         },
+                         "partition_spec": doc.get("partition_spec"),
                          "schema": doc.get("schema"),
                          "schema_version": doc.get("schema_version", 1)},
                     )
@@ -616,22 +969,31 @@ class SnapshotStore:
             ).where(F.lit(False))
         out = self._apply_changes(cur, changes, keys, op_col)
         version = prev + 1
-        commit_dir, full_dir = self._new_member_dir()
-        out.write.parquet(full_dir)
+        # the rewritten slice honors the current spec; untouched members
+        # keep their own (possibly older) spec entries — the mixed-spec
+        # member set real table formats carry after spec evolution
+        written = self._write_under_spec(out, doc.get("partition_spec"))
         prev_stats = doc.get("stats", {})
         stats = {m: prev_stats[m] for m in untouched if m in prev_stats}
+        prev_parts = doc.get("partitions", {})
+        partitions = {m: prev_parts[m] for m in untouched if m in prev_parts}
+        partitions.update({d: e for d, e in written if e is not None})
         # keep pruning alive across merges: re-stat the rewritten member
         # on every column the prior manifest tracked anywhere
         stat_cols = sorted({c for s in prev_stats.values() for c in s})
         if stat_cols:
-            stats[commit_dir] = self._member_stats(
-                spark, full_dir, stat_cols
-            )
+            for d, _ in written:
+                stats[d] = self._member_stats(
+                    spark, os.path.join(self.base_dir, d), stat_cols
+                )
         self._publish(
             version,
             {"version": version, "mode": "merge",
-             "members": untouched + [commit_dir], "added": [commit_dir],
+             "members": untouched + [d for d, _ in written],
+             "added": [d for d, _ in written],
              "stats": stats, "rewrote": affected,
+             "partitions": partitions,
+             "partition_spec": doc.get("partition_spec"),
              "schema": doc.get("schema"),
              "schema_version": doc.get("schema_version", 1)},
         )
@@ -691,6 +1053,16 @@ class SnapshotStore:
         columns by NAME, with zero per-file footer merging (contrast
         ``mergeSchema=true``, which opens every footer). Legacy manifests
         without a recorded schema read by inference, as before."""
+        if not members:
+            # a spec'd overwrite of an empty batch can legally publish a
+            # zero-member version: the recorded schema IS the table
+            if doc.get("schema") is None:
+                raise ValueError(
+                    "zero-member version without a recorded schema"
+                )
+            return spark.createDataFrame(
+                [], StructType.fromJson(doc["schema"])
+            )
         reader = spark.read
         if doc.get("schema") is not None:
             reader = reader.schema(StructType.fromJson(doc["schema"]))
@@ -730,9 +1102,15 @@ class SnapshotStore:
             raise ValueError("read_where() on an empty store")
         doc = self.manifest(v)
         stats = doc.get("stats", {})
+        parts = doc.get("partitions", {})
         keep, schema_donor = [], None
         for m in doc["members"]:
             schema_donor = schema_donor or m
+            entry = parts.get(m)
+            # partition values prune first (exact — the member holds ONLY
+            # rows with that transformed value), then [min,max] stats
+            if entry and self._part_excludes_range(entry, col, lo, hi):
+                continue
             s = stats.get(m, {}).get(col)
             # null bounds (empty member, or an all-NULL stats column) carry
             # no pruning information — read conservatively, like no stats

@@ -692,6 +692,22 @@ COMMENTARY = {
         "Plan: three member scans + scalar aggregates, zero data-sized "
         "exchange."
     ),
+    "storage_partition_evolution": (
+        "Snapshot-store partition-spec evolution (round 10, the Iceberg "
+        "contract): the spec is per-version metadata, members keep the "
+        "spec they were WRITTEN under, and a spec change rewrites "
+        "nothing. A post-spec commit is ONE partitionBy job (one member "
+        "per partition value, values recorded in the manifest); a point "
+        "read prunes members by exact partition value at PLANNING time — "
+        "the gate witnesses it (n_planned column): v3 opens 2 of 6 "
+        "members, v4 (compaction re-laid the pre-spec member out under "
+        "the spec) opens 1 of 5. At 100 TB this is the difference "
+        "between scanning a priority's partition and scanning the table; "
+        "bucket[N] pruning hashes the literal through the engine's own "
+        "xxhash64 (one scalar probe job), so pruning can never disagree "
+        "with the writer. Plan: pruned member scans + scalar aggregates, "
+        "zero data-sized exchange."
+    ),
     "embedding_semdedup_scaled": (
         "Scale-aware SemDeDup (round 10, the production default): n_cells "
         "is derived from the corpus count (k = ceil(n/50), the paper's "

@@ -183,6 +183,10 @@ QUERIES_TO_PROFILE = [
     # + scalar aggs (like time travel), ZERO data-sized exchange; the
     # NULL backfill is a per-file projection, not a join
     "storage_schema_evolution",
+    # round 10: partition-spec evolution — four point reads over pruned
+    # member subsets + scalar aggs; pruning happens at PLANNING time from
+    # manifest partition values, so the shuffle is scalar-agg-sized
+    "storage_partition_evolution",
     "docs_exact_substring_dedup",
     "docs_winnowing_dedup",
     # round 8c: snapshot store — time travel (expect three independent
