@@ -201,6 +201,9 @@ HEADLINE = [
     "embedding_semdedup_scaled",
     "storage_schema_evolution",
     "storage_partition_evolution",
+    # round-10: foreachBatch-sink family representative (exactly-once
+    # txn-tracked micro-batch ingestion into the snapshot store)
+    "streaming_snapshot_sink",
     # round-10 coverage sweep: one representative per previously-unbenched
     # family (see SELECTION RULE above)
     "topk_orders",               # TakeOrderedAndProject family

@@ -284,14 +284,54 @@ ORDER BY version
 """
 
 
+def storage_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The version log as a metadata table (Delta ``DESCRIBE HISTORY`` /
+    Iceberg ``snapshots``): one row per committed version with its mode,
+    member/added counts, schema version and partition-spec id — all read
+    from manifests alone (bounded by commit count, zero data scans).
+    Over the staged partition store this pins the full evolution
+    narrative cross-engine: overwrite -> spec-only alter -> partitioned
+    append -> spec-migrating compaction."""
+    store = _staged_partition_store(spark, sf_dir)
+    rows = []
+    for v in store.versions():
+        doc = store.manifest(v)
+        rows.append((
+            v,
+            doc["mode"],
+            len(doc["members"]),
+            len(doc["added"]),
+            int(doc.get("schema_version", 1)),
+            int((doc.get("partition_spec") or {}).get("spec_id", 0)),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "version int, mode string, n_members int, n_added int, "
+        "schema_version int, spec_id int",
+    ).orderBy("version")
+
+
+STORAGE_HISTORY_SQL = """
+SELECT CAST(1 AS INTEGER) AS version, 'overwrite' AS mode,
+       CAST(1 AS INTEGER) AS n_members, CAST(1 AS INTEGER) AS n_added,
+       CAST(1 AS INTEGER) AS schema_version, CAST(0 AS INTEGER) AS spec_id
+UNION ALL SELECT 2, 'alter', 1, 0, 1, 1
+UNION ALL SELECT 3, 'append', 6, 5, 1, 1
+UNION ALL SELECT 4, 'compact', 5, 5, 1, 1
+ORDER BY version
+"""
+
+
 QUERIES = {
     "embedding_semdedup_scaled": embedding_semdedup_scaled,
     "storage_schema_evolution": storage_schema_evolution,
     "storage_partition_evolution": storage_partition_evolution,
+    "storage_history": storage_history,
 }
 
 ORACLES = {
     "embedding_semdedup_scaled": SEMDEDUP_SCALED_SQL,
     "storage_schema_evolution": SCHEMA_EVOLUTION_SQL,
     "storage_partition_evolution": PARTITION_EVOLUTION_SQL,
+    "storage_history": STORAGE_HISTORY_SQL,
 }

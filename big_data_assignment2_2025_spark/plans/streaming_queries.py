@@ -273,6 +273,27 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_streaming_foreachbatch_upsert(spark, sf_dir)
 
 
+def streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from big_data_assignment2_2025_spark.streaming.stream import (
+        run_streaming_snapshot_sink,
+    )
+
+    return run_streaming_snapshot_sink(spark, sf_dir)
+
+
+# Batch twin of the snapshot-store streaming sink: the store must hold
+# every event exactly once however the backlog was micro-batched, so the
+# per-type aggregate over the store equals the same aggregate over the
+# raw events table.
+STREAMING_SNAPSHOT_SINK_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # Batch twin of the foreachBatch latest-row-per-key upsert: last event per
 # user by (event time, event_id) — exact integer µs and cents, so the
 # streamed state table matches the batch window query bit-for-bit.
@@ -296,6 +317,7 @@ ORDER BY user_id
 
 QUERIES = {
     "streaming_foreachbatch_upsert": streaming_foreachbatch_upsert,
+    "streaming_snapshot_sink": streaming_snapshot_sink,
     "streaming_hourly_window": streaming_hourly_window,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_dedup_window_chain": streaming_dedup_window_chain,
@@ -322,6 +344,8 @@ ORACLES = {
     # identical final state to the batch user-day pattern match
     "streaming_pattern_match": EVENTS_PATTERN_MATCH_SQL,
     "streaming_foreachbatch_upsert": STREAMING_FOREACHBATCH_SQL,
+    # the store's content is batching-invariant: exactly-once txn commits
+    "streaming_snapshot_sink": STREAMING_SNAPSHOT_SINK_SQL,
     "streaming_stream_join": STREAMING_STREAM_JOIN_SQL,
     "streaming_static_join": STREAMING_STATIC_JOIN_SQL,
     # identical final state to the batch sliding-window aggregation

@@ -235,6 +235,7 @@ class SnapshotStore:
                      "stats": dict(doc.get("stats", {})),
                      "partitions": dict(doc.get("partitions", {})),
                      "partition_spec": doc.get("partition_spec"),
+                     "txns": dict(doc.get("txns", {})),
                      "schema": new_schema.jsonValue(),
                      "schema_version": doc.get("schema_version", 1) + 1},
                 )
@@ -298,6 +299,7 @@ class SnapshotStore:
                      "partitions": dict(doc.get("partitions", {})),
                      "schema": schema_json,
                      "schema_version": doc.get("schema_version", 1),
+                     "txns": dict(doc.get("txns", {})),
                      "partition_spec": {"spec_id": spec_id, "fields": norm}},
                 )
                 return version
@@ -548,12 +550,23 @@ class SnapshotStore:
         finally:
             os.close(dfd)
 
+    def last_txn(self, app: str) -> int | None:
+        """The highest batch id committed under ``app`` (Delta's ``txn``
+        action): one O(1) lookup in the latest manifest — the map is
+        carried forward on every publish, never recomputed from the
+        log."""
+        v = self.latest_version()
+        if v is None:
+            return None
+        return self.manifest(v).get("txns", {}).get(app)
+
     def commit(
         self,
         df: DataFrame,
         mode: str = "append",
         stats_cols: list[str] | None = None,
         evolve_schema: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Write ``df`` as a new commit directory, publish the next
         version. ``mode='append'`` keeps prior members; ``'overwrite'``
@@ -590,6 +603,18 @@ class SnapshotStore:
         race."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        # exactly-once writer transactions (Delta's ``txn`` action): a
+        # replayed batch — same app, batch id <= the last committed one —
+        # is a NO-OP returning the current version, checked BEFORE the
+        # data write (cheap skip on restart) and re-checked on every OCC
+        # rebase (a racing twin of the same batch loses idempotently, not
+        # duplicately). Ids must be monotone per app, which is exactly
+        # what streaming micro-batch ids are.
+        if txn is not None:
+            app, batch_id = txn
+            last = self.last_txn(app)
+            if last is not None and batch_id <= last:
+                return self.latest_version()
         # the CURRENT spec governs the write; data is written ONCE. A spec
         # change racing in before our publish is fine — the members keep
         # the spec they were written under (Iceberg's per-file spec id)
@@ -610,6 +635,17 @@ class SnapshotStore:
             prev = self.latest_version()
             version = (prev or 0) + 1
             prev_doc = self.manifest(prev) if prev is not None else {}
+            if txn is not None:
+                app, batch_id = txn
+                last = prev_doc.get("txns", {}).get(app)
+                if last is not None and batch_id <= last:
+                    # a racing writer landed this very batch between our
+                    # pre-check and now: our data directory becomes a
+                    # vacuum()-collectable orphan, the rows exist ONCE
+                    return prev
+            txns = dict(prev_doc.get("txns", {}))
+            if txn is not None:
+                txns[txn[0]] = txn[1]
             keep_prev = mode == "append" and prev is not None
             members = list(prev_doc.get("members", [])) if keep_prev else []
             stats = dict(prev_doc.get("stats", {})) if keep_prev else {}
@@ -641,10 +677,11 @@ class SnapshotStore:
             doc = {"version": version, "mode": mode, "members": members,
                    "added": [d for d, _ in written], "stats": stats,
                    "schema": schema_json, "schema_version": sv,
-                   # the spec is table-level metadata: it survives
-                   # overwrite (the member list resets, the layout
-                   # contract does not)
-                   "partition_spec": prev_doc.get("partition_spec")}
+                   # spec and txn map are table-level metadata: they
+                   # survive overwrite (the member list resets, the
+                   # layout contract and writer-idempotence do not)
+                   "partition_spec": prev_doc.get("partition_spec"),
+                   "txns": txns}
             if partitions:
                 doc["partitions"] = partitions
             try:
@@ -726,6 +763,7 @@ class SnapshotStore:
                  "stats": stats, "compaction_of": prev,
                  "partitions": partitions,
                  "partition_spec": doc.get("partition_spec"),
+                 "txns": dict(doc.get("txns", {})),
                  # the rewrite reads under the recorded schema, so the
                  # compacted member physically carries every evolved
                  # column (NULL-backfilled) — schema version unchanged
@@ -865,6 +903,7 @@ class SnapshotStore:
                              d: e for d, e in written if e is not None
                          },
                          "partition_spec": doc.get("partition_spec"),
+                         "txns": dict(doc.get("txns", {})),
                          "schema": doc.get("schema"),
                          "schema_version": doc.get("schema_version", 1)},
                     )
@@ -994,6 +1033,7 @@ class SnapshotStore:
              "stats": stats, "rewrote": affected,
              "partitions": partitions,
              "partition_spec": doc.get("partition_spec"),
+             "txns": dict(doc.get("txns", {})),
              "schema": doc.get("schema"),
              "schema_version": doc.get("schema_version", 1)},
         )

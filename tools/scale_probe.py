@@ -727,7 +727,324 @@ def bitmap_sketch_probe(spark, sf_dir: str = SRC) -> dict:
     return out
 
 
+GROWTH_DST = "/tmp/sf_growth"
+GROWTH_TAG = "v1-salted-slim"
+
+#: the r9 verdict's task 2: every linearity claim rested on ONE 10x point;
+#: these are the second (and third) points, far enough out that a fitted
+#: exponent separates linear from quadratic decisively (50x spans 1.7
+#: decades — a family that is secretly n^1.5 shows 2.4x more growth than
+#: a linear one over that span, unmissable)
+GROWTH_POINTS = (10, 50)
+
+
+def build_growth(spark, copies: int) -> str:
+    """Slim derived corpus (documents + embeddings only — every growth
+    family reads nothing else) at ``copies``x, same salting/rotation
+    recipe as ``build`` so dup density stays constant (see module
+    header). dim=64 embeddings keep all rotations i*7 mod 64 distinct
+    for copies <= 64."""
+    dst = f"{GROWTH_DST}/{copies}x"
+    marker = os.path.join(dst, "_DONE")
+    if os.path.exists(marker) and open(marker).read() == f"{GROWTH_TAG}:{copies}":
+        return dst
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst, exist_ok=True)
+    for t, shifts in (
+        ("documents", {"doc_id": True}),
+        ("embeddings", {"vec_id": True}),
+    ):
+        src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        _scale(src, copies, shifts, t).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
+    open(marker, "w").write(f"{GROWTH_TAG}:{copies}")
+    return dst
+
+
+def _growth_counts(spark, sf_dir: str, shard_divisor: int = 1) -> dict:
+    """Candidate work per family, measured as BUCKET-OCCUPANCY pairs
+    (sum n*(n-1)/2 over each family's blocking buckets) wherever the
+    family generates candidates through an equi-join on a bucket key.
+    Occupancy == the rows that join EMITS before any dedup — the actual
+    shuffle/compute cost — and it is computable in O(buckets), so the
+    50x point stays measurable even for a family whose pair count
+    explodes (materializing 10^9 distinct pairs to count them would
+    cost the very blowup the probe exists to detect). Families whose
+    candidate stream is already filtered (prefix-Jaccard, anchors,
+    winnowing, ANN buckets) are counted directly.
+
+    NOTE: occupancy counts are a different (>=) metric than the classic
+    probe's post-distinct pair counts — growth exponents are fitted
+    within THIS metric across scale points, never across metrics."""
+    from big_data_assignment2_2025_spark.functions.text import tokenize
+    from big_data_assignment2_2025_spark.operators.dedup import (
+        SIMHASH_BITS,
+        char_anchor_pairs,
+        minhash_signatures,
+        prefix_filtered_candidates,
+        shingles_df,
+        simhash_from_tf,
+        simhash_signatures,
+        winnowing_pairs,
+    )
+    from big_data_assignment2_2025_spark.operators.similarity import (
+        TARGET_CELL_ROWS,
+        argmax_cell_assignment,
+        hyperplane_signature,
+    )
+    from big_data_assignment2_2025_spark.sources.readers import (
+        fan_out,
+        load_table,
+    )
+
+    def occ(df, *keys) -> int:
+        n = (
+            df.groupBy(*keys)
+            .agg(F.count("*").alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long"))
+            .first()[0]
+        )
+        return int(n or 0)
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_df(docs).dropDuplicates(["doc_id", "shingle"])
+    out = {}
+    # minhash-LSH band buckets (same banding as lsh_candidate_pairs)
+    sigs = minhash_signatures(sh)
+    bands, rows_per_band = 4, 4
+    band_idx = F.array(*[F.lit(b) for b in range(bands)])
+    banded = sigs.select(
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"), b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk")
+    ).select("bk.band", "bk.key")
+    out["minhash_lsh_bucket_pairs"] = occ(banded, "band", "key")
+    # inverted-index universes: every pair sharing a shingle (naive) and
+    # the df<=4 capped variant
+    out["ngram_inverted_pairs"] = occ(sh, "shingle")
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= 4)
+        .select("shingle")
+    )
+    out["ngram_capped_pairs"] = occ(
+        sh.join(keep, "shingle", "left_semi"), "shingle"
+    )
+    # AllPairs/PPJoin prefix-filtered candidates (direct: already the
+    # post-filter stream, measured-linear at 10x in r9)
+    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    out["ngram_prefix_filtered"] = prefix_filtered_candidates(
+        hashed, 0.5
+    ).count()
+
+    # simhash chunk buckets, plain and idf-filtered
+    n_chunks, chunk_bits = 4, SIMHASH_BITS // 4
+    mask = (1 << chunk_bits) - 1
+
+    def chunked(sigs_df):
+        return sigs_df.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {n_chunks - 1}),"
+                    f" c -> struct(c AS chunk,"
+                    f" (shiftright(simhash, c * {chunk_bits}) & {mask}) AS ckey))"
+                )
+            ).alias("ck")
+        ).select("ck.chunk", "ck.ckey")
+
+    out["simhash_plain_chunk_pairs"] = occ(
+        chunked(simhash_signatures(docs)), "chunk", "ckey"
+    )
+    live = docs.where(F.col("text").isNotNull())
+    n_docs = live.count()
+    tf = (
+        fan_out(live)
+        .select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    keep_t = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") * 5 <= F.lit(n_docs // shard_divisor))
+        .select("term")
+    )
+    out["simhash_idf_chunk_pairs"] = occ(
+        chunked(simhash_from_tf(tf.join(keep_t, "term", "left_semi"))),
+        "chunk", "ckey",
+    )
+
+    # ANN LSH: corpus rows colliding with the 5 query buckets (direct)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5)
+    sig = lambda df, n: df.select(  # noqa: E731
+        F.col("vec_id").alias(n),
+        hyperplane_signature(F.col("embedding"), 8, 64).alias("bucket"),
+    )
+    out["ann_lsh_bucket_rows"] = (
+        sig(emb, "neighbor_id")
+        .join(sig(qs, "query_id"), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .count()
+    )
+
+    # SemDeDup cell occupancy: fixed k=8 (the baseline-tier shape) and
+    # the production default k = ceil(n / TARGET_CELL_ROWS)
+    def cell_pairs(n_cells: int) -> int:
+        return occ(argmax_cell_assignment(emb, n_cells=n_cells), "cell")
+
+    n_emb = emb.count()
+    out["semdedup_fixed8_cell_pairs"] = cell_pairs(8)
+    out["semdedup_auto_cell_pairs"] = cell_pairs(
+        max(1, -(-n_emb // TARGET_CELL_ROWS))
+    )
+
+    # char-gram families (direct + cross-copy split, see classic probe's
+    # salting caveat: within-copy window lengthening shifts the level,
+    # cross-copy pairs are the algorithmic claim and must stay 0)
+    def with_cross(name: str, pairs_df) -> None:
+        pairs_df = pairs_df.persist()
+        out[name] = pairs_df.count()
+        if shard_divisor > 1:
+            out[f"{name}_cross_copy"] = pairs_df.where(
+                F.floor(F.col("id1") / SHIFT) != F.floor(F.col("id2") / SHIFT)
+            ).count()
+        pairs_df.unpersist()
+
+    with_cross("anchor_pairs", char_anchor_pairs(docs))
+    with_cross("winnowing_pairs", winnowing_pairs(docs))
+    return out
+
+
+def _pq_timings(spark, sf_dir: str) -> dict:
+    """PQ encode + ADC top-k wall seconds (best of 2) — the ANN family
+    whose cost is a full-corpus code scan by design (linear by
+    construction; the timing point verifies the constant doesn't hide a
+    superlinear stage like the global top-k cut)."""
+    from big_data_assignment2_2025_spark.operators.pq import (
+        pq_encode,
+        pq_lowest_id_codebooks,
+        pq_topk,
+    )
+    from big_data_assignment2_2025_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_lowest_id_codebooks(emb, m=8, k=16)
+    best_enc = best_adc = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        codes = pq_encode(emb, cb)
+        codes.write.mode("overwrite").parquet("/tmp/sf_growth_pq_codes")
+        best_enc = min(best_enc, time.perf_counter() - t0)
+        codes_on_disk = spark.read.parquet("/tmp/sf_growth_pq_codes")
+        queries = emb.where(F.col("vec_id") < 5)
+        t0 = time.perf_counter()
+        n = pq_topk(codes_on_disk, queries, cb, k=5).count()
+        best_adc = min(best_adc, time.perf_counter() - t0)
+    return {"encode_sec": round(best_enc, 2), "adc_sec": round(best_adc, 2),
+            "topk_rows": n}
+
+
+def _fit_exponent(points: list[int], counts: list[int]) -> float | None:
+    """Least-squares slope of ln(count) vs ln(scale) — the growth
+    exponent (1.0 = linear, 2.0 = quadratic). None if any count is 0
+    (log-undefined; the raw counts speak for themselves there)."""
+    import math
+
+    if any(c <= 0 for c in counts) or len(points) < 2:
+        return None
+    xs = [math.log(p) for p in points]
+    ys = [math.log(c) for c in counts]
+    xbar = sum(xs) / len(xs)
+    ybar = sum(ys) / len(ys)
+    den = sum((x - xbar) ** 2 for x in xs)
+    if den == 0:
+        return None
+    return round(sum(
+        (x - xbar) * (y - ybar) for x, y in zip(xs, ys)
+    ) / den, 2)
+
+
+def growth_main(points: list[int]) -> None:
+    spark = get_spark(app_name="growth_probe")
+    scales = [1] + sorted(points)
+    per_scale: dict[int, dict] = {}
+    pq: dict[str, dict] = {}
+    for s in scales:
+        sf_dir = SRC if s == 1 else build_growth(spark, s)
+        t0 = time.perf_counter()
+        per_scale[s] = _growth_counts(spark, sf_dir, shard_divisor=s)
+        sec = round(time.perf_counter() - t0, 1)
+        pq[str(s)] = _pq_timings(spark, sf_dir)
+        print(f"# scale {s}x counted in {sec}s: {per_scale[s]}",
+              file=sys.stderr)
+    families = {}
+    for k in per_scale[1]:
+        counts = {f"{s}x": per_scale[s].get(k) for s in scales}
+        present = [s for s in scales if per_scale[s].get(k) is not None]
+        exp = _fit_exponent(
+            present, [per_scale[s][k] for s in present]
+        )
+        families[k] = {"counts": counts, "exponent": exp}
+        # char-gram families: token salting lengthens within-copy window
+        # runs (a one-time LEVEL shift between 1x and any salted corpus,
+        # documented in the classic probe) — the algorithmic growth claim
+        # lives BETWEEN salted points, so fit that too when we have >= 2
+        salted = [s for s in present if s > 1]
+        if k in ("anchor_pairs", "winnowing_pairs") and len(salted) >= 2:
+            families[k]["exponent_between_salted"] = _fit_exponent(
+                salted, [per_scale[s][k] for s in salted]
+            )
+    # cross-copy counts exist only at scaled points — report verbatim
+    for s in scales[1:]:
+        for k, v in per_scale[s].items():
+            if k.endswith("_cross_copy") and k not in families:
+                families.setdefault(k, {"counts": {}})
+                families[k]["counts"][f"{s}x"] = v
+    superlinear = sorted(
+        k for k, v in families.items()
+        if v.get("exponent") is not None and v["exponent"] > 1.2
+    )
+    print(json.dumps({
+        "mode": "growth",
+        "points": scales,
+        "metric": "bucket-occupancy candidate pairs (join-emitted rows); "
+                  "direct counts for pre-filtered streams",
+        "families": families,
+        "pq_timings": pq,
+        "pq_encode_exponent": _fit_exponent(
+            scales, [max(pq[str(s)]["encode_sec"], 0.01) for s in scales]
+        ),
+        "superlinear_over_1_2": superlinear,
+    }))
+
+
 def main() -> None:
+    if "--growth" in sys.argv:
+        pts = [int(a) for a in sys.argv[1:] if a.isdigit()] or list(
+            GROWTH_POINTS
+        )
+        growth_main(pts)
+        return
     if "--bitmap-sketch" in sys.argv:
         spark = get_spark(
             app_name="bitmap_sketch_probe",
