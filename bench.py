@@ -202,8 +202,10 @@ HEADLINE = [
     "storage_schema_evolution",
     "storage_partition_evolution",
     # round-10: foreachBatch-sink family representative (exactly-once
-    # txn-tracked micro-batch ingestion into the snapshot store)
+    # txn-tracked micro-batch ingestion into the snapshot store) and its
+    # read-side twin (store as a streaming source, Python DataSource API)
     "streaming_snapshot_sink",
+    "streaming_snapshot_source",
     # round-10 coverage sweep: one representative per previously-unbenched
     # family (see SELECTION RULE above)
     "topk_orders",               # TakeOrderedAndProject family

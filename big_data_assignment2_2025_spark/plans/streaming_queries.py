@@ -15,6 +15,7 @@ bit-identical.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..streaming import (
     run_streaming_bitmap_dau,
@@ -294,6 +295,62 @@ ORDER BY event_type
 """
 
 
+def streaming_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot store as a STREAMING SOURCE (PySpark 4 Python
+    DataSource API, ``sources/snapshot_source.py``): a per-fixture store
+    holds the events table as three append commits; the stream tails the
+    version log, receives each commit's added files as Arrow batches,
+    and the drained per-type aggregate must equal the batch aggregate
+    over raw events — micro-batch boundaries are version boundaries, so
+    the result is batching-invariant by construction. Planning reads
+    manifests only (O(new commits), never a table scan): at 100 TB the
+    stream costs what the ingest added, not what the table holds."""
+    import os
+    import tempfile
+
+    from ..sources.readers import (
+        derived_cache_ok,
+        fixture_fingerprint,
+        load_table,
+        mark_derived_cache,
+    )
+    from ..sources.snapshot_source import SnapshotStreamDataSource
+    from ..sources.snapshots import SnapshotStore
+    from ..streaming.stream import _drain_to_memory
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"snapsrc_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(base, fprint):
+        import shutil
+
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        store = SnapshotStore(base)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        for i in range(3):
+            store.commit(ev.where(F.col("event_id") % 3 == i), mode="append")
+        mark_derived_cache(base, fprint)
+    spark.dataSource.register(SnapshotStreamDataSource)
+    stream = spark.readStream.format("snapshotstream").option(
+        "path", base
+    ).load()
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_cents").alias("sum_cents"),
+    )
+    return _drain_to_memory(agg, spark).orderBy("event_type")
+
+
+# the source must deliver every committed row exactly once, so the
+# drained aggregate equals the sink twin's oracle
+STREAMING_SNAPSHOT_SOURCE_SQL = STREAMING_SNAPSHOT_SINK_SQL
+
+
 # Batch twin of the foreachBatch latest-row-per-key upsert: last event per
 # user by (event time, event_id) — exact integer µs and cents, so the
 # streamed state table matches the batch window query bit-for-bit.
@@ -318,6 +375,7 @@ ORDER BY user_id
 QUERIES = {
     "streaming_foreachbatch_upsert": streaming_foreachbatch_upsert,
     "streaming_snapshot_sink": streaming_snapshot_sink,
+    "streaming_snapshot_source": streaming_snapshot_source,
     "streaming_hourly_window": streaming_hourly_window,
     "streaming_dedup_events": streaming_dedup_events,
     "streaming_dedup_window_chain": streaming_dedup_window_chain,
@@ -346,6 +404,8 @@ ORACLES = {
     "streaming_foreachbatch_upsert": STREAMING_FOREACHBATCH_SQL,
     # the store's content is batching-invariant: exactly-once txn commits
     "streaming_snapshot_sink": STREAMING_SNAPSHOT_SINK_SQL,
+    # every committed row delivered exactly once, batching-invariant
+    "streaming_snapshot_source": STREAMING_SNAPSHOT_SOURCE_SQL,
     "streaming_stream_join": STREAMING_STREAM_JOIN_SQL,
     "streaming_static_join": STREAMING_STATIC_JOIN_SQL,
     # identical final state to the batch sliding-window aggregation

@@ -1002,9 +1002,11 @@ class SnapshotStore:
             )
             if not has_insert:
                 return prev
-            # pure insert batch: empty target, schema preserved
+            # pure insert batch: empty target, schema preserved ([:1]
+            # tolerates a zero-member version — the recorded schema then
+            # carries the frame)
             cur = self._read_members(
-                spark, doc, [doc["members"][0]]
+                spark, doc, doc["members"][:1]
             ).where(F.lit(False))
         out = self._apply_changes(cur, changes, keys, op_col)
         version = prev + 1

@@ -1,0 +1,152 @@
+"""Snapshot store as a streaming SOURCE (sources/snapshot_source.py,
+PySpark 4 Python DataSource API): version-log offsets, per-file Arrow
+partitions, Delta-style non-append refusal, evolution backfill."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_assignment2_2025_spark.sources.snapshot_source import (
+    SnapshotStreamDataSource,
+)
+from big_data_assignment2_2025_spark.sources.snapshots import SnapshotStore
+
+
+def _register(spark):
+    spark.dataSource.register(SnapshotStreamDataSource)
+
+
+def _drain(spark, stream_df, ckpt=None, name=None):
+    import uuid
+
+    name = name or f"snap_src_{uuid.uuid4().hex[:10]}"
+    ckpt = ckpt or tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    return spark.table(name), ckpt
+
+
+def _store_with_orders(spark, sf_dir, tmp_path, n_commits=3):
+    st = SnapshotStore(str(tmp_path))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    for i in range(n_commits):
+        st.commit(orders.where(F.col("o_orderkey") % n_commits == i),
+                  mode="append")
+    return st, orders
+
+
+def test_stream_delivers_every_committed_row_once(spark, sf_dir, tmp_path):
+    _register(spark)
+    st, orders = _store_with_orders(spark, sf_dir, tmp_path)
+    stream = spark.readStream.format("snapshotstream").option(
+        "path", str(tmp_path)
+    ).load()
+    got, _ = _drain(spark, stream)
+    assert got.count() == orders.count()
+    assert got.select(F.sum("o_orderkey")).first()[0] == \
+        orders.select(F.sum("o_orderkey")).first()[0]
+
+
+def test_checkpoint_resume_reads_only_new_versions(spark, sf_dir, tmp_path):
+    """The engine checkpoints the version offset: a resumed stream gets
+    exactly the commits that landed since — the O(new data) tail-read.
+    (Parquet sink: the memory sink cannot recover a checkpoint.)"""
+    _register(spark)
+    st, orders = _store_with_orders(spark, sf_dir, tmp_path)
+    stream = spark.readStream.format("snapshotstream").option(
+        "path", str(tmp_path)
+    ).load()
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    out = tempfile.mkdtemp(prefix="snap_resume_out_")
+
+    def drain_to_parquet():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    drain_to_parquet()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == orders.count()
+    st.commit(
+        orders.limit(11).withColumn("o_totalprice", F.lit(0.0)),
+        mode="append",
+    )
+    drain_to_parquet()
+    # only the 11 new rows arrive in the resumed run
+    assert spark.read.parquet(out).count() == n1 + 11
+
+
+def test_non_append_commit_refuses_then_skips(spark, sf_dir, tmp_path):
+    _register(spark)
+    st, orders = _store_with_orders(spark, sf_dir, tmp_path, n_commits=2)
+    st.compact(spark)  # v3: not a row-level delta
+    st.commit(orders.limit(5), mode="append")  # v4
+    stream = spark.readStream.format("snapshotstream").option(
+        "path", str(tmp_path)
+    ).load()
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="compact"):
+        _drain(spark, stream)
+    # Delta's escape hatch: skip rewrite commits, keep consuming appends
+    skipping = (
+        spark.readStream.format("snapshotstream")
+        .option("path", str(tmp_path))
+        .option("skipChangeCommits", "true")
+        .load()
+    )
+    got, _ = _drain(spark, skipping)
+    assert got.count() == orders.count() + 5
+
+
+def test_evolution_backfill_through_stream(spark, sf_dir, tmp_path):
+    """Members written before an additive add-column NULL-backfill in
+    the Arrow read path (same discipline as the batch manifest-schema
+    read)."""
+    _register(spark)
+    st = SnapshotStore(str(tmp_path))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    st.commit(orders.limit(50), mode="append")
+    st.add_column("note", "string")
+    st.commit(
+        orders.limit(70).withColumn("note", F.lit("new")), mode="append"
+    )
+    stream = spark.readStream.format("snapshotstream").option(
+        "path", str(tmp_path)
+    ).load()
+    got, _ = _drain(spark, stream)
+    assert got.count() == 120
+    assert got.where(F.col("note").isNull()).count() == 50
+    assert got.where(F.col("note") == "new").count() == 70
+
+
+def test_start_version_skips_history(spark, sf_dir, tmp_path):
+    _register(spark)
+    st, orders = _store_with_orders(spark, sf_dir, tmp_path, n_commits=3)
+    stream = (
+        spark.readStream.format("snapshotstream")
+        .option("path", str(tmp_path))
+        .option("startVersion", "2")
+        .load()
+    )
+    got, _ = _drain(spark, stream)
+    assert got.count() == orders.where(F.col("o_orderkey") % 3 == 2).count()
