@@ -322,11 +322,47 @@ ORDER BY version
 """
 
 
+def storage_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store through the FORMAT API (``spark.read.format(
+    "snapshotstream")``, sources/snapshot_source.py): a Python
+    DataSource batch reader whose partitions are the manifest's member
+    files — one Arrow-backfilled scan per file, time travel as
+    ``.option("version", N)``. Over the staged partition store's latest
+    (post-compaction) version the per-priority aggregate must equal the
+    raw orders aggregate: the format-API path reads exactly what the
+    native ``store.read()`` path reads."""
+    from ..sources.snapshot_source import SnapshotStreamDataSource
+
+    store = _staged_partition_store(spark, sf_dir)
+    spark.dataSource.register(SnapshotStreamDataSource)
+    df = spark.read.format("snapshotstream").option(
+        "path", store.base_dir
+    ).load()
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+DATASOURCE_READ_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "embedding_semdedup_scaled": embedding_semdedup_scaled,
     "storage_schema_evolution": storage_schema_evolution,
     "storage_partition_evolution": storage_partition_evolution,
     "storage_history": storage_history,
+    "storage_datasource_read": storage_datasource_read,
 }
 
 ORACLES = {
@@ -334,4 +370,5 @@ ORACLES = {
     "storage_schema_evolution": SCHEMA_EVOLUTION_SQL,
     "storage_partition_evolution": PARTITION_EVOLUTION_SQL,
     "storage_history": STORAGE_HISTORY_SQL,
+    "storage_datasource_read": DATASOURCE_READ_SQL,
 }

@@ -30,7 +30,13 @@ Design:
 
 Scale: offsets/planning are manifest-sized; each micro-batch reads only
 the files that commit added. At 100 TB the stream costs what the night's
-ingest costs — the table's size never appears in the plan.
+ingest costs — the table's size never appears in the plan. Honest
+limitation: Spark does not push column pruning / filters into Python
+DataSource scans (the reader receives the full table schema), so the
+per-file Arrow read materializes whole files; the batch format-API
+reader is an INTEROP surface — scans that need parquet-level pruning
+should use the native ``SnapshotStore.read/read_where/read_point``
+paths, whose member-level pruning this source cannot replicate.
 
 No reference counterpart; Structured-Streaming extension per SURVEY §7.
 """
@@ -43,12 +49,34 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
 from pyspark.sql.types import StructType
 
 FORMAT_NAME = "snapshotstream"
+
+
+def _read_file_backfilled(path: str, schema: StructType):
+    """One parquet file as Arrow batches, column-pruned to ``schema``
+    with NULL backfill for columns the file predates (the manifest-
+    schema read discipline, executor-side). Shared by the batch and
+    stream readers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path)
+    names = [f.name for f in schema.fields]
+    cols = []
+    for f in schema.fields:
+        if f.name in table.column_names:
+            cols.append(table.column(f.name))
+        else:
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            cols.append(pa.nulls(len(table), to_arrow_type(f.dataType)))
+    yield from pa.table(cols, names=names).to_batches()
 
 
 @dataclass
@@ -124,28 +152,54 @@ class SnapshotStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: _FilePartition):
-        # executor side: Arrow batches, column-pruned to the table schema
-        import pyarrow.parquet as pq
-
-        table = pq.read_table(partition.path)
-        names = [f.name for f in self._schema.fields]
-        # members may predate an additive evolution: missing columns
-        # NULL-backfill (the manifest-schema read discipline), extra
-        # physical columns are pruned
-        import pyarrow as pa
-
-        cols = []
-        for f in self._schema.fields:
-            if f.name in table.column_names:
-                cols.append(table.column(f.name))
-            else:
-                from pyspark.sql.pandas.types import to_arrow_type
-
-                cols.append(pa.nulls(len(table), to_arrow_type(f.dataType)))
-        yield from pa.table(cols, names=names).to_batches()
+        # executor side: Arrow batches; members may predate an additive
+        # evolution — missing columns NULL-backfill, extra ones prune
+        yield from _read_file_backfilled(partition.path, self._schema)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are engine-checkpointed; versions are immutable
+
+
+class SnapshotBatchReader(DataSourceReader):
+    """Batch read of ONE version through the format API — time travel as
+    ``.option("version", N)`` (default latest), one input partition per
+    member file, same Arrow backfill path as the stream."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self._schema = schema
+        opts = {k.lower(): v for k, v in options.items()}
+        self._path = opts["path"]
+        self._version = (
+            int(opts["version"]) if "version" in opts else None
+        )
+
+    def partitions(self):
+        d = os.path.join(self._path, "_manifests")
+        vs = sorted(
+            int(n[1:-5])
+            for n in os.listdir(d)
+            if n.startswith("v") and n.endswith(".json")
+        )
+        v = self._version if self._version is not None else (
+            vs[-1] if vs else None
+        )
+        if v is None or v not in vs:
+            raise ValueError(f"version {v} not committed under {self._path}")
+        with open(os.path.join(d, f"v{v:08d}.json")) as fh:
+            doc = json.load(fh)
+        out = []
+        for member in doc["members"]:
+            full = os.path.join(self._path, member)
+            for name in sorted(os.listdir(full)):
+                if name.endswith(".parquet"):
+                    out.append(_FilePartition(os.path.join(full, name)))
+        # zero-member version: one no-op partition keeps the scan valid
+        return out or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return
+        yield from _read_file_backfilled(partition.path, self._schema)
 
 
 class SnapshotStreamDataSource(DataSource):
@@ -171,7 +225,13 @@ class SnapshotStreamDataSource(DataSource):
         )
         if not vs:
             raise ValueError(f"no committed versions under {path}")
-        with open(os.path.join(d, f"v{vs[-1]:08d}.json")) as fh:
+        # batch time travel reads THAT version's schema — a later
+        # add-column does not retroactively appear (same contract as
+        # SnapshotStore.read); the stream always uses latest
+        v = int(opts["version"]) if "version" in opts else vs[-1]
+        if v not in vs:
+            raise ValueError(f"version {v} not committed under {path}")
+        with open(os.path.join(d, f"v{v:08d}.json")) as fh:
             doc = json.load(fh)
         if doc.get("schema") is None:
             raise ValueError(
@@ -182,3 +242,6 @@ class SnapshotStreamDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:
         return SnapshotStreamReader(schema, self.options)
+
+    def reader(self, schema: StructType) -> SnapshotBatchReader:
+        return SnapshotBatchReader(schema, self.options)

@@ -139,6 +139,32 @@ def test_evolution_backfill_through_stream(spark, sf_dir, tmp_path):
     assert got.where(F.col("note") == "new").count() == 70
 
 
+def test_batch_format_read_and_time_travel(spark, sf_dir, tmp_path):
+    """spark.read.format('snapshotstream'): latest == native read;
+    .option('version', 1) time-travels to the pre-evolution schema."""
+    _register(spark)
+    st = SnapshotStore(str(tmp_path))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    st.commit(orders.limit(100), mode="append")
+    st.add_column("note", "string")
+    st.commit(orders.limit(50).withColumn("note", F.lit("x")), mode="append")
+    latest = spark.read.format("snapshotstream").option(
+        "path", str(tmp_path)
+    ).load()
+    assert latest.count() == 150
+    assert latest.where(F.col("note").isNull()).count() == 100
+    v1 = (
+        spark.read.format("snapshotstream")
+        .option("path", str(tmp_path))
+        .option("version", "1")
+        .load()
+    )
+    assert v1.columns == ["o_orderkey", "o_totalprice"]  # no retro column
+    assert v1.count() == 100
+
+
 def test_start_version_skips_history(spark, sf_dir, tmp_path):
     _register(spark)
     st, orders = _store_with_orders(spark, sf_dir, tmp_path, n_commits=3)
