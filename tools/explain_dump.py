@@ -708,6 +708,21 @@ COMMENTARY = {
         "with the writer. Plan: pruned member scans + scalar aggregates, "
         "zero data-sized exchange."
     ),
+    "storage_history": (
+        "Version log as a metadata table (round 10, DESCRIBE HISTORY): "
+        "built from manifests alone — bounded by commit count, zero data "
+        "scans, LocalTableScan plan. The history IS the audit trail the "
+        "txn sink and the streaming source consume."
+    ),
+    "storage_datasource_read": (
+        "Snapshot store through the format API (round 10, Python "
+        "DataSource batch reader): BatchScan snapshotstream (Python) — "
+        "one input partition per member file, Arrow batches with "
+        "evolution NULL-backfill, no Python eval nodes in the plan. "
+        "Interop surface only: Spark pushes no pruning into Python "
+        "scans, so the native read/read_where/read_point paths remain "
+        "the 100 TB route (member-level partition/stats pruning)."
+    ),
     "embedding_semdedup_scaled": (
         "Scale-aware SemDeDup (round 10, the production default): n_cells "
         "is derived from the corpus count (k = ceil(n/50), the paper's "
