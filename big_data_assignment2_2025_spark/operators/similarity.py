@@ -382,6 +382,15 @@ def argmax_cell_assignment(
 TARGET_CELL_ROWS = 50
 
 
+def derive_n_cells(n: int, target_cell_rows: int = TARGET_CELL_ROWS) -> int:
+    """The scale-aware SemDeDup cell count, k = max(1, ceil(n / target)).
+    THE single definition — semantic_dedup, the scale probe's two
+    measurement sites and the oracle SQL (as a literal) must all agree,
+    or the probe measures a different configuration than the operator
+    ships."""
+    return max(1, -(-n // target_cell_rows))
+
+
 def semantic_dedup(
     corpus: DataFrame,
     n_cells: int | None = None,
@@ -444,7 +453,7 @@ def semantic_dedup(
     """
     if n_cells is None:
         n = corpus.select(id_col).count()
-        n_cells = max(1, -(-n // target_cell_rows))
+        n_cells = derive_n_cells(n, target_cell_rows)
     assigned = argmax_cell_assignment(
         corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
     )

@@ -86,6 +86,25 @@ class _FilePartition(InputPartition):
     path: str
 
 
+def _list_versions(path: str) -> list[int]:
+    """Committed versions under ``path``, ascending — the Spark-free
+    mirror of ``SnapshotStore.versions()`` (this module must stay
+    importable on executors without session machinery)."""
+    d = os.path.join(path, "_manifests")
+    return sorted(
+        int(n[1:-5])
+        for n in os.listdir(d)
+        if n.startswith("v") and n.endswith(".json")
+    )
+
+
+def _load_manifest(path: str, version: int) -> dict:
+    with open(
+        os.path.join(path, "_manifests", f"v{version:08d}.json")
+    ) as fh:
+        return json.load(fh)
+
+
 class SnapshotStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict) -> None:
         self._schema = schema
@@ -96,22 +115,16 @@ class SnapshotStreamReader(DataSourceStreamReader):
         )
         start = opts.get("startversion")
         self._start = int(start) if start is not None else 0
+        isv = opts.get("initialsnapshotversion")
+        self._initial_snapshot = int(isv) if isv is not None else 0
 
-    # -- manifest access (driver side; mirrors SnapshotStore layout
-    # without importing Spark-session machinery into the worker path) --
+    # -- manifest access (driver side; shared Spark-free helpers) --
 
     def _manifest(self, version: int) -> dict:
-        p = os.path.join(self._path, "_manifests", f"v{version:08d}.json")
-        with open(p) as fh:
-            return json.load(fh)
+        return _load_manifest(self._path, version)
 
     def _versions(self) -> list[int]:
-        d = os.path.join(self._path, "_manifests")
-        return sorted(
-            int(n[1:-5])
-            for n in os.listdir(d)
-            if n.startswith("v") and n.endswith(".json")
-        )
+        return _list_versions(self._path)
 
     # -- stream reader contract --
 
@@ -125,21 +138,41 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         out: list[_FilePartition] = []
-        first = min(self._versions(), default=0)
+        existing = set(self._versions())
+        first = min(existing, default=0)
         for v in range(start["version"] + 1, end["version"] + 1):
+            if v not in existing:
+                # vacuumed history: manifests strictly below the earliest
+                # retained one are gone by GC — nothing to serve; a hole
+                # ABOVE it would be store corruption and must not be
+                # silently skipped
+                if v < first:
+                    continue
+                raise ValueError(
+                    f"manifest v{v} is missing but later versions exist — "
+                    "store corruption or a concurrent vacuum of retained "
+                    "history; restart from a later startVersion"
+                )
             doc = self._manifest(v)
-            if doc["mode"] not in ("append", "alter") and v != first:
-                # the FIRST version is the table's initial snapshot —
-                # whatever its mode, it rewrote nothing, and Delta's
-                # stream source likewise serves the starting snapshot
-                # as the first batch
+            # v1 is exempt from the non-append refusal by construction:
+            # there was no prior data for it to rewrite, so it IS a
+            # row-level delta whatever its mode. Any LATER rewrite commit
+            # (including one that became min(versions) after a vacuum)
+            # must not ride that exemption — a checkpointed consumer that
+            # already consumed the pre-compaction appends would double-
+            # count every row. A consumer that KNOWS a rewrite version is
+            # its intended baseline declares it: initialSnapshotVersion=N
+            # serves exactly that version as the initial batch.
+            initial = v == 1 or v == self._initial_snapshot
+            if doc["mode"] not in ("append", "alter") and not initial:
                 if self._skip_change:
                     continue
                 raise ValueError(
                     f"snapshot stream hit a {doc['mode']!r} commit at "
                     f"v{v}: its file set is not a row-level delta. Set "
                     "skipChangeCommits=true to skip rewrite commits "
-                    "(Delta's escape hatch), or restart from a later "
+                    "(Delta's escape hatch), declare it the baseline with "
+                    "initialSnapshotVersion, or restart from a later "
                     "startVersion."
                 )
             for member in doc.get("added", []):
@@ -174,19 +207,13 @@ class SnapshotBatchReader(DataSourceReader):
         )
 
     def partitions(self):
-        d = os.path.join(self._path, "_manifests")
-        vs = sorted(
-            int(n[1:-5])
-            for n in os.listdir(d)
-            if n.startswith("v") and n.endswith(".json")
-        )
+        vs = _list_versions(self._path)
         v = self._version if self._version is not None else (
             vs[-1] if vs else None
         )
         if v is None or v not in vs:
             raise ValueError(f"version {v} not committed under {self._path}")
-        with open(os.path.join(d, f"v{v:08d}.json")) as fh:
-            doc = json.load(fh)
+        doc = _load_manifest(self._path, v)
         out = []
         for member in doc["members"]:
             full = os.path.join(self._path, member)
@@ -217,12 +244,7 @@ class SnapshotStreamDataSource(DataSource):
     def schema(self):
         opts = {k.lower(): v for k, v in self.options.items()}
         path = opts["path"]
-        d = os.path.join(path, "_manifests")
-        vs = sorted(
-            int(n[1:-5])
-            for n in os.listdir(d)
-            if n.startswith("v") and n.endswith(".json")
-        )
+        vs = _list_versions(path)
         if not vs:
             raise ValueError(f"no committed versions under {path}")
         # batch time travel reads THAT version's schema — a later
@@ -231,8 +253,7 @@ class SnapshotStreamDataSource(DataSource):
         v = int(opts["version"]) if "version" in opts else vs[-1]
         if v not in vs:
             raise ValueError(f"version {v} not committed under {path}")
-        with open(os.path.join(d, f"v{v:08d}.json")) as fh:
-            doc = json.load(fh)
+        doc = _load_manifest(path, v)
         if doc.get("schema") is None:
             raise ValueError(
                 "snapshot stream needs a schema-tracking manifest; commit "

@@ -90,7 +90,16 @@ from urllib.parse import unquote
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DataType, IntegralType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DataType,
+    FractionalType,
+    IntegralType,
+    MapType,
+    StructField,
+    StructType,
+)
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
@@ -153,18 +162,39 @@ class SnapshotStore:
 
     # -- schema evolution ----------------------------------------------------
 
-    @staticmethod
-    def _normalize(schema: StructType) -> StructType:
-        """All-nullable copy: the recorded table schema must read members
-        that predate a column (NULL backfill) and must not spuriously
-        conflict with a writer's non-null inference."""
+    @classmethod
+    def _normalize(cls, schema: StructType) -> StructType:
+        """All-nullable copy, RECURSIVELY: the recorded table schema must
+        read members that predate a column (NULL backfill) and must not
+        spuriously conflict with a writer's non-null inference — and
+        nullability lives at every nesting level (ArrayType.containsNull,
+        struct inner fields, MapType.valueContainsNull): a collect_list
+        batch infers containsNull=False where a parquet read-back infers
+        True, and the two must not read as a 'type change'."""
         return StructType(
-            [StructField(f.name, f.dataType, True) for f in schema.fields]
+            [
+                StructField(f.name, cls._nullable_type(f.dataType), True)
+                for f in schema.fields
+            ]
         )
 
-    @staticmethod
+    @classmethod
+    def _nullable_type(cls, dt: DataType) -> DataType:
+        if isinstance(dt, StructType):
+            return cls._normalize(dt)
+        if isinstance(dt, ArrayType):
+            return ArrayType(cls._nullable_type(dt.elementType), True)
+        if isinstance(dt, MapType):
+            return MapType(
+                cls._nullable_type(dt.keyType),
+                cls._nullable_type(dt.valueType),
+                True,
+            )
+        return dt
+
+    @classmethod
     def _merge_schema(
-        prev: StructType, new: StructType, evolve: bool
+        cls, prev: StructType, new: StructType, evolve: bool
     ) -> StructType:
         """Additive evolution: fields shared with ``prev`` must keep their
         exact type; fields only in ``new`` are appended (requires
@@ -178,7 +208,9 @@ class SnapshotStore:
             old = prev_by_name.get(f.name)
             if old is None:
                 added.append(StructField(f.name, f.dataType, True))
-            elif old.dataType != f.dataType:
+            elif cls._nullable_type(old.dataType) != cls._nullable_type(
+                f.dataType
+            ):  # deep-normalized: nested nullability is never a type change
                 raise ValueError(
                     f"type change on column {f.name!r} "
                     f"({old.dataType.simpleString()} -> "
@@ -344,9 +376,14 @@ class SnapshotStore:
             return int(s)
         if tr in ("month", "day"):
             return s
-        if isinstance(src_types.get(field["source"]), IntegralType):
+        dt = src_types.get(field["source"])
+        if isinstance(dt, IntegralType):
             return int(s)
-        return s
+        if isinstance(dt, FractionalType):
+            return float(s)
+        if isinstance(dt, BooleanType):
+            return s.lower() == "true"
+        return s  # strings, dates (ISO lexical form), everything else
 
     def _write_under_spec(
         self, df: DataFrame, spec: dict | None
@@ -458,7 +495,19 @@ class SnapshotStore:
             if v is None:
                 return value is not None
             if tr == "identity":
-                if v != value:
+                # type-conservative (like _part_excludes_range): the
+                # manifest stores the lexical form for types the decoder
+                # doesn't reconstruct (dates, decimals) — a cross-type
+                # inequality proves nothing, so only same-kind values
+                # prune; mismatches read conservatively and the exact
+                # predicate still filters
+                same_kind = type(v) is type(value) or (
+                    isinstance(v, (int, float))
+                    and not isinstance(v, bool)
+                    and isinstance(value, (int, float))
+                    and not isinstance(value, bool)
+                )
+                if same_kind and v != value:
                     return True
             elif tr in ("month", "day"):
                 if isinstance(value, str) and not value.startswith(v):
@@ -621,12 +670,9 @@ class SnapshotStore:
         spec = self.partition_spec()
         written = self._write_under_spec(df, spec)
         new_stats = (
-            {
-                d: self._member_stats(
-                    df.sparkSession, os.path.join(self.base_dir, d), stats_cols
-                )
-                for d, _ in written
-            }
+            self._members_stats(
+                df.sparkSession, [d for d, _ in written], stats_cols
+            )
             if stats_cols
             else {}
         )
@@ -664,10 +710,14 @@ class SnapshotStore:
                 # lineage: the batch declares the schema
                 schema = batch_schema
             schema_json = schema.jsonValue()
-            prev_sv = prev_doc.get("schema_version", 1) if keep_prev else 1
+            # schema_version is MONOTONE across the whole lineage, incl.
+            # overwrite (which resets members, not the schema history):
+            # bump iff the declared schema differs from the previously
+            # recorded one, whatever the mode
+            prev_recorded = prev_doc.get("schema")
+            prev_sv = prev_doc.get("schema_version", 1)
             sv = prev_sv + 1 if (
-                prev_schema_json is not None
-                and schema_json != prev_schema_json
+                prev_recorded is not None and schema_json != prev_recorded
             ) else prev_sv
             for d, entry in written:
                 members.append(d)
@@ -709,6 +759,46 @@ class SnapshotStore:
         row = spark.read.parquet(full_dir).agg(*aggs).collect()[0]
         return {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in cols}
 
+    def _members_stats(
+        self, spark: SparkSession, dirs: list[str], cols: list[str]
+    ) -> dict:
+        """[min,max] stats for SEVERAL just-written member directories in
+        ONE read-back job (rows attributed to members via
+        ``input_file_name``) — a spec'd commit writes up to
+        ``_MAX_PARTITIONS`` members, and one grouped aggregate beats that
+        many sequential per-member jobs by the same factor. Still ground
+        truth: the job reads the written files, never a pre-write
+        estimate."""
+        if not dirs or not cols:
+            return {}
+        if len(dirs) == 1:
+            return {
+                dirs[0]: self._member_stats(
+                    spark, os.path.join(self.base_dir, dirs[0]), cols
+                )
+            }
+        full = [os.path.join(self.base_dir, d) for d in dirs]
+        member_key = F.regexp_extract(
+            F.input_file_name(), r"/data/(c[0-9a-f]{16})/", 1
+        ).alias("_member")
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        rows = (
+            spark.read.parquet(*full).groupBy(member_key).agg(*aggs).collect()
+        )
+        out = {
+            os.path.join(_DATA_DIR, r["_member"]): {
+                c: [r[f"lo_{c}"], r[f"hi_{c}"]] for c in cols
+            }
+            for r in rows
+        }
+        # partitionBy never writes empty leafs, but stay defensive: a
+        # member that produced no rows gets uninformative (null) bounds
+        for d in dirs:
+            out.setdefault(d, {c: [None, None] for c in cols})
+        return out
+
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Rewrite the CURRENT version's members into ``target_files``
         files; logically a no-op (same rows), physically fewer, larger
@@ -744,12 +834,7 @@ class SnapshotStore:
             {c for s in doc.get("stats", {}).values() for c in s}
         )
         stats = (
-            {
-                d: self._member_stats(
-                    spark, os.path.join(self.base_dir, d), stat_cols
-                )
-                for d, _ in written
-            }
+            self._members_stats(spark, [d for d, _ in written], stat_cols)
             if stat_cols
             else {}
         )
@@ -883,12 +968,9 @@ class SnapshotStore:
                     out, doc.get("partition_spec")
                 )
                 stats = (
-                    {
-                        d: self._member_stats(
-                            spark, os.path.join(self.base_dir, d), stat_cols
-                        )
-                        for d, _ in written
-                    }
+                    self._members_stats(
+                        spark, [d for d, _ in written], stat_cols
+                    )
                     if stat_cols
                     else {}
                 )
@@ -1023,10 +1105,11 @@ class SnapshotStore:
         # on every column the prior manifest tracked anywhere
         stat_cols = sorted({c for s in prev_stats.values() for c in s})
         if stat_cols:
-            for d, _ in written:
-                stats[d] = self._member_stats(
-                    spark, os.path.join(self.base_dir, d), stat_cols
+            stats.update(
+                self._members_stats(
+                    spark, [d for d, _ in written], stat_cols
                 )
+            )
         self._publish(
             version,
             {"version": version, "mode": "merge",
@@ -1188,7 +1271,19 @@ class SnapshotStore:
             added.extend(doc["added"])
             to_doc = doc
         if not added:  # pure-alter range: no rows, the evolved schema
-            return spark.createDataFrame(
-                [], StructType.fromJson(to_doc["schema"])
+            if to_doc.get("schema") is not None:
+                return spark.createDataFrame(
+                    [], StructType.fromJson(to_doc["schema"])
+                )
+            # legacy (pre-schema-tracking) lineage: borrow the frame
+            # shape from one member by inference, keep zero rows
+            donor = to_doc["members"][:1]
+            if not donor:
+                raise ValueError(
+                    "empty diff over a schema-less, member-less lineage "
+                    "— no schema to shape the result with"
+                )
+            return self._read_members(spark, to_doc, donor).where(
+                F.lit(False)
             )
         return self._read_members(spark, to_doc, added)

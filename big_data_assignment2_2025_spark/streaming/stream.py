@@ -520,37 +520,48 @@ def run_streaming_snapshot_sink(
     stream in tests to exercise several batches + a simulated replay."""
     from big_data_assignment2_2025_spark.sources.snapshots import SnapshotStore
 
+    import shutil
+
     ev = source if source is not None else read_events_stream(spark, sf_dir)
     rows = ev.select(
         "event_id",
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("value_cents"),
     )
-    store = SnapshotStore(tempfile.mkdtemp(prefix="snapsink_"))
+    store_dir = tempfile.mkdtemp(prefix="snapsink_")
+    store = SnapshotStore(store_dir)
     app = "streaming_snapshot_sink"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         store.commit(batch_df, mode="append", txn=(app, batch_id))
 
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt, _state_partitions(
-        spark
-    ):
-        q = (
-            rows.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+    try:
+        with tempfile.TemporaryDirectory(
+            prefix="ckpt_"
+        ) as ckpt, _state_partitions(spark):
+            q = (
+                rows.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        agg = (
+            store.read(spark)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("value_cents").alias("sum_cents"),
+            )
+            .orderBy("event_type")
         )
-        q.awaitTermination()
-    return (
-        store.read(spark)
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum("value_cents").alias("sum_cents"),
-        )
-        .orderBy("event_type")
-    )
+        # materialize the (|event_type|-bounded) result so the throwaway
+        # store can be deleted — bench/oracle runs otherwise accumulate a
+        # full events copy in /tmp per invocation
+        collected = agg.collect()
+        return spark.createDataFrame(collected, agg.schema)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
 
 
 def run_streaming_tws_counter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -206,6 +206,52 @@ def test_spec_survives_overwrite_and_clears(spark, sf_dir, tmp_path):
     assert st.read(spark, v3).count() == orders.count() + 10
 
 
+def test_identity_spec_on_double_column_point_read(spark, sf_dir, tmp_path):
+    """Identity partitions on a non-integral column: the manifest decodes
+    doubles back to floats, and for types the decoder keeps lexical
+    (dates etc.) the point pruning is type-CONSERVATIVE — a cross-type
+    inequality must never silently empty a read (round-10 review find)."""
+    st = SnapshotStore(str(tmp_path))
+    orders = _orders(spark, sf_dir)
+    # a coarse double column: priority digit + 0.5
+    df = orders.select(
+        "o_orderkey",
+        (F.substring("o_orderpriority", 1, 1).cast("double") + 0.5).alias(
+            "prio_d"
+        ),
+    )
+    st.commit(df.limit(0), mode="overwrite")
+    st.set_partition_spec([("prio_d", "identity")])
+    st.commit(df, mode="append")
+    got = st.read_point(spark, "prio_d", 1.5).count()
+    want = df.where(F.col("prio_d") == 1.5).count()
+    assert want > 0 and got == want
+    # and the pruning still bites: the pre-spec empty v1 member (no
+    # partition info, conservative) + the one 1.5 partition
+    planned = st.planned_members_point(spark, "prio_d", 1.5)
+    assert len(planned) == 2
+    # cross-type lookup (string vs double values) reads conservatively
+    # instead of pruning everything — empty by predicate, not by plan
+    assert st.read_point(spark, "prio_d", "1.5").count() in (0, want)
+    assert len(st.planned_members_point(spark, "prio_d", "1.5")) >= 5
+
+
+def test_nested_nullability_is_not_a_type_change(spark, sf_dir, tmp_path):
+    """collect_list infers ArrayType(..., containsNull=False); the same
+    data read back from parquet infers True — appending it must not be
+    rejected as a 'type change' (round-10 review find)."""
+    st = SnapshotStore(str(tmp_path))
+    orders = _orders(spark, sf_dir)
+    arr = orders.groupBy("o_orderpriority").agg(
+        F.collect_list("o_totalprice").alias("prices")
+    )
+    assert not arr.schema["prices"].dataType.containsNull
+    st.commit(arr, mode="overwrite")
+    back = st.read(spark)  # parquet read-back: containsNull=True
+    st.commit(back, mode="append")  # must NOT raise
+    assert st.read(spark).count() == 2 * arr.count()
+
+
 def test_diff_passes_spec_alter(spark, sf_dir, tmp_path):
     """A spec-only version adds no rows; diff() across it stays a valid
     row-level delta."""

@@ -283,3 +283,19 @@ def test_string_dtype_parse_matches_datatype(spark, store):
     fields = {f.name: f.dataType for f in store.schema().fields}
     assert fields["a"] == fields["b"] == StringType()
     assert store.manifest(3)["schema_version"] == 3
+
+
+def test_schema_version_monotone_across_overwrite(spark, store):
+    """schema_version is a lineage-level monotone counter (the module
+    contract): an overwrite resets members, never the schema history —
+    a consumer caching 'schema as of version 3' must never see the
+    counter rewind (round-10 review find)."""
+    store.commit(_base(spark, 0, 2), mode="overwrite")
+    store.add_column("score", "bigint")
+    assert store.manifest(2)["schema_version"] == 2
+    # same declared schema -> same version, even through overwrite
+    v3 = store.commit(store.read(spark, 2), mode="overwrite")
+    assert store.manifest(v3)["schema_version"] == 2
+    # a different declared schema through overwrite BUMPS, never rewinds
+    v4 = store.commit(_base(spark, 0, 2), mode="overwrite")
+    assert store.manifest(v4)["schema_version"] == 3

@@ -165,6 +165,34 @@ def test_batch_format_read_and_time_travel(spark, sf_dir, tmp_path):
     assert v1.count() == 100
 
 
+def test_vacuumed_compact_refuses_instead_of_replaying(spark, sf_dir, tmp_path):
+    """After vacuum() GCs the pre-compaction history, the compact commit
+    is min(versions) — it must NOT ride the initial-snapshot exemption
+    (a checkpointed consumer would double-count every row); declaring it
+    the baseline needs the explicit initialSnapshotVersion option
+    (round-10 review find)."""
+    _register(spark)
+    st, orders = _store_with_orders(spark, sf_dir, tmp_path, n_commits=2)
+    v3 = st.compact(spark)
+    st.vacuum(keep_versions=[v3])
+    stream = spark.readStream.format("snapshotstream").option(
+        "path", str(tmp_path)
+    ).load()
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="compact"):
+        _drain(spark, stream)
+    # the explicit baseline declaration serves it exactly once
+    declared = (
+        spark.readStream.format("snapshotstream")
+        .option("path", str(tmp_path))
+        .option("initialSnapshotVersion", str(v3))
+        .load()
+    )
+    got, _ = _drain(spark, declared)
+    assert got.count() == orders.count()
+
+
 def test_start_version_skips_history(spark, sf_dir, tmp_path):
     _register(spark)
     st, orders = _store_with_orders(spark, sf_dir, tmp_path, n_commits=3)

@@ -350,13 +350,11 @@ def _candidate_counts(spark, sf_dir: str, shard_divisor: int = 1) -> dict[str, i
     # measured at BOTH scales so pair_growth reports its normalized growth
     # like every other family's
     from big_data_assignment2_2025_spark.operators.similarity import (
-        TARGET_CELL_ROWS,
+        derive_n_cells,
     )
 
     n_emb = emb.count()
-    out["semdedup_cell_pairs_auto"] = _cell_pairs(
-        max(1, -(-n_emb // TARGET_CELL_ROWS))
-    )
+    out["semdedup_cell_pairs_auto"] = _cell_pairs(derive_n_cells(n_emb))
     # Char-gram families: the token salting ("c3_" on every token) inflates
     # WITHIN-copy window duplication — it lengthens every repeated token run
     # by ~3 chars/token, pushing sub-40-char runs past the window width —
@@ -789,8 +787,8 @@ def _growth_counts(spark, sf_dir: str, shard_divisor: int = 1) -> dict:
         winnowing_pairs,
     )
     from big_data_assignment2_2025_spark.operators.similarity import (
-        TARGET_CELL_ROWS,
         argmax_cell_assignment,
+        derive_n_cells,
         hyperplane_signature,
     )
     from big_data_assignment2_2025_spark.sources.readers import (
@@ -914,9 +912,7 @@ def _growth_counts(spark, sf_dir: str, shard_divisor: int = 1) -> dict:
 
     n_emb = emb.count()
     out["semdedup_fixed8_cell_pairs"] = cell_pairs(8)
-    out["semdedup_auto_cell_pairs"] = cell_pairs(
-        max(1, -(-n_emb // TARGET_CELL_ROWS))
-    )
+    out["semdedup_auto_cell_pairs"] = cell_pairs(derive_n_cells(n_emb))
 
     # char-gram families (direct + cross-copy split, see classic probe's
     # salting caveat: within-copy window lengthening shifts the level,
