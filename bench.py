@@ -201,6 +201,7 @@ HEADLINE = [
     "embedding_semdedup_scaled",
     "storage_schema_evolution",
     "storage_partition_evolution",
+    "storage_change_feed",
     # round-10: foreachBatch-sink family representative (exactly-once
     # txn-tracked micro-batch ingestion into the snapshot store) and its
     # read-side twin (store as a streaming source, Python DataSource API)

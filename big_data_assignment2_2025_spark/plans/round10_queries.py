@@ -284,6 +284,90 @@ ORDER BY version
 """
 
 
+def _staged_cdf_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
+    """Per-fixture store exercising the change feed: v1 overwrite (two
+    thirds of orders), v2 append (the last third), v3 MERGE — upserts
+    zeroing price to 1.0 for o_orderkey % 5 == 0, deletes for
+    % 7 == 0 (minus the upsert keys: a MERGE batch is one row per key).
+    Fingerprint-gated like every staged store."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"snapcdf_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(base, fprint):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        store = SnapshotStore(base)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        store.commit(
+            orders.where(F.col("o_orderkey") % _EVO_MOD != 0),
+            mode="overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        store.commit(
+            orders.where(F.col("o_orderkey") % _EVO_MOD == 0),
+            mode="append",
+            stats_cols=["o_orderkey"],
+        )
+        ups = orders.where(F.col("o_orderkey") % 5 == 0).select(
+            "o_orderkey",
+            F.lit(1.0).alias("o_totalprice"),
+            F.lit("upsert").alias("_op"),
+        )
+        dels = orders.where(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 5 != 0)
+        ).select(
+            "o_orderkey",
+            F.lit(0.0).alias("o_totalprice"),
+            F.lit("delete").alias("_op"),
+        )
+        store.merge(spark, ups.unionAll(dels), keys=["o_orderkey"])
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
+        mark_derived_cache(base, fprint)
+    return SnapshotStore(base)
+
+
+def storage_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed across an append + a MERGE (Delta CDF):
+    ``read_changes(1, 3)`` surfaces the v2 append as ``insert`` rows and
+    replays v3's recorded pre/post images — update_preimage carries the
+    pre-merge prices, update_postimage the partial-updated rows (price
+    1.0, priority inherited from the target), deletes the dropped rows'
+    last values, and no-op deletes emit nothing. The per-type aggregate
+    pins all four row classes cross-engine. O(changed data): the feed
+    never opens v1's members."""
+    store = _staged_cdf_store(spark, sf_dir)
+    return (
+        store.read_changes(spark, 1, 3)
+        .groupBy("_change_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("_change_type")
+    )
+
+
+CHANGE_FEED_SQL = f"""
+WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+SELECT 'delete' AS _change_type, COUNT(*) AS n_rows,
+       ROUND(SUM(p), 2) AS sum_price
+FROM o WHERE k % 7 = 0 AND k % 5 <> 0
+UNION ALL
+SELECT 'insert', COUNT(*), ROUND(SUM(p), 2)
+FROM o WHERE k % {_EVO_MOD} = 0
+UNION ALL
+SELECT 'update_postimage', COUNT(*), ROUND(COUNT(*) * 1.0, 2)
+FROM o WHERE k % 5 = 0
+UNION ALL
+SELECT 'update_preimage', COUNT(*), ROUND(SUM(p), 2)
+FROM o WHERE k % 5 = 0
+ORDER BY _change_type
+"""
+
+
 def storage_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The version log as a metadata table (Delta ``DESCRIBE HISTORY`` /
     Iceberg ``snapshots``): one row per committed version with its mode,
@@ -363,6 +447,7 @@ QUERIES = {
     "storage_partition_evolution": storage_partition_evolution,
     "storage_history": storage_history,
     "storage_datasource_read": storage_datasource_read,
+    "storage_change_feed": storage_change_feed,
 }
 
 ORACLES = {
@@ -371,4 +456,5 @@ ORACLES = {
     "storage_partition_evolution": PARTITION_EVOLUTION_SQL,
     "storage_history": STORAGE_HISTORY_SQL,
     "storage_datasource_read": DATASOURCE_READ_SQL,
+    "storage_change_feed": CHANGE_FEED_SQL,
 }

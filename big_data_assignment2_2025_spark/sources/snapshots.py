@@ -95,8 +95,10 @@ from pyspark.sql.types import (
     BooleanType,
     DataType,
     FractionalType,
+    IntegerType,
     IntegralType,
     MapType,
+    StringType,
     StructField,
     StructType,
 )
@@ -961,6 +963,14 @@ class SnapshotStore:
                     {c for s in doc.get("stats", {}).values() for c in s}
                 )
                 version = prev + 1
+                # change data feed: the applied deltas (pre/post images)
+                # written as their own directory, referenced by the
+                # manifest's "changes" key — read_changes() serves them
+                # where diff() must refuse (a merge is not append-only)
+                cdf_dir, cdf_full = self._new_member_dir()
+                self._change_rows(
+                    cur, changes, keys, op_col, version
+                ).write.parquet(cdf_full)
                 # the rewrite honors the current spec (like compact): a
                 # logical merge over a spec'd table comes out re-laid-out
                 # into partition members, keeping point pruning alive
@@ -980,6 +990,7 @@ class SnapshotStore:
                         {"version": version, "mode": "overwrite",
                          "members": [d for d, _ in written],
                          "added": [d for d, _ in written],
+                         "changes": cdf_dir,
                          "stats": stats,
                          "partitions": {
                              d: e for d, e in written if e is not None
@@ -998,6 +1009,60 @@ class SnapshotStore:
             )
         finally:
             changes.unpersist()
+
+    @staticmethod
+    def _change_rows(
+        cur: DataFrame,
+        changes: DataFrame,
+        keys: list[str],
+        op_col: str,
+        version: int,
+    ) -> DataFrame:
+        """The merge's CHANGE DATA FEED rows (Delta CDF re-expressed):
+        per applied change, ``insert`` (upsert with no current row),
+        ``update_preimage``/``update_postimage`` (upsert over an existing
+        row — the postimage uses the same partial-update coalesce as
+        ``_apply_changes``, so the feed and the table can never
+        disagree), and ``delete`` (the dropped row's last values). No-op
+        deletes (key absent) emit nothing. Columns: the table schema plus
+        ``_change_type`` and ``_commit_version``."""
+        data_cols = [c for c in cur.columns if c not in keys]
+        s_cols = set(changes.columns)
+        curx = cur.withColumn("_t_exists", F.lit(True))
+        j = changes.alias("s").join(curx.alias("t"), on=keys, how="left")
+        exists = F.col("t._t_exists").isNotNull()
+        is_up = F.col(f"s.{op_col}") == "upsert"
+        is_del = F.col(f"s.{op_col}") == "delete"
+
+        def _rows(cond, cols, ctype):
+            return j.where(cond).select(
+                *keys,
+                *[e.alias(c) for c, e in zip(data_cols, cols)],
+                F.lit(ctype).alias("_change_type"),
+                F.lit(version).cast("int").alias("_commit_version"),
+            )
+
+        pre = [F.col(f"t.{c}") for c in data_cols]
+        post = [
+            (
+                F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}"))
+                if c in s_cols
+                else F.col(f"t.{c}")
+            )
+            for c in data_cols
+        ]
+        new = [
+            (F.col(f"s.{c}") if c in s_cols else F.lit(None)).cast(
+                cur.schema[c].dataType
+            )
+            for c in data_cols
+        ]
+        return (
+            _rows(is_up & ~exists, new, "insert")
+            .unionAll(_rows(is_up & exists, pre, "update_preimage"))
+            .unionAll(_rows(is_up & exists, post, "update_postimage"))
+            .unionAll(_rows(is_del & exists, pre, "delete"))
+        )
 
     @staticmethod
     def _apply_changes(
@@ -1092,6 +1157,13 @@ class SnapshotStore:
             ).where(F.lit(False))
         out = self._apply_changes(cur, changes, keys, op_col)
         version = prev + 1
+        # change data feed (same contract as the logical path): the
+        # affected-member slice holds every pre-image by construction —
+        # an untouched member cannot contain a change key
+        cdf_dir, cdf_full = self._new_member_dir()
+        self._change_rows(cur, changes, keys, op_col, version).write.parquet(
+            cdf_full
+        )
         # the rewritten slice honors the current spec; untouched members
         # keep their own (possibly older) spec entries — the mixed-spec
         # member set real table formats carry after spec evolution
@@ -1115,6 +1187,7 @@ class SnapshotStore:
             {"version": version, "mode": "merge",
              "members": untouched + [d for d, _ in written],
              "added": [d for d, _ in written],
+             "changes": cdf_dir,
              "stats": stats, "rewrote": affected,
              "partitions": partitions,
              "partition_spec": doc.get("partition_spec"),
@@ -1152,7 +1225,10 @@ class SnapshotStore:
             os.unlink(self._manifest_path(v))
         reachable: set[str] = set()
         for v in keep:
-            reachable.update(self.manifest(v)["members"])
+            doc = self.manifest(v)
+            reachable.update(doc["members"])
+            if doc.get("changes"):
+                reachable.add(doc["changes"])
         removed = []
         data_root = os.path.join(self.base_dir, _DATA_DIR)
         for name in sorted(os.listdir(data_root)):
@@ -1249,6 +1325,83 @@ class SnapshotStore:
             )
         pruned = self._read_members(spark, doc, keep)
         return pruned.where((F.col(col) >= lo) & (F.col(col) < hi))
+
+    def read_changes(
+        self, spark: SparkSession, v_from: int, v_to: int
+    ) -> DataFrame:
+        """Row-level CHANGE FEED for ``(v_from, v_to]`` (Delta CDF's
+        ``table_changes``): append commits surface as ``insert`` rows
+        (their added members, read under that version's schema), merge
+        commits replay their recorded pre/post-image directory, alters
+        contribute nothing. Columns: the consumer-side (``v_to``) table
+        schema plus ``_change_type`` and ``_commit_version`` — versions
+        that predate an additive evolution NULL-backfill by name.
+        O(changed data): prior members are never opened. Overwrite and
+        compaction still refuse — they rewrite the world, not rows; a
+        consumer crossing one reads both versions and reconciles."""
+        if v_to <= v_from:
+            raise ValueError(f"need v_from < v_to, got {v_from} >= {v_to}")
+        to_doc = self.manifest(v_to)
+        parts: list[DataFrame] = []
+        for v in range(v_from + 1, v_to + 1):
+            doc = self.manifest(v)
+            mode = doc["mode"]
+            if mode == "alter":
+                continue
+            if mode == "append":
+                if doc["added"]:
+                    parts.append(
+                        self._read_members(spark, to_doc, doc["added"])
+                        .withColumn("_change_type", F.lit("insert"))
+                        .withColumn(
+                            "_commit_version", F.lit(v).cast("int")
+                        )
+                    )
+            elif mode == "merge" or doc.get("changes"):
+                cdf = doc.get("changes")
+                if cdf is None:
+                    raise ValueError(
+                        f"v{v} is a merge without a recorded change "
+                        "feed (written before CDF); read both versions "
+                        "and anti-join instead"
+                    )
+                # the CDF directory carries that version's table schema
+                # + the two meta columns; align to the consumer's schema
+                # by name (additive evolution only ever ADDS columns)
+                parts.append(
+                    spark.read.parquet(os.path.join(self.base_dir, cdf))
+                )
+            else:
+                raise ValueError(
+                    f"change feed across non-row-level v{v} ({mode}) is "
+                    "undefined; read both versions and reconcile"
+                )
+        meta = ["_change_type", "_commit_version"]
+        if to_doc.get("schema") is not None:
+            base = StructType.fromJson(to_doc["schema"])
+            empty = spark.createDataFrame(
+                [],
+                StructType(
+                    list(base.fields)
+                    + [
+                        StructField("_change_type", StringType(), True),
+                        StructField("_commit_version", IntegerType(), True),
+                    ]
+                ),
+            )
+        elif parts:
+            empty = parts[0].where(F.lit(False))
+        else:
+            raise ValueError(
+                "empty change range over a schema-less lineage — no "
+                "schema to shape the result with"
+            )
+        out = empty
+        for p in parts:
+            out = out.unionByName(p, allowMissingColumns=True)
+        # stable meta-column placement whatever the union order did
+        cols = [c for c in out.columns if c not in meta] + meta
+        return out.select(*cols)
 
     def diff(self, spark: SparkSession, v_from: int, v_to: int) -> DataFrame:
         """Rows in commit directories added in (v_from, v_to] — the

@@ -723,6 +723,18 @@ COMMENTARY = {
         "scans, so the native read/read_where/read_point paths remain "
         "the 100 TB route (member-level partition/stats pruning)."
     ),
+    "storage_change_feed": (
+        "Change data feed (round 10, Delta CDF): merge() records the "
+        "applied deltas — insert / update_preimage / update_postimage / "
+        "delete rows, postimages computed by the SAME partial-update "
+        "coalesce as the table rewrite — into a manifest-referenced "
+        "directory; read_changes() replays recorded feeds for merges and "
+        "synthesizes inserts from append members, refusing overwrite/ "
+        "compaction (not row-level). O(changed data): the feed never "
+        "opens unchanged members — at 100 TB a downstream consumer "
+        "(index refresh, feature backfill) pays for the night's deltas, "
+        "not the table. Plan: feed-member scans + one grouped aggregate."
+    ),
     "embedding_semdedup_scaled": (
         "Scale-aware SemDeDup (round 10, the production default): n_cells "
         "is derived from the corpus count (k = ceil(n/50), the paper's "

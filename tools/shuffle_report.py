@@ -187,6 +187,9 @@ QUERIES_TO_PROFILE = [
     # member subsets + scalar aggs; pruning happens at PLANNING time from
     # manifest partition values, so the shuffle is scalar-agg-sized
     "storage_partition_evolution",
+    # round 10: change feed — replaying recorded pre/post images is a
+    # member-scan + group agg; the merge that WROTE them is staged
+    "storage_change_feed",
     "docs_exact_substring_dedup",
     "docs_winnowing_dedup",
     # round 8c: snapshot store — time travel (expect three independent
