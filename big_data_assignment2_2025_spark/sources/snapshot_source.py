@@ -24,6 +24,14 @@ Design:
   ``skipChangeCommits=true`` opts into skipping them — both behaviors
   copied from Delta's streaming source, because silently replaying a
   compaction as new rows is the classic double-count bug.
+- **Change-feed mode** (``readChangeFeed=true``, Delta's option): the
+  schema gains ``_change_type``/``_commit_version``, merge versions
+  SERVE their recorded pre/post-image directory as the batch, and
+  appends synthesize ``insert`` rows — a streaming consumer of the
+  table's CDC log (index refresh, downstream MERGE) without ever
+  scanning unchanged members; row-identical to the batch
+  ``SnapshotStore.read_changes`` (test-pinned), whose content the
+  ``storage_change_feed`` gate hash-verifies cross-engine.
 - **Exactly-once falls out of offset tracking**: the engine checkpoints
   the last committed version; a restart resumes from it, and versions
   are immutable once published.
@@ -53,7 +61,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 FORMAT_NAME = "snapshotstream"
 
@@ -81,9 +89,14 @@ def _read_file_backfilled(path: str, schema: StructType):
 
 @dataclass
 class _FilePartition(InputPartition):
-    """One parquet file of one added member (picklable)."""
+    """One parquet file of one added member (picklable). In change-feed
+    mode, ``change_type``/``version`` tag data files whose rows must be
+    synthesized into feed rows (appends -> inserts); feed files carry
+    their own meta columns (``change_type`` None)."""
 
     path: str
+    change_type: str | None = None
+    version: int | None = None
 
 
 def _list_versions(path: str) -> list[int]:
@@ -117,6 +130,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._start = int(start) if start is not None else 0
         isv = opts.get("initialsnapshotversion")
         self._initial_snapshot = int(isv) if isv is not None else 0
+        self._cdc = (
+            str(opts.get("readchangefeed", "false")).lower() == "true"
+        )
 
     # -- manifest access (driver side; shared Spark-free helpers) --
 
@@ -154,6 +170,18 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     "history; restart from a later startVersion"
                 )
             doc = self._manifest(v)
+            # change-feed mode (Delta readChangeFeed): a merge version is
+            # SERVED — its recorded pre/post-image directory replays as
+            # the batch — and appends synthesize insert rows; rewrite
+            # commits without a feed still refuse/skip below
+            if self._cdc and doc.get("changes") is not None:
+                full = os.path.join(self._path, doc["changes"])
+                for name in sorted(os.listdir(full)):
+                    if name.endswith(".parquet"):
+                        out.append(
+                            _FilePartition(os.path.join(full, name))
+                        )
+                continue
             # v1 is exempt from the non-append refusal by construction:
             # there was no prior data for it to rewrite, so it IS a
             # row-level delta whatever its mode. Any LATER rewrite commit
@@ -179,15 +207,49 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 full = os.path.join(self._path, member)
                 for name in sorted(os.listdir(full)):
                     if name.endswith(".parquet"):
-                        out.append(_FilePartition(os.path.join(full, name)))
+                        out.append(
+                            _FilePartition(
+                                os.path.join(full, name),
+                                change_type="insert" if self._cdc else None,
+                                version=v if self._cdc else None,
+                            )
+                        )
         # an empty range still needs >= 1 partition only if rows exist;
         # the engine accepts [] for a no-op batch
         return out
 
     def read(self, partition: _FilePartition):
         # executor side: Arrow batches; members may predate an additive
-        # evolution — missing columns NULL-backfill, extra ones prune
-        yield from _read_file_backfilled(partition.path, self._schema)
+        # evolution — missing columns NULL-backfill, extra ones prune.
+        # In change-feed mode, feed files already carry the meta columns
+        # (the full CDC schema backfills them like any other); append
+        # data files synthesize them as literals.
+        if partition.change_type is None:
+            yield from _read_file_backfilled(partition.path, self._schema)
+            return
+        import pyarrow as pa
+
+        table_schema = StructType(
+            [
+                f
+                for f in self._schema.fields
+                if f.name not in ("_change_type", "_commit_version")
+            ]
+        )
+        names = [f.name for f in table_schema.fields] + [
+            "_change_type",
+            "_commit_version",
+        ]
+        for batch in _read_file_backfilled(partition.path, table_schema):
+            n = batch.num_rows
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns)
+                + [
+                    pa.array([partition.change_type] * n, pa.string()),
+                    pa.array([partition.version] * n, pa.int32()),
+                ],
+                names=names,
+            )
 
     def commit(self, end: dict) -> None:
         pass  # offsets are engine-checkpointed; versions are immutable
@@ -259,7 +321,18 @@ class SnapshotStreamDataSource(DataSource):
                 "snapshot stream needs a schema-tracking manifest; commit "
                 "once with this store version (or pass .schema(...))"
             )
-        return StructType.fromJson(doc["schema"])
+        base = StructType.fromJson(doc["schema"])
+        if str(opts.get("readchangefeed", "false")).lower() == "true":
+            from pyspark.sql.types import IntegerType, StringType
+
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField("_change_type", StringType(), True),
+                    StructField("_commit_version", IntegerType(), True),
+                ]
+            )
+        return base
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:
         return SnapshotStreamReader(schema, self.options)

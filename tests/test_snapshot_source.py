@@ -193,6 +193,44 @@ def test_vacuumed_compact_refuses_instead_of_replaying(spark, sf_dir, tmp_path):
     assert got.count() == orders.count()
 
 
+def test_cdc_stream_equals_batch_feed(spark, sf_dir, tmp_path):
+    """readChangeFeed=true (Delta's option): merge versions SERVE their
+    recorded pre/post images instead of refusing, appends synthesize
+    insert rows — the drained stream is row-identical to the batch
+    read_changes() over the same range."""
+    _register(spark)
+    st, orders = _store_with_orders(spark, sf_dir, tmp_path, n_commits=2)
+    changes = (
+        orders.limit(5)
+        .withColumn("o_totalprice", F.lit(1.0))
+        .withColumn("_op", F.lit("upsert"))
+    )
+    v3 = st.merge(spark, changes, keys=["o_orderkey"], prune=True)
+    stream = (
+        spark.readStream.format("snapshotstream")
+        .option("path", str(tmp_path))
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    assert stream.columns[-2:] == ["_change_type", "_commit_version"]
+    got, _ = _drain(spark, stream)
+    key = ["o_orderkey", "o_totalprice", "_change_type"]
+    got_set = {tuple(r) for r in got.select(*key).collect()}
+    want_set = {
+        tuple(r)
+        for r in st.read_changes(spark, 0, v3).select(*key).collect()
+    }
+    assert got_set == want_set
+    # inserts carry their commit version; feed rows carry the merge's
+    vs = {
+        r["_change_type"]: r["v"]
+        for r in got.groupBy("_change_type")
+        .agg(F.max("_commit_version").alias("v"))
+        .collect()
+    }
+    assert vs["insert"] == 2 and vs["update_postimage"] == v3
+
+
 def test_start_version_skips_history(spark, sf_dir, tmp_path):
     _register(spark)
     st, orders = _store_with_orders(spark, sf_dir, tmp_path, n_commits=3)
