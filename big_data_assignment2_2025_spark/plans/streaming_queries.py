@@ -334,6 +334,12 @@ def streaming_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(3):
             store.commit(ev.where(F.col("event_id") % 3 == i), mode="append")
+        # derived_cache_ok requires the _SUCCESS marker a parquet job
+        # writes at the cache root; a snapshot STORE root has none, so
+        # touch it — without this the fingerprint never validates and the
+        # 3-commit store rebuilt on every invocation (ADVICE r11)
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
         mark_derived_cache(base, fprint)
     spark.dataSource.register(SnapshotStreamDataSource)
     stream = spark.readStream.format("snapshotstream").option(

@@ -35,6 +35,12 @@ Design:
 - **Exactly-once falls out of offset tracking**: the engine checkpoints
   the last committed version; a restart resumes from it, and versions
   are immutable once published.
+- **Vacuumed history fails loudly** (``failOnDataLoss``, Delta's
+  option, default ``true``): a checkpointed consumer resuming across a
+  ``vacuum()`` that dropped unconsumed commits errors instead of
+  silently losing their rows; ``failOnDataLoss=false`` is the explicit
+  opt-out, and versions below ``startVersion`` /
+  ``initialSnapshotVersion`` are intentionally superseded, not lost.
 
 Scale: offsets/planning are manifest-sized; each micro-batch reads only
 the files that commit added. At 100 TB the stream costs what the night's
@@ -133,6 +139,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._cdc = (
             str(opts.get("readchangefeed", "false")).lower() == "true"
         )
+        self._fail_on_data_loss = (
+            str(opts.get("failondataloss", "true")).lower() != "false"
+        )
 
     # -- manifest access (driver side; shared Spark-free helpers) --
 
@@ -158,12 +167,36 @@ class SnapshotStreamReader(DataSourceStreamReader):
         first = min(existing, default=0)
         for v in range(start["version"] + 1, end["version"] + 1):
             if v not in existing:
-                # vacuumed history: manifests strictly below the earliest
-                # retained one are gone by GC — nothing to serve; a hole
-                # ABOVE it would be store corruption and must not be
-                # silently skipped
                 if v < first:
-                    continue
+                    # vacuumed history: manifests strictly below the
+                    # earliest retained one are gone by GC. A consumer
+                    # whose startVersion covers them opted out; any OTHER
+                    # checkpointed consumer resuming across the vacuum
+                    # has LOST those commits' rows — Delta's streaming
+                    # source fails here unless failOnDataLoss=false is
+                    # explicit, and so do we (ADVICE r11: the silent skip
+                    # was a silent data loss)
+                    declared_superseded = (
+                        self._initial_snapshot
+                        and v < self._initial_snapshot
+                    )
+                    if (
+                        v <= self._start
+                        or declared_superseded
+                        or not self._fail_on_data_loss
+                    ):
+                        continue
+                    raise ValueError(
+                        f"snapshot stream offset range needs v{v} but the "
+                        f"earliest retained manifest is v{first}: a "
+                        "vacuum() dropped history this checkpoint had not "
+                        "consumed — rows are lost. Set "
+                        "failOnDataLoss=false to accept skipping the "
+                        "vacuumed commits, or restart from a fresh "
+                        "checkpoint/startVersion."
+                    )
+                # a hole ABOVE the earliest retained manifest is store
+                # corruption and must never be silently skipped
                 raise ValueError(
                     f"manifest v{v} is missing but later versions exist — "
                     "store corruption or a concurrent vacuum of retained "

@@ -81,6 +81,7 @@ small-files failure mode that kills 100 TB tables.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import re
@@ -94,6 +95,7 @@ from pyspark.sql.types import (
     ArrayType,
     BooleanType,
     DataType,
+    DateType,
     FractionalType,
     IntegerType,
     IntegralType,
@@ -101,6 +103,8 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
+    TimestampType,
 )
 
 _MANIFEST_DIR = "_manifests"
@@ -117,6 +121,11 @@ _BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
 
 #: Hive's directory name for a NULL partition value
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+#: canonical ISO lexical prefix (zero-padded yyyy-MM…) — the only string
+#: form whose lexical order agrees with temporal order, and so the only
+#: form month/day range-envelope pruning may act on
+_ISO_PREFIX_RE = re.compile(r"^\d{4}-\d{2}(-\d{2})?([ T].*)?$")
 
 
 class SnapshotConflictError(RuntimeError):
@@ -451,14 +460,65 @@ class SnapshotStore:
         return out
 
     @staticmethod
-    def _bucket_of(spark: SparkSession, value, n: int) -> int:
+    def _probe_kind_ok(dt: DataType | None, value) -> bool:
+        """True when a Python probe literal is the same KIND as the
+        source column — the precondition for bucket/month/day pruning.
+        Mirrors identity's same_kind conservatism: a cross-kind probe
+        (int vs a string column, say) may still MATCH rows under Spark's
+        comparison coercion, so pruning on it would not be a superset
+        filter. Unknown source type (legacy manifest) never prunes."""
+        if dt is None:
+            return False
+        if isinstance(value, bool):
+            return isinstance(dt, BooleanType)
+        if isinstance(value, (int, float)):
+            return isinstance(dt, (IntegralType, FractionalType))
+        if isinstance(value, _dt.datetime):
+            return isinstance(dt, (TimestampType, TimestampNTZType))
+        if isinstance(value, _dt.date):
+            return isinstance(
+                dt, (DateType, TimestampType, TimestampNTZType)
+            )
+        if isinstance(value, str):
+            return isinstance(
+                dt, (StringType, DateType, TimestampType, TimestampNTZType)
+            )
+        return False
+
+    @staticmethod
+    def _bucket_of(
+        spark: SparkSession, value, n: int, src_dt: DataType
+    ) -> int | None:
         """The bucket the ENGINE assigns ``value`` — one scalar probe job
-        through the same xxhash64(cast-to-string) the write used, so
-        point pruning can never disagree with the writer's hashing."""
+        through the same cast(source type)→cast(string)→xxhash64 chain
+        the write used, so point pruning can never disagree with the
+        writer's hashing (a Python ``3`` probed against a double column
+        hashes ``'3.0'``, exactly as the writer did — not ``'3'``).
+        Returns ``None`` when the literal does not coerce to the source
+        type (the probe can prove nothing; the caller must not prune)."""
+        row = spark.range(1).select(
+            F.pmod(
+                F.xxhash64(F.lit(value).cast(src_dt).cast("string")),
+                F.lit(n),
+            ).cast("int").alias("b"),
+            F.lit(value).cast(src_dt).isNull().alias("uncastable"),
+        ).first()
+        return None if row["uncastable"] else row["b"]
+
+    @staticmethod
+    def _canon_temporal(
+        spark: SparkSession, value, src_dt: DataType, fmt: str
+    ) -> str | None:
+        """``value`` canonicalized by the ENGINE through the source
+        column type then ``date_format(fmt)`` — the exact expression the
+        writer used to derive month/day partition values, so a
+        non-canonical-but-coercible probe (``'2024-1-5'``) compares
+        against what the writer actually recorded (``'2024-01'``).
+        ``None`` when the literal does not coerce (caller must not
+        prune)."""
         return spark.range(1).select(
-            F.pmod(F.xxhash64(F.lit(value).cast("string")), F.lit(n))
-            .cast("int").alias("b")
-        ).first()["b"]
+            F.date_format(F.lit(value).cast(src_dt), fmt).alias("c")
+        ).first()["c"]
 
     @staticmethod
     def _part_excludes_range(entry: dict, col: str, lo, hi) -> bool:
@@ -477,19 +537,31 @@ class SnapshotStore:
                 except TypeError:
                     pass
             elif tr in ("month", "day") and isinstance(lo, str) and isinstance(hi, str):
-                # rows stringify with prefix v: member spans [v, v+"￿")
-                if v + "￿" <= lo or v >= hi:
-                    return True
+                # rows stringify with prefix v: member spans [v, v+"￿").
+                # The lexical comparison is only sound when the bounds
+                # are in canonical ISO form — a coercible-but-padded
+                # string like '2024-1-5' sorts AFTER '2024-01…' yet
+                # denotes a timestamp inside it, so non-canonical bounds
+                # read conservatively (the exact predicate still filters)
+                if _ISO_PREFIX_RE.match(lo) and _ISO_PREFIX_RE.match(hi):
+                    if v + "￿" <= lo or v >= hi:
+                        return True
             # bucket: hash order is unrelated to value order — no range info
         return False
 
     def _part_excludes_point(
         self, spark: SparkSession, entry: dict, col: str, value,
-        bucket_cache: dict,
+        bucket_cache: dict, src_types: dict | None = None,
     ) -> bool:
         """True if the member's partition values prove ``col == value``
-        is empty. Bucket probes are computed once per (value, n) via the
-        engine (memoized in ``bucket_cache``)."""
+        is empty. Bucket probes and month/day canonicalizations are
+        computed once per (value, transform) via the engine (memoized in
+        ``bucket_cache``) — and ONLY when the probe literal's kind
+        matches the manifest-recorded source column type: a cross-kind
+        probe hashes/formats a different lexical form than the writer
+        did, so pruning on it would violate the superset-filter
+        invariant. Kind mismatches read conservatively."""
+        src_types = src_types or {}
         for fld in entry.get("fields", []):
             if fld["source"] != col:
                 continue
@@ -512,16 +584,34 @@ class SnapshotStore:
                 if same_kind and v != value:
                     return True
             elif tr in ("month", "day"):
-                if isinstance(value, str) and not value.startswith(v):
+                dt = src_types.get(col)
+                if not self._probe_kind_ok(dt, value):
+                    continue  # can't prove anything — read conservatively
+                fmt = "yyyy-MM" if tr == "month" else "yyyy-MM-dd"
+                key = (repr(value), tr)
+                if key not in bucket_cache:
+                    bucket_cache[key] = self._canon_temporal(
+                        spark, value, dt, fmt
+                    )
+                canon = bucket_cache[key]
+                if canon is not None and canon != v:
                     return True
             else:
                 m = _BUCKET_RE.match(tr)
                 if m:
+                    dt = src_types.get(col)
+                    if not self._probe_kind_ok(dt, value):
+                        continue  # cross-kind probe proves nothing
                     n = int(m.group(1))
                     key = (repr(value), n)
                     if key not in bucket_cache:
-                        bucket_cache[key] = self._bucket_of(spark, value, n)
-                    if bucket_cache[key] != v:
+                        bucket_cache[key] = self._bucket_of(
+                            spark, value, n, dt
+                        )
+                    if (
+                        bucket_cache[key] is not None
+                        and bucket_cache[key] != v
+                    ):
                         return True
         return False
 
@@ -538,12 +628,19 @@ class SnapshotStore:
         doc = self.manifest(v)
         parts = doc.get("partitions", {})
         stats = doc.get("stats", {})
+        schema = (
+            StructType.fromJson(doc["schema"])
+            if doc.get("schema") is not None else None
+        )
+        src_types = (
+            {f.name: f.dataType for f in schema.fields} if schema else {}
+        )
         bucket_cache: dict = {}
         keep = []
         for m in doc["members"]:
             entry = parts.get(m)
             if entry and self._part_excludes_point(
-                spark, entry, col, value, bucket_cache
+                spark, entry, col, value, bucket_cache, src_types
             ):
                 continue
             s = stats.get(m, {}).get(col)

@@ -262,3 +262,67 @@ def test_diff_passes_spec_alter(spark, sf_dir, tmp_path):
     st.commit(orders.where(F.col("o_orderkey") % 2 == 1), mode="append")
     delta = st.diff(spark, 1, 3)
     assert delta.count() == orders.where(F.col("o_orderkey") % 2 == 1).count()
+
+
+def test_bucket_prune_probe_casts_through_source_type(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r11: a bucket[N] spec over a DOUBLE column probed with a
+    Python int must hash what the WRITER hashed ('3.0', via a cast
+    through the source type), not '3' — the old probe pruned the
+    matching member and silently returned 0 rows even though the exact
+    predicate ``x == 3`` matches 3.0."""
+    st = SnapshotStore(str(tmp_path))
+    orders = _orders(spark, sf_dir)
+    df = orders.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).cast("double").alias("prio_d"),
+    )
+    st.commit(df.limit(0), mode="overwrite")
+    st.set_partition_spec([("prio_d", "bucket[4]")])
+    st.commit(df, mode="append")
+    want = df.where(F.col("prio_d") == 3).count()
+    assert want > 0
+    # int probe against the double column: must NOT silently empty
+    assert st.read_point(spark, "prio_d", 3).count() == want
+    # and it still PRUNES: only the conservative pre-spec empty member
+    # plus the one bucket holding 3.0 is planned
+    planned = st.planned_members_point(spark, "prio_d", 3)
+    total = len(st.manifest(st.latest_version())["members"])
+    assert len(planned) < total
+    # the float spelling plans the same bucket
+    assert set(planned) == set(
+        st.planned_members_point(spark, "prio_d", 3.0)
+    )
+    # a cross-kind probe (string vs double column) reads conservatively
+    # rather than pruning on a mismatched lexical hash
+    assert len(st.planned_members_point(spark, "prio_d", "3")) == total
+
+
+def test_month_prune_canonicalizes_coercible_probes(spark, tmp_path):
+    """ADVICE r11: month/day point pruning must canonicalize the probe
+    through the engine — a Spark-coercible but non-zero-padded literal
+    ('1995-3-07') used to fail the startswith('1995-03') check and prune
+    the member its rows actually live in."""
+    import datetime
+
+    st = SnapshotStore(str(tmp_path))
+    rows = [
+        (i, datetime.datetime(1995, m, 7, 12, 0, 0))
+        for i, m in enumerate([1, 1, 3, 3, 3, 6], start=1)
+    ]
+    df = spark.createDataFrame(rows, "id int, ts timestamp")
+    st.commit(df.limit(0), mode="overwrite")
+    st.set_partition_spec([("ts", "month")])
+    st.commit(df, mode="append")
+    probe = "1995-3-07 12:00:00"  # coercible, non-canonical
+    got = st.read_point(spark, "ts", probe).count()
+    want = df.where(F.col("ts") == probe).count()
+    assert want == 3 and got == want
+    # canonical probes still prune down to one month member (+ empty v1)
+    planned = st.planned_members_point(spark, "ts", probe)
+    assert len(planned) == 2
+    # range envelope: non-canonical bounds read conservatively instead
+    # of lexically mis-pruning the 1995-03 member
+    lo, hi = "1995-3-01", "1995-4-01"
+    assert st.read_where(spark, "ts", lo, hi).count() == 3

@@ -180,8 +180,19 @@ def test_vacuumed_compact_refuses_instead_of_replaying(spark, sf_dir, tmp_path):
     ).load()
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
-    with pytest.raises(StreamingQueryException, match="compact"):
+    # since ADVICE r11 the vacuum hole refuses first (data loss); the
+    # explicit opt-out then still hits the compact refusal — the
+    # exemption is never ridden silently at either layer
+    with pytest.raises(StreamingQueryException, match="lost"):
         _drain(spark, stream)
+    skipping = (
+        spark.readStream.format("snapshotstream")
+        .option("path", str(tmp_path))
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+    with pytest.raises(StreamingQueryException, match="compact"):
+        _drain(spark, skipping)
     # the explicit baseline declaration serves it exactly once
     declared = (
         spark.readStream.format("snapshotstream")
@@ -242,3 +253,81 @@ def test_start_version_skips_history(spark, sf_dir, tmp_path):
     )
     got, _ = _drain(spark, stream)
     assert got.count() == orders.where(F.col("o_orderkey") % 3 == 2).count()
+
+
+def test_resume_across_vacuum_fails_on_data_loss(spark, sf_dir, tmp_path):
+    """ADVICE r11: a checkpointed consumer whose offset predates a
+    vacuum(keep_versions=...) must FAIL by default — the vacuumed
+    commits' rows are gone and silently skipping them is silent data
+    loss (Delta's failOnDataLoss contract). failOnDataLoss=false is the
+    explicit opt-out; startVersion at/above the hole still skips."""
+    from big_data_assignment2_2025_spark.sources.snapshot_source import (
+        SnapshotStreamReader,
+    )
+
+    st, orders = _store_with_orders(spark, sf_dir, tmp_path, n_commits=4)
+    st.vacuum(keep_versions=[3, 4])  # v1, v2 manifests+data are gone
+
+    def reader(**extra):
+        return SnapshotStreamReader(
+            st.read(spark).schema, {"path": str(tmp_path), **extra}
+        )
+
+    # default: resuming from offset 0 across the vacuum raises data loss
+    with pytest.raises(ValueError, match="vacuum.*lost|lost"):
+        reader().partitions({"version": 0}, {"version": 4})
+    # explicit opt-out skips the vacuumed versions and serves the rest
+    parts = reader(failOnDataLoss="false").partitions(
+        {"version": 0}, {"version": 4}
+    )
+    assert parts  # v3/v4 files only
+    # a consumer that declared startVersion >= the hole never sees it
+    parts2 = reader(startVersion="2").partitions(
+        {"version": 2}, {"version": 4}
+    )
+    assert [p.path for p in parts2] == [p.path for p in parts]
+    # a hole ABOVE the earliest retained manifest (mid-log) is
+    # corruption, not vacuumed history — never skippable, even with the
+    # data-loss opt-out
+    import os
+    import tempfile as _tf
+
+    st2, _ = _store_with_orders(
+        spark, sf_dir, _tf.mkdtemp(prefix="snap_corrupt_"), n_commits=3
+    )
+    os.remove(st2._manifest_path(2))
+    bad = SnapshotStreamReader(
+        st2.read(spark, version=3).schema,
+        {"path": st2.base_dir, "failOnDataLoss": "false"},
+    )
+    with pytest.raises(ValueError, match="corruption"):
+        bad.partitions({"version": 0}, {"version": 3})
+
+
+def test_streaming_snapshot_source_cache_validates(spark, sf_dir):
+    """ADVICE r11: the staged store must leave a valid derived cache —
+    without the _SUCCESS touch, derived_cache_ok never returned True and
+    the 3-commit store was rebuilt on every invocation."""
+    import os
+    import tempfile
+
+    from big_data_assignment2_2025_spark.plans.streaming_queries import (
+        streaming_snapshot_source,
+    )
+    from big_data_assignment2_2025_spark.sources.readers import (
+        derived_cache_ok,
+        fixture_fingerprint,
+    )
+
+    streaming_snapshot_source(spark, sf_dir).collect()
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"snapsrc_{tag}")
+    assert derived_cache_ok(base, fixture_fingerprint(sf_dir))
+    # and a second invocation reuses the store: no manifest mtime change
+    mdir = os.path.join(base, "_manifests")
+    before = {n: os.path.getmtime(os.path.join(mdir, n))
+              for n in os.listdir(mdir)}
+    streaming_snapshot_source(spark, sf_dir).collect()
+    after = {n: os.path.getmtime(os.path.join(mdir, n))
+             for n in os.listdir(mdir)}
+    assert after == before
