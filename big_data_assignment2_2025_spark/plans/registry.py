@@ -40,6 +40,7 @@ from . import (
     round8c_queries,
     round9_queries,
     round10_queries,
+    round11_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -85,6 +86,7 @@ _MODULES = [
     round8c_queries,
     round9_queries,
     round10_queries,
+    round11_queries,
     storage_queries,
 ]
 

@@ -1,0 +1,222 @@
+"""Round-11 queries: deletion vectors / merge-on-read gates from the
+r10 verdict.
+
+The snapshot store (``sources/snapshots.py``) gained the last
+Delta/Iceberg verb it was missing: row-level DELETE and MERGE that mask
+rows with POSITION-DELETE files (``_metadata.file_path`` +
+``_metadata.row_index`` addresses) instead of rewriting members. These
+gates pin the full narrative cross-engine over one staged store:
+
+- ``storage_delete_vectors``: v3 = ``delete_where(priority = '5-LOW')``
+  — the member list is UNCHANGED and zero data directories are added
+  (both pinned as columns), yet reads mask exactly the predicate's
+  rows; v2 time-travels to the pre-delete row set.
+- ``storage_merge_on_read``: v4 = ``merge_on_read`` (upserts re-pricing
+  ``k % 5 = 0`` keys, deletes for ``k % 7 = 0`` others) over the
+  DV-bearing store — matched rows masked, post-images appended, a key
+  deleted at v3 and upserted at v4 re-inserts with non-key columns
+  NULL (the partial-update contract with no target row). v5 =
+  ``compact`` — the aggregate must be IDENTICAL at v4 (DV-masked read)
+  and v5 (DVs physically materialized away), pinning both read paths
+  to one oracle.
+
+No reference counterpart; lakehouse extensions per SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import (
+    derived_cache_ok,
+    fixture_fingerprint,
+    load_table,
+    mark_derived_cache,
+)
+from ..sources.snapshots import SnapshotStore
+
+#: the staged-store splits (shared by the Spark and SQL sides)
+_DV_MOD = 3        # v1 = k % 3 != 0, v2 appends k % 3 == 0
+_DV_PRIO = "5-LOW"  # v3 deletes this priority
+_UPS_MOD = 5       # v4 upserts k % 5 == 0 (price -> 1.0)
+_DEL_MOD = 7       # v4 deletes k % 7 == 0 (minus the upsert keys)
+#: sentinel for the NULL priority of re-inserted rows (group-by key on
+#: both engines without NULL-ordering divergence)
+_REINS = "REINSERTED"
+
+
+def _staged_dv_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
+    """Per-fixture snapshot store exercising the row-level verbs:
+    v1 overwrite + v2 append (orders split by key mod), v3
+    ``delete_where`` (deletion vector, no rewrite), v4
+    ``merge_on_read`` (mask + append, no rewrite), v5 ``compact``
+    (materializes every DV away). Fingerprint-gated like every staged
+    store."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"snapdv_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(base, fprint):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        store = SnapshotStore(base)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        store.commit(
+            orders.where(F.col("o_orderkey") % _DV_MOD != 0),
+            mode="overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        store.commit(
+            orders.where(F.col("o_orderkey") % _DV_MOD == 0),
+            mode="append",
+            stats_cols=["o_orderkey"],
+        )
+        store.delete_where(
+            spark, F.col("o_orderpriority") == _DV_PRIO
+        )
+        ups = orders.where(F.col("o_orderkey") % _UPS_MOD == 0).select(
+            "o_orderkey",
+            F.lit(1.0).alias("o_totalprice"),
+            F.lit("upsert").alias("_op"),
+        )
+        dels = orders.where(
+            (F.col("o_orderkey") % _DEL_MOD == 0)
+            & (F.col("o_orderkey") % _UPS_MOD != 0)
+        ).select(
+            "o_orderkey",
+            F.lit(0.0).alias("o_totalprice"),
+            F.lit("delete").alias("_op"),
+        )
+        store.merge_on_read(
+            spark, ups.unionAll(dels), keys=["o_orderkey"]
+        )
+        store.compact(spark)
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
+        mark_derived_cache(base, fprint)
+    return SnapshotStore(base)
+
+
+def storage_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE via a deletion vector: v3 masks every
+    ``5-LOW`` row while ADDING ZERO data directories and keeping the
+    member list bit-identical to v2 — ``n_members``/``n_added`` pin the
+    zero-rewrite claim, the per-version row count + price sum pin the
+    masking, and v2 pins time travel to the pre-delete rows. Scale: the
+    delete wrote O(matched rows); reads pay one (file, pos) anti-join
+    on the two dirty members and nothing on clean ones."""
+    store = _staged_dv_store(spark, sf_dir)
+    m2, m3 = store.manifest(2), store.manifest(3)
+    out = None
+    for v, doc in ((2, m2), (3, m3)):
+        agg = store.read(spark, v).agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        part = agg.select(
+            F.lit(v).alias("version"),
+            F.lit(doc["mode"]).alias("mode"),
+            F.lit(len(doc["members"])).alias("n_members"),
+            F.lit(len(doc["added"])).alias("n_added"),
+            F.lit(int(doc["members"] == m2["members"])).alias(
+                "same_members_as_v2"
+            ),
+            "n_rows",
+            "sum_price",
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("version")
+
+
+DELETE_VECTORS_SQL = f"""
+SELECT CAST(2 AS INTEGER) AS version, 'append' AS mode,
+       CAST(2 AS INTEGER) AS n_members, CAST(1 AS INTEGER) AS n_added,
+       CAST(1 AS INTEGER) AS same_members_as_v2,
+       COUNT(*) AS n_rows, ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+UNION ALL
+SELECT 3, 'delete', 2, 0, 1, COUNT(*), ROUND(SUM(o_totalprice), 2)
+FROM orders WHERE o_orderpriority <> '{_DV_PRIO}'
+ORDER BY version
+"""
+
+
+def storage_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read over a DV-bearing table, then compaction: the
+    per-priority aggregate at v4 (DV-masked read: matched rows masked
+    by position deletes, post-images appended, prior 5-LOW deletions
+    still in force, keys deleted-then-upserted re-inserted with NULL
+    priority) must be IDENTICAL at v5 (compact physically materialized
+    every DV away) — one oracle gates both the logical read path and
+    the materialization. v4's manifest pins the MoR shape: no member
+    rewritten, exactly the upsert member added."""
+    store = _staged_dv_store(spark, sf_dir)
+    doc4 = store.manifest(4)
+    out = None
+    for v in (4, 5):
+        part = (
+            store.read(spark, v)
+            .groupBy(
+                F.coalesce(
+                    F.col("o_orderpriority"), F.lit(_REINS)
+                ).alias("prio")
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+            .select(
+                F.lit(v).alias("version"),
+                F.lit(int(bool(doc4.get("merge_on_read")))).alias("mor"),
+                F.lit(int("rewrote" not in doc4)).alias("zero_rewrites"),
+                F.lit(len(doc4["added"])).alias("n_added_v4"),
+                "prio",
+                "n_rows",
+                "sum_price",
+            )
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("version", "prio")
+
+
+MERGE_ON_READ_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS p
+  FROM orders),
+v3 AS (SELECT * FROM base WHERE pr <> '{_DV_PRIO}'),
+final AS (
+  -- surviving v3 rows: v4 deletes drop them, upserts re-price them
+  SELECT k, pr, CASE WHEN k % {_UPS_MOD} = 0 THEN 1.0 ELSE p END AS p
+  FROM v3 WHERE NOT (k % {_DEL_MOD} = 0 AND k % {_UPS_MOD} <> 0)
+  UNION ALL
+  -- keys deleted at v3 and upserted at v4: re-insert, priority NULL
+  SELECT k, NULL, 1.0 FROM base
+  WHERE k % {_UPS_MOD} = 0 AND pr = '{_DV_PRIO}'),
+agg AS (
+  SELECT COALESCE(pr, '{_REINS}') AS prio, COUNT(*) AS n_rows,
+         ROUND(SUM(p), 2) AS sum_price
+  FROM final GROUP BY COALESCE(pr, '{_REINS}'))
+SELECT CAST(v.version AS INTEGER) AS version, CAST(1 AS INTEGER) AS mor,
+       CAST(1 AS INTEGER) AS zero_rewrites,
+       CAST(1 AS INTEGER) AS n_added_v4,
+       agg.prio, agg.n_rows, agg.sum_price
+FROM agg CROSS JOIN (SELECT 4 AS version UNION ALL SELECT 5) v
+ORDER BY version, prio
+"""
+
+
+QUERIES = {
+    "storage_delete_vectors": storage_delete_vectors,
+    "storage_merge_on_read": storage_merge_on_read,
+}
+
+ORACLES = {
+    "storage_delete_vectors": DELETE_VECTORS_SQL,
+    "storage_merge_on_read": MERGE_ON_READ_SQL,
+}

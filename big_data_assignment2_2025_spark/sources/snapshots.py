@@ -277,6 +277,7 @@ class SnapshotStore:
                      "members": list(doc["members"]), "added": [],
                      "stats": dict(doc.get("stats", {})),
                      "partitions": dict(doc.get("partitions", {})),
+                     "deletes": dict(doc.get("deletes", {})),
                      "partition_spec": doc.get("partition_spec"),
                      "txns": dict(doc.get("txns", {})),
                      "schema": new_schema.jsonValue(),
@@ -340,6 +341,7 @@ class SnapshotStore:
                      "members": list(doc["members"]), "added": [],
                      "stats": dict(doc.get("stats", {})),
                      "partitions": dict(doc.get("partitions", {})),
+                     "deletes": dict(doc.get("deletes", {})),
                      "schema": schema_json,
                      "schema_version": doc.get("schema_version", 1),
                      "txns": dict(doc.get("txns", {})),
@@ -797,6 +799,12 @@ class SnapshotStore:
             partitions = (
                 dict(prev_doc.get("partitions", {})) if keep_prev else {}
             )
+            # deletion vectors ride with the members they mask: appends
+            # carry them forward untouched, overwrite drops them with the
+            # member list (the new state has no masked rows)
+            deletes = (
+                dict(prev_doc.get("deletes", {})) if keep_prev else {}
+            )
             prev_schema_json = prev_doc.get("schema") if keep_prev else None
             if prev_schema_json is not None:
                 schema = self._merge_schema(
@@ -833,6 +841,8 @@ class SnapshotStore:
                    "txns": txns}
             if partitions:
                 doc["partitions"] = partitions
+            if deletes:
+                doc["deletes"] = deletes
             try:
                 self._publish(version, doc)
                 return version
@@ -1002,30 +1012,7 @@ class SnapshotStore:
         # persist so an expensive changes lineage computes once, not 4x
         changes = changes.persist()
         try:
-            ops = (
-                changes.select(op_col).distinct().toPandas()[op_col].tolist()
-            )  # bounded: the op domain, ≤2 values
-            bad = set(ops) - {"upsert", "delete"}
-            if bad:
-                raise ValueError(f"unknown {op_col} values: {sorted(bad)}")
-            # a key appearing twice in the batch would match one target
-            # row against BOTH change rows in the full-outer join,
-            # silently duplicating it — the same condition real MERGE
-            # implementations reject. One bounded probe: the first
-            # offending key, if any.
-            dup = (
-                changes.groupBy(*keys)
-                .count()
-                .where(F.col("count") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                key_vals = {k: dup[0][k] for k in keys}
-                raise ValueError(
-                    f"changes batch has multiple rows for key {key_vals}; "
-                    "MERGE requires at most one change row per key"
-                )
+            self._validate_changes(changes, keys, op_col)
             # MERGE is read-modify-write, so an OCC loss cannot be rebased
             # blindly (that would revert the interleaved commit): each
             # retry RE-READS the new latest manifest, re-validates the
@@ -1103,6 +1090,305 @@ class SnapshotStore:
             raise SnapshotConflictError(
                 f"merge could not land after {_OCC_RETRIES} rebases "
                 "(sustained contention on the manifest log)"
+            )
+        finally:
+            changes.unpersist()
+
+    @staticmethod
+    def _validate_changes(
+        changes: DataFrame, keys: list[str], op_col: str
+    ) -> None:
+        """Shared MERGE-batch preconditions (bounded probe actions): the
+        op domain is {'upsert', 'delete'}, and no key appears twice — a
+        duplicated key would match one target row against BOTH change
+        rows, silently duplicating it (the same condition real MERGE
+        implementations reject)."""
+        ops = (
+            changes.select(op_col).distinct().toPandas()[op_col].tolist()
+        )  # bounded: the op domain, ≤2 values
+        bad = set(ops) - {"upsert", "delete"}
+        if bad:
+            raise ValueError(f"unknown {op_col} values: {sorted(bad)}")
+        dup = (
+            changes.groupBy(*keys)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key_vals = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"changes batch has multiple rows for key {key_vals}; "
+                "MERGE requires at most one change row per key"
+            )
+
+    def _live_with_pos(
+        self, spark: SparkSession, doc: dict, members: list[str]
+    ) -> DataFrame:
+        """``members`` as LIVE rows (existing deletion vectors applied)
+        plus the ``(_file, _pos)`` row-address columns — the frame both
+        row-level verbs (``delete_where``, ``merge_on_read``) mask
+        against. Clean members skip the anti-join entirely."""
+        deletes = doc.get("deletes") or {}
+        with_pos = self._with_pos(spark, doc, members)
+        dv_dirs = sorted(
+            {d for m in members for d in deletes.get(m, [])}
+        )
+        if not dv_dirs:
+            return with_pos
+        return with_pos.join(
+            self._read_dvs(spark, dv_dirs), ["_file", "_pos"], "left_anti"
+        )
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition: Column | str,
+        prune_range: tuple[str, object, object] | None = None,
+    ) -> int:
+        """Row-level DELETE without rewriting any member (deletion
+        vectors / merge-on-read — Delta DVs and Iceberg position deletes
+        re-expressed): ONE scan computes the matching rows' stable
+        addresses (``_metadata.file_path`` + ``_metadata.row_index``),
+        writes them as a position-delete file, and publishes a
+        ``mode='delete'`` version whose member list is UNCHANGED — later
+        reads mask the positions with a per-dirty-member anti-join while
+        clean members keep the plain columnar scan. Cost: O(scan) to
+        find the rows, O(deleted rows) forever after; no data bytes are
+        rewritten. ``compact()`` materializes DVs away; time travel to a
+        pre-delete version sees the rows; ``vacuum`` retains DV files
+        reachable from retained manifests.
+
+        ``prune_range=(col, lo, hi)`` narrows the SCAN via manifest
+        [min,max] stats and becomes part of the predicate (rows deleted
+        = ``condition AND lo <= col < hi``), so the pruning is sound by
+        construction — the 100 TB form for key-clustered deletes.
+
+        The deleted rows are recorded as ``delete`` change-feed events
+        (``read_changes`` serves them). A no-match delete publishes
+        nothing and returns the current version. OCC: read-modify-write,
+        so a lost race recomputes against the new latest (bounded
+        retries); lost attempts' files are vacuum()-collectable."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        for _ in range(_OCC_RETRIES):
+            prev = self.latest_version()
+            if prev is None:
+                raise ValueError("delete_where() on an empty store")
+            doc = self.manifest(prev)
+            members = doc["members"]
+            if prune_range is not None:
+                col, lo, hi = prune_range
+                stats = doc.get("stats", {})
+                parts = doc.get("partitions", {})
+                members = [
+                    m for m in members
+                    if not (
+                        (e := parts.get(m))
+                        and self._part_excludes_range(e, col, lo, hi)
+                    )
+                    and not (
+                        (s := stats.get(m, {}).get(col)) is not None
+                        and s[0] is not None and s[1] is not None
+                        and not (s[1] >= lo and s[0] < hi)
+                    )
+                ]
+                cond = cond & (F.col(col) >= lo) & (F.col(col) < hi)
+            matches = self._live_with_pos(spark, doc, members).where(
+                cond
+            ).persist()
+            try:
+                if not matches.limit(1).count():
+                    return prev  # no-op: nothing deleted, nothing published
+                version = prev + 1
+                dv_dir, dv_full = self._new_member_dir()
+                matches.select("_file", "_pos").write.parquet(dv_full)
+                # which members took hits — bounded by member count
+                hits = [
+                    r["m"]
+                    for r in matches.select(
+                        F.regexp_extract(
+                            F.col("_file"), r"^(data/c[0-9a-f]{16})/", 1
+                        ).alias("m")
+                    ).distinct().collect()
+                ]
+                cdf_dir, cdf_full = self._new_member_dir()
+                matches.drop("_file", "_pos").withColumn(
+                    "_change_type", F.lit("delete")
+                ).withColumn(
+                    "_commit_version", F.lit(version).cast("int")
+                ).write.parquet(cdf_full)
+                new_deletes = dict(doc.get("deletes", {}))
+                for m in hits:
+                    new_deletes[m] = list(new_deletes.get(m, [])) + [dv_dir]
+                try:
+                    self._publish(
+                        version,
+                        {"version": version, "mode": "delete",
+                         "members": list(doc["members"]), "added": [],
+                         "changes": cdf_dir,
+                         # [min,max] stay valid SUPERSET bounds after a
+                         # delete — pruning never needs exact bounds
+                         "stats": dict(doc.get("stats", {})),
+                         "deletes": new_deletes,
+                         "partitions": dict(doc.get("partitions", {})),
+                         "partition_spec": doc.get("partition_spec"),
+                         "txns": dict(doc.get("txns", {})),
+                         "schema": doc.get("schema"),
+                         "schema_version": doc.get("schema_version", 1)},
+                    )
+                    return version
+                except FileExistsError:
+                    continue  # rebase: recompute against the new latest
+            finally:
+                matches.unpersist()
+        raise SnapshotConflictError(
+            f"delete_where could not land after {_OCC_RETRIES} rebases "
+            "(sustained contention on the manifest log)"
+        )
+
+    def merge_on_read(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        keys: list[str],
+        op_col: str = "_op",
+    ) -> int:
+        """MERGE without rewriting any member (merge-on-read): matched
+        current rows are MASKED by a position-delete file and the
+        upserts' post-images land as an ordinary appended member — the
+        write costs O(changes + matched rows), never O(affected files),
+        where the copy-on-write ``merge(prune=True)`` rewrites every
+        member that may hold a change key. Row-for-row equivalent to
+        ``merge()`` (same change-batch contract, same partial-update
+        coalesce, same CDF rows); the trade is read-side: every read of
+        a dirty member pays the (file, pos) anti-join until ``compact``
+        materializes the DVs away. Member stats/partition entries stay
+        superset-valid (masking rows never widens bounds).
+
+        Prefer this for frequent small MERGEs over huge members (the
+        Delta/Iceberg MoR sweet spot); prefer copy-on-write when changes
+        touch a large fraction of rows or reads dominate writes."""
+        changes = changes.persist()
+        try:
+            self._validate_changes(changes, keys, op_col)
+            has_upserts = (
+                changes.where(F.col(op_col) == "upsert").limit(1).count()
+                > 0
+            )
+            for _ in range(_OCC_RETRIES):
+                prev = self.latest_version()
+                if prev is None:
+                    raise ValueError("merge_on_read() on an empty store")
+                doc = self.manifest(prev)
+                # the stats split narrows the SCAN (which members can
+                # hold a matched key); unlike copy-on-write, untouched
+                # vs affected does not change what gets rewritten —
+                # nothing does
+                split = (
+                    self._split_affected(spark, doc, changes, keys[0])
+                    if len(keys) == 1
+                    else None
+                )
+                scan = split[0] if split is not None else doc["members"]
+                cur_pos = self._live_with_pos(spark, doc, scan).persist()
+                try:
+                    version = prev + 1
+                    # mask every current row whose key has a change row
+                    # (upsert -> replaced, delete -> dropped)
+                    masked = cur_pos.join(
+                        changes.select(*keys), keys, "left_semi"
+                    ).select("_file", "_pos")
+                    dv_dir, dv_full = self._new_member_dir()
+                    masked.write.parquet(dv_full)
+                    dv_back = self._read_dvs(spark, [dv_dir])
+                    any_masked = dv_back.limit(1).count() > 0
+                    if not any_masked and not has_upserts:
+                        return prev  # pure no-op batch
+                    cur = cur_pos.drop("_file", "_pos")
+                    cdf_dir, cdf_full = self._new_member_dir()
+                    self._change_rows(
+                        cur, changes, keys, op_col, version
+                    ).write.parquet(cdf_full)
+                    written: list[tuple[str, dict | None]] = []
+                    if has_upserts:
+                        data_cols = [c for c in cur.columns if c not in keys]
+                        s_cols = set(changes.columns)
+                        out_new = (
+                            changes.alias("s")
+                            .where(F.col(f"s.{op_col}") == "upsert")
+                            .join(cur.alias("t"), on=keys, how="left")
+                            .select(
+                                *keys,
+                                *[
+                                    (
+                                        F.coalesce(
+                                            F.col(f"s.{c}"), F.col(f"t.{c}")
+                                        )
+                                        if c in s_cols
+                                        else F.col(f"t.{c}")
+                                    ).cast(
+                                        cur.schema[c].dataType
+                                    ).alias(c)
+                                    for c in data_cols
+                                ],
+                            )
+                        )
+                        written = self._write_under_spec(
+                            out_new, doc.get("partition_spec")
+                        )
+                    hits = [
+                        r["m"]
+                        for r in dv_back.select(
+                            F.regexp_extract(
+                                F.col("_file"), r"^(data/c[0-9a-f]{16})/", 1
+                            ).alias("m")
+                        ).distinct().collect()
+                    ]
+                    new_deletes = dict(doc.get("deletes", {}))
+                    for m in hits:
+                        new_deletes[m] = (
+                            list(new_deletes.get(m, [])) + [dv_dir]
+                        )
+                    stats = dict(doc.get("stats", {}))
+                    stat_cols = sorted(
+                        {c for s in stats.values() for c in s}
+                    )
+                    if stat_cols and written:
+                        stats.update(
+                            self._members_stats(
+                                spark, [d for d, _ in written], stat_cols
+                            )
+                        )
+                    partitions = dict(doc.get("partitions", {}))
+                    partitions.update(
+                        {d: e for d, e in written if e is not None}
+                    )
+                    try:
+                        self._publish(
+                            version,
+                            {"version": version, "mode": "merge",
+                             "members": list(doc["members"])
+                             + [d for d, _ in written],
+                             "added": [d for d, _ in written],
+                             "changes": cdf_dir, "merge_on_read": True,
+                             "stats": stats, "deletes": new_deletes,
+                             "partitions": partitions,
+                             "partition_spec": doc.get("partition_spec"),
+                             "txns": dict(doc.get("txns", {})),
+                             "schema": doc.get("schema"),
+                             "schema_version": doc.get(
+                                 "schema_version", 1
+                             )},
+                        )
+                        return version
+                    except FileExistsError:
+                        continue  # rebase: recompute against new latest
+                finally:
+                    cur_pos.unpersist()
+            raise SnapshotConflictError(
+                f"merge_on_read could not land after {_OCC_RETRIES} "
+                "rebases (sustained contention on the manifest log)"
             )
         finally:
             changes.unpersist()
@@ -1269,6 +1555,11 @@ class SnapshotStore:
         stats = {m: prev_stats[m] for m in untouched if m in prev_stats}
         prev_parts = doc.get("partitions", {})
         partitions = {m: prev_parts[m] for m in untouched if m in prev_parts}
+        # untouched members keep their deletion vectors (their masked
+        # rows stay masked); affected members' DVs die with the rewrite
+        # (the rewrite read applied them, so the new member is DV-free)
+        prev_dvs = doc.get("deletes", {})
+        deletes = {m: prev_dvs[m] for m in untouched if m in prev_dvs}
         partitions.update({d: e for d, e in written if e is not None})
         # keep pruning alive across merges: re-stat the rewritten member
         # on every column the prior manifest tracked anywhere
@@ -1286,6 +1577,7 @@ class SnapshotStore:
              "added": [d for d, _ in written],
              "changes": cdf_dir,
              "stats": stats, "rewrote": affected,
+             "deletes": deletes,
              "partitions": partitions,
              "partition_spec": doc.get("partition_spec"),
              "txns": dict(doc.get("txns", {})),
@@ -1326,6 +1618,8 @@ class SnapshotStore:
             reachable.update(doc["members"])
             if doc.get("changes"):
                 reachable.add(doc["changes"])
+            for dv_dirs in (doc.get("deletes") or {}).values():
+                reachable.update(dv_dirs)
         removed = []
         data_root = os.path.join(self.base_dir, _DATA_DIR)
         for name in sorted(os.listdir(data_root)):
@@ -1343,14 +1637,16 @@ class SnapshotStore:
             for m in self.manifest(version)["members"]
         ]
 
-    def _read_members(
+    def _read_members_raw(
         self, spark: SparkSession, doc: dict, members: list[str]
     ) -> DataFrame:
         """Read ``members`` under the manifest's recorded schema: members
         that predate an additive evolution NULL-backfill the newer
         columns by NAME, with zero per-file footer merging (contrast
         ``mergeSchema=true``, which opens every footer). Legacy manifests
-        without a recorded schema read by inference, as before."""
+        without a recorded schema read by inference, as before. Deletion
+        vectors are NOT applied — this is the physical-bytes read the
+        change feed and the DV machinery itself build on."""
         if not members:
             # a spec'd overwrite of an empty batch can legally publish a
             # zero-member version: the recorded schema IS the table
@@ -1366,6 +1662,80 @@ class SnapshotStore:
             reader = reader.schema(StructType.fromJson(doc["schema"]))
         return reader.parquet(
             *[os.path.join(self.base_dir, m) for m in members]
+        )
+
+    @staticmethod
+    def _pos_cols() -> list[Column]:
+        """The stable per-row address parquet scans expose —
+        ``_metadata.file_path`` relativized to the store layout plus
+        ``_metadata.row_index`` — as ``(_file, _pos)`` columns. Both the
+        DV writer and the DV-applying read derive the address through
+        this ONE expression, so they can never disagree (and the store
+        stays relocatable: no absolute paths in any DV file)."""
+        return [
+            F.regexp_extract(
+                F.col("_metadata.file_path"),
+                r"(data/c[0-9a-f]{16}/[^/]+)$",
+                1,
+            ).alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+        ]
+
+    def _with_pos(
+        self, spark: SparkSession, doc: dict, members: list[str]
+    ) -> DataFrame:
+        """``members`` under the manifest schema plus the row-address
+        columns ``(_file, _pos)``."""
+        raw = self._read_members_raw(spark, doc, members)
+        if not members:  # local relation: no _metadata to project
+            return raw.select(
+                "*",
+                F.lit("").alias("_file"),
+                F.lit(0).cast("long").alias("_pos"),
+            )
+        return raw.select("*", *self._pos_cols())
+
+    def _read_dvs(self, spark: SparkSession, dv_dirs: list[str]) -> DataFrame:
+        return spark.read.schema("_file string, _pos long").parquet(
+            *[os.path.join(self.base_dir, d) for d in dv_dirs]
+        )
+
+    def _read_members(
+        self,
+        spark: SparkSession,
+        doc: dict,
+        members: list[str],
+        apply_deletes: bool = True,
+    ) -> DataFrame:
+        """The LOGICAL read of ``members``: the manifest-schema physical
+        read with the version's deletion vectors applied (merge-on-read).
+        Members without DV entries keep the plain columnar scan — full
+        codegen, no join, no extra columns; only dirty members pay an
+        anti-join against their DV files on ``(_file, _pos)``, a cost
+        proportional to deleted rows, not table size. ``apply_deletes=
+        False`` is the physical read (change-feed replay: an insert batch
+        must show the rows as inserted, later deletes arrive as their own
+        feed events)."""
+        deletes = doc.get("deletes") or {}
+        dirty = [
+            m for m in members
+            if apply_deletes and deletes.get(m)
+        ]
+        if not dirty:
+            return self._read_members_raw(spark, doc, members)
+        clean = [m for m in members if m not in set(dirty)]
+        dv_dirs = sorted({d for m in dirty for d in deletes[m]})
+        dv = self._read_dvs(spark, dv_dirs)
+        cols = self._read_members_raw(spark, doc, dirty[:1]).columns
+        survivors = (
+            self._with_pos(spark, doc, dirty)
+            .join(dv, ["_file", "_pos"], "left_anti")
+            .select(*cols)
+        )
+        if not clean:
+            return survivors
+        return self._read_members_raw(spark, doc, clean).unionByName(
+            survivors
         )
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -1447,8 +1817,14 @@ class SnapshotStore:
                 continue
             if mode == "append":
                 if doc["added"]:
+                    # physical read: rows replay as INSERTED — a later
+                    # delete surfaces as its own feed event, never by
+                    # retroactively masking the insert batch
                     parts.append(
-                        self._read_members(spark, to_doc, doc["added"])
+                        self._read_members(
+                            spark, to_doc, doc["added"],
+                            apply_deletes=False,
+                        )
                         .withColumn("_change_type", F.lit("insert"))
                         .withColumn(
                             "_commit_version", F.lit(v).cast("int")

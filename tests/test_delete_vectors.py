@@ -1,0 +1,278 @@
+"""Deletion vectors / merge-on-read on the snapshot store
+(sources/snapshots.py): row-level DELETE and MERGE that mask rows with
+position-delete files instead of rewriting members — Delta DVs /
+Iceberg position deletes re-expressed over parquet `_metadata`
+row addresses.
+
+Invariants pinned here (the cross-engine hash gates are
+``storage_delete_vectors`` / ``storage_merge_on_read`` in
+plans/round11_queries.py):
+- a delete publishes an UNCHANGED member list (no data rewrite),
+- reads mask exactly the deleted positions; time travel sees them,
+- merge_on_read is row-for-row equivalent to the copy-on-write merge,
+- DVs survive append/alter, die with overwrite/compact(affected rewrite),
+- vacuum treats DV files as reachable data,
+- the change feed reports deletes as events, never by rewriting history.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_assignment2_2025_spark.sources.snapshots import SnapshotStore
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+def _store(spark, sf_dir, tmp_path, stats=True):
+    st = SnapshotStore(str(tmp_path))
+    orders = _orders(spark, sf_dir)
+    kw = {"stats_cols": ["o_orderkey"]} if stats else {}
+    st.commit(orders.where(F.col("o_orderkey") % 2 == 0),
+              mode="overwrite", **kw)
+    st.commit(orders.where(F.col("o_orderkey") % 2 == 1),
+              mode="append", **kw)
+    return st, orders
+
+
+def test_delete_masks_rows_without_rewriting(spark, sf_dir, tmp_path):
+    st, orders = _store(spark, sf_dir, tmp_path)
+    before = st.manifest(2)
+    v = st.delete_where(spark, F.col("o_orderpriority") == "5-LOW")
+    doc = st.manifest(v)
+    assert doc["mode"] == "delete"
+    assert doc["members"] == before["members"]  # zero rewrite
+    assert doc["added"] == []
+    assert doc["deletes"]  # the DV entries
+    want = orders.where(F.col("o_orderpriority") != "5-LOW")
+    got = st.read(spark)
+    assert got.count() == want.count()
+    assert (
+        got.agg(F.sum("o_orderkey")).first()[0]
+        == want.agg(F.sum("o_orderkey")).first()[0]
+    )
+    # time travel: the pre-delete version still sees every row
+    assert st.read(spark, 2).count() == orders.count()
+    # pruned reads apply the mask too
+    assert (
+        st.read_where(spark, "o_orderkey", 1, 10**9)
+        .where(F.col("o_orderpriority") == "5-LOW")
+        .count()
+        == 0
+    )
+
+
+def test_delete_change_feed_and_no_op(spark, sf_dir, tmp_path):
+    st, orders = _store(spark, sf_dir, tmp_path)
+    v = st.delete_where(spark, F.col("o_orderpriority") == "5-LOW")
+    feed = st.read_changes(spark, 2, v)
+    n_del = orders.where(F.col("o_orderpriority") == "5-LOW").count()
+    assert feed.where(F.col("_change_type") == "delete").count() == n_del
+    assert feed.count() == n_del  # nothing else in a delete version
+    # a predicate matching nothing publishes NO version
+    assert st.delete_where(spark, F.col("o_orderpriority") == "9-NONE") == v
+    assert st.latest_version() == v
+
+
+def test_stacked_deletes_and_append_carries_dvs(spark, sf_dir, tmp_path):
+    st, orders = _store(spark, sf_dir, tmp_path)
+    st.delete_where(spark, F.col("o_orderpriority") == "5-LOW")
+    st.delete_where(spark, F.col("o_orderpriority") == "1-URGENT")
+    # an append must carry the DVs forward, not resurrect masked rows
+    extra = orders.limit(7).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10**7
+    )
+    st.commit(extra, mode="append")
+    want = (
+        orders.where(
+            ~F.col("o_orderpriority").isin("5-LOW", "1-URGENT")
+        ).count()
+        + 7
+    )
+    assert st.read(spark).count() == want
+    # schema/spec alters carry DVs too (field-by-field republish)
+    st.add_column("note", "string")
+    assert st.read(spark).count() == want
+    st.set_partition_spec([("o_orderpriority", "identity")])
+    assert st.read(spark).count() == want
+    # overwrite drops them with the member list
+    st.commit(orders.limit(5), mode="overwrite")
+    assert st.read(spark).count() == 5
+
+
+def test_merge_on_read_equals_copy_on_write(spark, sf_dir, tmp_path):
+    """The MoR merge must be row-for-row identical to merge() — same
+    upsert/delete/partial-update semantics — while rewriting nothing."""
+    st, orders = _store(spark, sf_dir, tmp_path)
+    changes = (
+        orders.where(F.col("o_orderkey").between(100, 160))
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+                F.lit(42.0)
+            ),
+        )
+        .withColumn(
+            "_op",
+            F.when(F.col("o_orderkey") % 2 == 0, "upsert").otherwise(
+                "delete"
+            ),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(10**6, "5-LOW", 1.5, "upsert")],
+                "o_orderkey long, o_orderpriority string, "
+                "o_totalprice double, _op string",
+            )
+        )
+    )
+    before = st.manifest(st.latest_version())
+    v = st.merge_on_read(spark, changes, keys=["o_orderkey"])
+    doc = st.manifest(v)
+    assert doc.get("merge_on_read") is True
+    assert "rewrote" not in doc
+    assert doc["members"][: len(before["members"])] == before["members"]
+    # twin store, copy-on-write merge
+    twin = SnapshotStore(str(tmp_path) + "_twin")
+    twin.commit(st.read(spark, 2), mode="overwrite",
+                stats_cols=["o_orderkey"])
+    twin.merge(spark, changes, keys=["o_orderkey"], prune=True)
+    a = st.read(spark).orderBy("o_orderkey").collect()
+    b = twin.read(spark).orderBy("o_orderkey").collect()
+    assert a == b
+    # and the CDF rows match the CoW merge's feed (same contract)
+    fa = (
+        st.read_changes(spark, 2, v)
+        .orderBy("o_orderkey", "_change_type")
+        .drop("_commit_version")
+        .collect()
+    )
+    fb = (
+        twin.read_changes(spark, 1, 2)
+        .orderBy("o_orderkey", "_change_type")
+        .drop("_commit_version")
+        .collect()
+    )
+    assert fa == fb
+
+
+def test_merge_on_read_noop_and_upsert_only(spark, sf_dir, tmp_path):
+    st, orders = _store(spark, sf_dir, tmp_path)
+    # deletes for absent keys + no upserts: publishes nothing
+    ghost = (
+        orders.limit(3)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10**8)
+        .withColumn("_op", F.lit("delete"))
+    )
+    assert st.merge_on_read(spark, ghost, keys=["o_orderkey"]) == 2
+    # insert-only batch appends one member, masks nothing
+    fresh = (
+        orders.limit(4)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10**8)
+        .withColumn("_op", F.lit("upsert"))
+    )
+    v = st.merge_on_read(spark, fresh, keys=["o_orderkey"])
+    doc = st.manifest(v)
+    assert len(doc["added"]) >= 1
+    assert not doc.get("deletes")
+    assert st.read(spark).count() == orders.count() + 4
+
+
+def test_compact_materializes_dvs(spark, sf_dir, tmp_path):
+    st, orders = _store(spark, sf_dir, tmp_path)
+    st.delete_where(spark, F.col("o_orderpriority") == "5-LOW")
+    want = st.read(spark).count()
+    v = st.compact(spark)
+    doc = st.manifest(v)
+    assert not doc.get("deletes")
+    assert st.read(spark).count() == want
+    # physical: the compacted member really excludes the rows
+    raw = spark.read.parquet(
+        *[os.path.join(str(tmp_path), m) for m in doc["members"]]
+    )
+    assert raw.where(F.col("o_orderpriority") == "5-LOW").count() == 0
+
+
+def test_vacuum_retains_reachable_dvs(spark, sf_dir, tmp_path):
+    st, orders = _store(spark, sf_dir, tmp_path)
+    v3 = st.delete_where(spark, F.col("o_orderpriority") == "5-LOW")
+    dv_dirs = {
+        d for dvs in st.manifest(v3)["deletes"].values() for d in dvs
+    }
+    want = st.read(spark).count()
+    # full retention: DV + CDF dirs are reachable, nothing removed
+    assert st.vacuum() == []
+    assert st.read(spark, v3).count() == want
+    # compact, then drop history: the DV (reachable only from v3) goes
+    v4 = st.compact(spark)
+    removed = st.vacuum(keep_versions=[v4])
+    assert dv_dirs & set(removed) == dv_dirs
+    assert st.read(spark).count() == want
+
+
+def test_pruned_merge_keeps_untouched_dvs(spark, sf_dir, tmp_path):
+    """A copy-on-write pruned merge over a store WITH deletion vectors:
+    rewritten members lose their DVs (the rewrite applied them),
+    untouched members keep theirs — masked rows stay masked."""
+    st, orders = _store(spark, sf_dir, tmp_path)
+    st.delete_where(spark, F.col("o_orderpriority") == "5-LOW")
+    expect_before = st.read(spark)
+    changes = (
+        orders.where(
+            (F.col("o_orderkey") % 2 == 0) & (F.col("o_orderkey") <= 50)
+        )
+        .withColumn("o_totalprice", F.lit(9.9))
+        .withColumn("_op", F.lit("upsert"))
+    )
+    # member 1 holds even keys, member 2 odd keys: the change batch only
+    # overlaps member 1, so member 2 stays untouched with its DV
+    kept = expect_before.where(
+        ~((F.col("o_orderkey") % 2 == 0) & (F.col("o_orderkey") <= 50))
+    ).count()
+    upserted = changes.where(
+        F.col("o_orderpriority") != "5-LOW"
+    ).count() + changes.where(F.col("o_orderpriority") == "5-LOW").count()
+    v = st.merge(spark, changes, keys=["o_orderkey"], prune=True)
+    doc = st.manifest(v)
+    assert doc.get("rewrote")  # something was rewritten
+    got = st.read(spark)
+    assert got.count() == kept + upserted
+    # masked 5-LOW rows in the UNTOUCHED member stay masked
+    assert (
+        got.where(
+            (F.col("o_orderpriority") == "5-LOW")
+            & (F.col("o_orderkey") % 2 == 1)
+        ).count()
+        == 0
+    )
+
+
+def test_delete_version_refuses_in_diff_and_stream(spark, sf_dir, tmp_path):
+    st, orders = _store(spark, sf_dir, tmp_path)
+    v = st.delete_where(spark, F.col("o_orderpriority") == "5-LOW")
+    with pytest.raises(ValueError, match="non-append"):
+        st.diff(spark, 1, v)
+    # streaming source: a delete commit is not an appended-rows delta
+    from big_data_assignment2_2025_spark.sources.snapshot_source import (
+        SnapshotStreamReader,
+    )
+
+    rdr = SnapshotStreamReader(
+        st.read(spark).schema, {"path": str(tmp_path)}
+    )
+    with pytest.raises(ValueError, match="delete"):
+        rdr.partitions({"version": 2}, {"version": v})
+    # CDC mode serves the delete feed instead
+    cdc = SnapshotStreamReader(
+        st.read(spark).schema,
+        {"path": str(tmp_path), "readChangeFeed": "true"},
+    )
+    parts = cdc.partitions({"version": 2}, {"version": v})
+    assert parts
