@@ -29,6 +29,23 @@ not the full enumeration — the un-benched members share their
 representative's plan shape, and the full registry is still timed
 indirectly by the per-round oracle sweeps. TPC-H is one family (q1/q3/q5
 represent the agg/join/topk shapes).
+
+A/B REGRESSION PROTOCOL (round 11, VERDICT #1): headline drift twice
+cost a round of bespoke adjudication (REGRESS_r9/REGRESS_r10) because
+the committed bench was a single same-host run. The adjudication method
+is now the bench itself: the previous round's tagged tree (latest
+``r<N>`` tag, or ``$SPARK_GRAFT_PREV_REF``) is pinned as a git worktree
+and probed IN THE SAME BENCH INVOCATION via ``tools/regress_probe.py``
+(same host, same minutes), bracketed by the HEAD passes —
+HEAD(RUNS) -> tag(AB_RUNS, subprocess) -> HEAD(1 more run) — so a noisy
+host shows up as drift WITHIN a tree, not as a phantom regression
+between trees. Per benched query the full map records ``sec`` (HEAD min
+over both passes), ``ratio_vs_prev`` (HEAD min / tag min; null for
+queries the tag tree lacks), ``plan_sha`` (normalized physical-plan
+fingerprint) and ``plan_same``; the stdout line carries the compact
+``ab`` summary (median/p90/max ratio, plans changed, bracket drift).
+Disable with ``SPARK_GRAFT_AB=0``; failures of the tag probe degrade to
+a plain bench with the reason recorded, never a crash.
 """
 
 from __future__ import annotations
@@ -242,6 +259,9 @@ HEADLINE = [
 #: and JVM JIT, which amortize to nothing in any long-running deployment)
 RUNS = 3
 
+#: timed runs per query in the previous-round tag probe (the A/B side)
+AB_RUNS = int(os.environ.get("SPARK_GRAFT_AB_RUNS", "2"))
+
 #: hard cap for the final stdout line — the driver keeps only the last
 #: ~2000 chars of stdout, and a line longer than that is truncated at the
 #: FRONT, destroying the opening brace (r7's 93-query line hit this and the
@@ -249,13 +269,17 @@ RUNS = 3
 LINE_BUDGET = 1800
 
 
-def summary_line(timings: dict[str, float], sf: float) -> str:
+def summary_line(
+    timings: dict[str, float], sf: float, ab: dict | None = None
+) -> str:
     """Build the driver-facing stdout line, guaranteed ≤ LINE_BUDGET chars.
 
     Summary fields always present; the per-query map is filled greedily
     slowest-first until the serialized line would exceed the budget, at
     which point ``queries_truncated: true`` marks the cut (the full map
-    lives in BENCH_LOCAL_latest.json).
+    lives in BENCH_LOCAL_latest.json). ``ab`` is the compact A/B summary
+    vs the previous round's tag (bounded size — it rides the line, the
+    per-query ratios live in the full map).
     """
     summary = {
         "metric": "headline_queries_total_time",
@@ -269,6 +293,8 @@ def summary_line(timings: dict[str, float], sf: float) -> str:
         # leave the line over budget
         "queries_truncated": True,
     }
+    if ab is not None:
+        summary["ab"] = ab
     for name in sorted(timings, key=lambda k: timings[k], reverse=True):
         summary["queries"][name] = timings[name]
         if len(json.dumps(summary)) > LINE_BUDGET:
@@ -281,29 +307,198 @@ def summary_line(timings: dict[str, float], sf: float) -> str:
     return line
 
 
+def _resolve_prev_ref(repo: str) -> str | None:
+    """The previous round's git ref for the A/B side: explicit
+    ``$SPARK_GRAFT_PREV_REF`` wins; otherwise the highest ``r<N>`` tag."""
+    import subprocess
+
+    env = os.environ.get("SPARK_GRAFT_PREV_REF")
+    if env:
+        return env
+    try:
+        tags = subprocess.run(
+            ["git", "-C", repo, "tag", "--list", "r[0-9]*"],
+            capture_output=True, text=True, timeout=30, check=True,
+        ).stdout.split()
+    except Exception:
+        return None
+    tags = sorted(
+        (t for t in tags if re.fullmatch(r"r\d+", t)),
+        key=lambda t: int(t[1:]),
+    )
+    return tags[-1] if tags else None
+
+
+def _prev_worktree(repo: str, ref: str) -> str:
+    """A detached git worktree of ``ref`` (cached per ref under /tmp)."""
+    import subprocess
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"bench_prev_{ref}")
+    if not os.path.isdir(os.path.join(path, "big_data_assignment2_2025_spark")):
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "add", "--detach", path, ref],
+            capture_output=True, text=True, timeout=120, check=True,
+        )
+    return path
+
+
+def _probe_tree(
+    repo_root: str, queries: list[str], n_runs: int, sf_dir: str
+) -> dict:
+    """Run ``tools/regress_probe.py`` (HEAD's copy — it skips queries the
+    probed tree lacks) against ``repo_root`` in a SUBPROCESS (both trees
+    define the same package name) and return its per-query map."""
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_json = tempfile.mktemp(prefix="bench_prev_", suffix=".json")
+    # the probed tree gets its OWN staged-cache tmp root: both trees
+    # stage derived fixtures (bucketed tables, snapshot stores) under
+    # tempfile.gettempdir(), and an older tree's cache-validity rules may
+    # rewrite files the HEAD session has listings cached for (r11: the
+    # r10 tree's bucketed_table rewrote on fresh-catalog, renaming every
+    # part file under HEAD's bracket pass). Isolation costs a one-time
+    # staging rebuild per ref, cached across bench runs.
+    sub_tmp = os.path.join(repo_root, ".bench_tmp")
+    os.makedirs(sub_tmp, exist_ok=True)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, TMPDIR=sub_tmp)
+    subprocess.run(
+        [sys.executable, os.path.join(here, "tools", "regress_probe.py"),
+         repo_root, out_json, str(n_runs), *queries],
+        env=env, timeout=2400, check=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    with open(out_json) as f:
+        return json.load(f)
+
+
+def _plan_sha(df) -> str:
+    import hashlib
+
+    from tools.regress_probe import _normalize_plan
+
+    plan = _normalize_plan(df._jdf.queryExecution().executedPlan().toString())
+    return hashlib.sha256(plan.encode()).hexdigest()[:16]
+
+
+def _time_pass(spark, sf_dir, queries, runs, want_plans=False):
+    """One HEAD timing pass: per query, min over ``runs`` end-to-end
+    executions (+ the normalized plan fingerprint of the last one)."""
+    from big_data_assignment2_2025_spark.plans import QUERIES
+
+    mins: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    plans: dict[str, str] = {}
+    for name in queries:
+        fn = QUERIES[name]
+        best, n, df = float("inf"), -1, None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        mins[name], rows[name] = best, n
+        if want_plans:
+            plans[name] = _plan_sha(df)
+    return mins, rows, plans
+
+
+def _quantile(sorted_vals: list[float], q: float) -> float | None:
+    if not sorted_vals:
+        return None  # never NaN: json.dumps(nan) is not valid JSON
+    i = min(len(sorted_vals) - 1, int(q * (len(sorted_vals) - 1) + 0.5))
+    return sorted_vals[i]
+
+
+def _r3(x: float | None) -> float | None:
+    return None if x is None else round(x, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    here = os.path.dirname(os.path.abspath(__file__))
 
-    from big_data_assignment2_2025_spark.plans import QUERIES
     from big_data_assignment2_2025_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
     # JVM/codegen warm-up so q1 doesn't absorb session start-up cost
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
+    # -- HEAD pass 1 (RUNS runs per query, plan fingerprints) --
+    mins1, rows, plans = _time_pass(
+        spark, sf_dir, HEADLINE, RUNS, want_plans=True
+    )
     for name in HEADLINE:
-        fn = QUERIES[name]
-        best, n = float("inf"), -1
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {mins1[name]:.3f}s ({rows[name]} rows)",
+            file=sys.stderr,
+        )
+
+    # -- previous-round tag probe (subprocess; same host, same minutes) --
+    ab_on = os.environ.get("SPARK_GRAFT_AB", "1") != "0"
+    prev_ref = _resolve_prev_ref(here) if ab_on else None
+    prev, ab, mins2 = None, None, {}
+    if prev_ref is not None:
+        try:
+            wt = _prev_worktree(here, prev_ref)
+            prev = _probe_tree(wt, HEADLINE, AB_RUNS, sf_dir)
+        except Exception as e:  # noqa: BLE001 — bench must never die here
+            ab = {"skipped": f"{type(e).__name__}: {e}"[:160]}
+            print(f"# A/B probe failed: {e}", file=sys.stderr)
+        if prev is not None:
+            try:
+                # -- HEAD pass 2 (1 run): brackets the tag probe, so host
+                # drift during the window is measurable WITHIN one tree --
+                mins2, _, _ = _time_pass(spark, sf_dir, HEADLINE, 1)
+            except Exception as e:  # noqa: BLE001
+                print(f"# HEAD bracket pass failed: {e}", file=sys.stderr)
+    elif ab_on:
+        ab = {"skipped": "no r<N> tag and no SPARK_GRAFT_PREV_REF"}
+
+    timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+    ratios: list[float] = []
+    n_plan_changed = 0
+    drifts: list[float] = []
+    for name in HEADLINE:
+        head_min = min(mins1[name], mins2.get(name, float("inf")))
+        timings[name] = round(head_min, 3)
+        d: dict = {
+            "sec": timings[name],
+            "plan_sha": plans.get(name),
+            "ratio_vs_prev": None,
+            "prev_plan_sha": None,
+            "plan_same": None,
+        }
+        if prev is not None and name in prev.get("queries", {}):
+            p = prev["queries"][name]
+            d["ratio_vs_prev"] = round(head_min / max(p["min"], 1e-6), 3)
+            d["prev_plan_sha"] = p["plan_sha"]
+            d["plan_same"] = p["plan_sha"] == d["plan_sha"]
+            ratios.append(d["ratio_vs_prev"])
+            n_plan_changed += int(not d["plan_same"])
+        if name in mins2 and mins1[name] > 0:
+            drifts.append(mins2[name] / max(mins1[name], 1e-6))
+        detail[name] = d
+    if prev is not None:
+        rs = sorted(ratios)
+        ds = sorted(drifts)
+        ab = {
+            "prev": prev_ref,
+            "n_common": len(ratios),
+            "median_ratio": _r3(_quantile(rs, 0.5)),
+            "p90_ratio": _r3(_quantile(rs, 0.9)),
+            "max_ratio": round(max(rs), 3) if rs else None,
+            "n_plan_changed": n_plan_changed,
+            # min-of-pass2 / min-of-pass1 on HEAD itself: ~1.0 on a quiet
+            # host; a hot host inflates this exactly like it inflates the
+            # cross-tree ratios — the noise control the adjudications used
+            "head_bracket_median": _r3(_quantile(ds, 0.5)),
+        }
 
     total = round(sum(timings.values()), 3)
 
@@ -313,9 +508,7 @@ def main() -> None:
     # line mid-record, so the official artifact recorded ``parsed: null``.
     # Keep stdout SHORT: summary fields plus the slowest queries, added
     # greedily while the serialized line stays under a hard budget.
-    local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_latest.json"
-    )
+    local_path = os.path.join(here, "BENCH_LOCAL_latest.json")
     full = {
         "metric": "headline_queries_total_time",
         "value": total,
@@ -323,12 +516,16 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "ab": ab,
+        # per-query A/B record: HEAD sec (min over both passes),
+        # ratio_vs_prev, plan_sha both sides, plan_same
+        "ab_queries": detail,
     }
     with open(local_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     print(f"# full per-query map: {local_path}", file=sys.stderr)
 
-    print(summary_line(timings, sf))
+    print(summary_line(timings, sf, ab))
 
 
 if __name__ == "__main__":

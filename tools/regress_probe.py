@@ -81,9 +81,17 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
 
     out: dict[str, dict] = {"repo_root": repo_root, "n_runs": n_runs,
-                            "sf_dir": sf_dir, "queries": {}}
+                            "sf_dir": sf_dir, "queries": {},
+                            "missing": []}
     for name in queries:
-        fn = QUERIES[name]
+        fn = QUERIES.get(name)
+        if fn is None:
+            # probing an OLDER tree: queries added since simply don't
+            # exist there — record and move on (the caller reports a
+            # null ratio, never a crash)
+            out["missing"].append(name)
+            print(f"# {name}: not in this tree's registry", file=sys.stderr)
+            continue
         times, rows, df = [], -1, None
         for _ in range(n_runs):
             t0 = time.perf_counter()
