@@ -262,6 +262,14 @@ RUNS = 3
 #: timed runs per query in the previous-round tag probe (the A/B side)
 AB_RUNS = int(os.environ.get("SPARK_GRAFT_AB_RUNS", "2"))
 
+#: total wall-clock budget (sec) for the WHOLE bench including the A/B
+#: passes. The driver's kill deadline is unknown; a bench that dies
+#: before printing its stdout line records ``parsed: null`` (the r7
+#: failure mode, time-domain edition). The A/B phases are skipped or
+#: timeboxed so the summary line ALWAYS prints within this budget;
+#: HEAD pass 1 alone overrunning it just means a plain bench.
+AB_BUDGET = int(os.environ.get("SPARK_GRAFT_AB_BUDGET", "1500"))
+
 #: hard cap for the final stdout line — the driver keeps only the last
 #: ~2000 chars of stdout, and a line longer than that is truncated at the
 #: FRONT, destroying the opening brace (r7's 93-query line hit this and the
@@ -344,7 +352,11 @@ def _prev_worktree(repo: str, ref: str) -> str:
 
 
 def _probe_tree(
-    repo_root: str, queries: list[str], n_runs: int, sf_dir: str
+    repo_root: str,
+    queries: list[str],
+    n_runs: int,
+    sf_dir: str,
+    timeout: float = 2400,
 ) -> dict:
     """Run ``tools/regress_probe.py`` (HEAD's copy — it skips queries the
     probed tree lacks) against ``repo_root`` in a SUBPROCESS (both trees
@@ -367,7 +379,7 @@ def _probe_tree(
     subprocess.run(
         [sys.executable, os.path.join(here, "tools", "regress_probe.py"),
          repo_root, out_json, str(n_runs), *queries],
-        env=env, timeout=2400, check=True,
+        env=env, timeout=timeout, check=True,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     with open(out_json) as f:
@@ -427,36 +439,57 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     # JVM/codegen warm-up so q1 doesn't absorb session start-up cost
     spark.range(1000).selectExpr("sum(id)").collect()
+    t_start = time.monotonic()
+
+    def remaining() -> float:
+        return AB_BUDGET - (time.monotonic() - t_start)
 
     # -- HEAD pass 1 (RUNS runs per query, plan fingerprints) --
     mins1, rows, plans = _time_pass(
         spark, sf_dir, HEADLINE, RUNS, want_plans=True
     )
+    pass1_wall = time.monotonic() - t_start
     for name in HEADLINE:
         print(
             f"# {name}: {mins1[name]:.3f}s ({rows[name]} rows)",
             file=sys.stderr,
         )
 
-    # -- previous-round tag probe (subprocess; same host, same minutes) --
+    # -- previous-round tag probe (subprocess; same host, same minutes).
+    # Every phase is budget-gated: the stdout line must print inside
+    # AB_BUDGET whatever the host throws at us -- a killed bench records
+    # parsed:null, which costs more than a skipped A/B.
     ab_on = os.environ.get("SPARK_GRAFT_AB", "1") != "0"
     prev_ref = _resolve_prev_ref(here) if ab_on else None
     prev, ab, mins2 = None, None, {}
+    # the tag probe needs roughly a pass-1 (fewer runs but a fresh
+    # session + possible first-time staging); the bracket pass ~1/RUNS
+    probe_est = pass1_wall * (AB_RUNS / RUNS) + 120
+    if prev_ref is not None and remaining() < probe_est:
+        ab = {
+            "skipped": f"budget: {remaining():.0f}s left < "
+            f"{probe_est:.0f}s probe estimate"
+        }
+        print(f"# A/B skipped: {ab['skipped']}", file=sys.stderr)
+        prev_ref = None
     if prev_ref is not None:
         try:
             wt = _prev_worktree(here, prev_ref)
-            prev = _probe_tree(wt, HEADLINE, AB_RUNS, sf_dir)
+            prev = _probe_tree(
+                wt, HEADLINE, AB_RUNS, sf_dir,
+                timeout=max(120, remaining() - 60),
+            )
         except Exception as e:  # noqa: BLE001 — bench must never die here
             ab = {"skipped": f"{type(e).__name__}: {e}"[:160]}
             print(f"# A/B probe failed: {e}", file=sys.stderr)
-        if prev is not None:
+        if prev is not None and remaining() > pass1_wall / RUNS + 30:
             try:
                 # -- HEAD pass 2 (1 run): brackets the tag probe, so host
                 # drift during the window is measurable WITHIN one tree --
                 mins2, _, _ = _time_pass(spark, sf_dir, HEADLINE, 1)
             except Exception as e:  # noqa: BLE001
                 print(f"# HEAD bracket pass failed: {e}", file=sys.stderr)
-    elif ab_on:
+    elif ab_on and ab is None:
         ab = {"skipped": "no r<N> tag and no SPARK_GRAFT_PREV_REF"}
 
     timings: dict[str, float] = {}

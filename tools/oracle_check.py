@@ -101,8 +101,14 @@ def main():
               " shuffle.partitions=200, AQE=off, ansi=off")
     con = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single parquet FILES; derived fixtures
+        # (tools/build_sf10x.py) are Spark-written DIRECTORIES of part
+        # files — read_parquet needs the glob form for those
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
 
     from big_data_assignment2_2025_spark.plans import ORACLES, QUERIES
