@@ -48,6 +48,8 @@ _DEL_MOD = 7       # v4 deletes k % 7 == 0 (minus the upsert keys)
 #: sentinel for the NULL priority of re-inserted rows (group-by key on
 #: both engines without NULL-ordering divergence)
 _REINS = "REINSERTED"
+#: v6 update: double the price of this priority (exact in binary floats)
+_UPD_PRIO = "3-MEDIUM"
 
 
 def _staged_dv_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
@@ -55,10 +57,12 @@ def _staged_dv_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
     v1 overwrite + v2 append (orders split by key mod), v3
     ``delete_where`` (deletion vector, no rewrite), v4
     ``merge_on_read`` (mask + append, no rewrite), v5 ``compact``
-    (materializes every DV away). Fingerprint-gated like every staged
-    store."""
+    (materializes every DV away), v6 ``update_where`` (mask + post-image
+    append over the compacted member). Fingerprint-gated like every
+    staged store; the dir name carries a recipe version because the
+    fixture fingerprint can't see builder-code changes."""
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"snapdv_{tag}")
+    base = os.path.join(tempfile.gettempdir(), f"snapdv2_{tag}")
     fprint = fixture_fingerprint(sf_dir)
     if not derived_cache_ok(base, fprint):
         if os.path.exists(base):
@@ -97,6 +101,11 @@ def _staged_dv_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
             spark, ups.unionAll(dels), keys=["o_orderkey"]
         )
         store.compact(spark)
+        store.update_where(
+            spark,
+            F.col("o_orderpriority") == _UPD_PRIO,
+            {"o_totalprice": F.col("o_totalprice") * 2},
+        )
         with open(os.path.join(base, "_SUCCESS"), "w"):
             pass
         mark_derived_cache(base, fprint)
@@ -211,12 +220,77 @@ ORDER BY version, prio
 """
 
 
+#: the v4/v5 final state as a SQL CTE body (shared by the MoR and
+#: UPDATE oracles — v6 applies the price-doubling on top of it)
+_FINAL_CTE = f"""
+base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr, o_totalprice AS p
+  FROM orders),
+v3 AS (SELECT * FROM base WHERE pr <> '{_DV_PRIO}'),
+final AS (
+  SELECT k, pr, CASE WHEN k % {_UPS_MOD} = 0 THEN 1.0 ELSE p END AS p
+  FROM v3 WHERE NOT (k % {_DEL_MOD} = 0 AND k % {_UPS_MOD} <> 0)
+  UNION ALL
+  SELECT k, NULL, 1.0 FROM base
+  WHERE k % {_UPS_MOD} = 0 AND pr = '{_DV_PRIO}')
+"""
+
+
+def storage_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level ``UPDATE ... SET`` via the deletion-vector path: v6
+    doubles the price of every ``3-MEDIUM`` row OVER THE COMPACTED
+    member — matched rows masked by one position-delete file, their
+    post-images appended as one member (``n_added`` pins it), nothing
+    rewritten. The per-priority aggregate against the relational
+    rebuild gates the masking + post-image union; the v5 aggregate in
+    ``storage_merge_on_read`` already pins the pre-update state, so the
+    pair proves the update touched exactly the matched rows."""
+    store = _staged_dv_store(spark, sf_dir)
+    doc6 = store.manifest(6)
+    return (
+        store.read(spark, 6)
+        .groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit(_REINS)).alias(
+                "prio"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.lit(doc6["mode"]).alias("mode"),
+            F.lit(len(doc6["added"])).alias("n_added_v6"),
+            "prio",
+            "n_rows",
+            "sum_price",
+        )
+        .orderBy("prio")
+    )
+
+
+UPDATE_WHERE_SQL = f"""
+WITH {_FINAL_CTE},
+updated AS (
+  SELECT k, pr,
+         CASE WHEN pr = '{_UPD_PRIO}' THEN p * 2 ELSE p END AS p
+  FROM final)
+SELECT 'update' AS mode, CAST(1 AS INTEGER) AS n_added_v6,
+       COALESCE(pr, '{_REINS}') AS prio, COUNT(*) AS n_rows,
+       ROUND(SUM(p), 2) AS sum_price
+FROM updated GROUP BY COALESCE(pr, '{_REINS}')
+ORDER BY prio
+"""
+
+
 QUERIES = {
     "storage_delete_vectors": storage_delete_vectors,
     "storage_merge_on_read": storage_merge_on_read,
+    "storage_update_where": storage_update_where,
 }
 
 ORACLES = {
     "storage_delete_vectors": DELETE_VECTORS_SQL,
     "storage_merge_on_read": MERGE_ON_READ_SQL,
+    "storage_update_where": UPDATE_WHERE_SQL,
 }

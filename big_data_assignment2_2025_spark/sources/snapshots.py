@@ -1247,6 +1247,145 @@ class SnapshotStore:
             "(sustained contention on the manifest log)"
         )
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition: Column | str,
+        assignments: dict[str, Column | str],
+        prune_range: tuple[str, object, object] | None = None,
+    ) -> int:
+        """Row-level ``UPDATE ... SET`` without rewriting any member —
+        the third row-level verb over the same deletion-vector
+        machinery: matching LIVE rows are masked by a position-delete
+        file and their post-images (the ``assignments`` applied, cast
+        back to the column's recorded type) land as one ordinary
+        appended member. Cost O(scan) to find + O(matched rows) to
+        mask-and-append; unmatched members are untouched bytes.
+        ``prune_range`` narrows the scan exactly as in ``delete_where``
+        (and joins the predicate). The change feed records
+        ``update_preimage``/``update_postimage`` rows — same contract as
+        MERGE's. A no-match update publishes nothing. OCC: recompute on
+        a lost race, bounded retries."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        for _ in range(_OCC_RETRIES):
+            prev = self.latest_version()
+            if prev is None:
+                raise ValueError("update_where() on an empty store")
+            doc = self.manifest(prev)
+            schema = (
+                StructType.fromJson(doc["schema"])
+                if doc.get("schema") is not None else None
+            )
+            if schema is not None:
+                missing = set(exprs) - set(schema.fieldNames())
+                if missing:
+                    raise ValueError(
+                        f"assignment columns {sorted(missing)} not in the "
+                        "table schema"
+                    )
+            members = doc["members"]
+            this_cond = cond
+            if prune_range is not None:
+                col, lo, hi = prune_range
+                stats = doc.get("stats", {})
+                parts = doc.get("partitions", {})
+                members = [
+                    m for m in members
+                    if not (
+                        (e := parts.get(m))
+                        and self._part_excludes_range(e, col, lo, hi)
+                    )
+                    and not (
+                        (s := stats.get(m, {}).get(col)) is not None
+                        and s[0] is not None and s[1] is not None
+                        and not (s[1] >= lo and s[0] < hi)
+                    )
+                ]
+                this_cond = cond & (F.col(col) >= lo) & (F.col(col) < hi)
+            matches = self._live_with_pos(spark, doc, members).where(
+                this_cond
+            ).persist()
+            try:
+                if not matches.limit(1).count():
+                    return prev  # no-op: nothing matched, nothing published
+                version = prev + 1
+                dv_dir, dv_full = self._new_member_dir()
+                matches.select("_file", "_pos").write.parquet(dv_full)
+                hits = [
+                    r["m"]
+                    for r in matches.select(
+                        F.regexp_extract(
+                            F.col("_file"), r"^(data/c[0-9a-f]{16})/", 1
+                        ).alias("m")
+                    ).distinct().collect()
+                ]
+                pre = matches.drop("_file", "_pos")
+                post = pre.select(
+                    *[
+                        (
+                            exprs[c].cast(pre.schema[c].dataType).alias(c)
+                            if c in exprs
+                            else F.col(c)
+                        )
+                        for c in pre.columns
+                    ]
+                )
+                cdf_dir, cdf_full = self._new_member_dir()
+                meta = lambda df, t: df.withColumn(  # noqa: E731
+                    "_change_type", F.lit(t)
+                ).withColumn("_commit_version", F.lit(version).cast("int"))
+                meta(pre, "update_preimage").unionAll(
+                    meta(post, "update_postimage")
+                ).write.parquet(cdf_full)
+                written = self._write_under_spec(
+                    post, doc.get("partition_spec")
+                )
+                stats = dict(doc.get("stats", {}))
+                stat_cols = sorted({c for s in stats.values() for c in s})
+                if stat_cols and written:
+                    stats.update(
+                        self._members_stats(
+                            spark, [d for d, _ in written], stat_cols
+                        )
+                    )
+                partitions = dict(doc.get("partitions", {}))
+                partitions.update(
+                    {d: e for d, e in written if e is not None}
+                )
+                new_deletes = dict(doc.get("deletes", {}))
+                for m in hits:
+                    new_deletes[m] = list(new_deletes.get(m, [])) + [dv_dir]
+                try:
+                    self._publish(
+                        version,
+                        {"version": version, "mode": "update",
+                         "members": list(doc["members"])
+                         + [d for d, _ in written],
+                         "added": [d for d, _ in written],
+                         "changes": cdf_dir, "merge_on_read": True,
+                         "stats": stats, "deletes": new_deletes,
+                         "partitions": partitions,
+                         "partition_spec": doc.get("partition_spec"),
+                         "txns": dict(doc.get("txns", {})),
+                         "schema": doc.get("schema"),
+                         "schema_version": doc.get(
+                             "schema_version", 1
+                         )},
+                    )
+                    return version
+                except FileExistsError:
+                    continue  # rebase: recompute against the new latest
+            finally:
+                matches.unpersist()
+        raise SnapshotConflictError(
+            f"update_where could not land after {_OCC_RETRIES} rebases "
+            "(sustained contention on the manifest log)"
+        )
+
     def merge_on_read(
         self,
         spark: SparkSession,

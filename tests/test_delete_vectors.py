@@ -276,3 +276,65 @@ def test_delete_version_refuses_in_diff_and_stream(spark, sf_dir, tmp_path):
     )
     parts = cdc.partitions({"version": 2}, {"version": v})
     assert parts
+
+
+def test_update_where_masks_and_appends(spark, sf_dir, tmp_path):
+    """UPDATE ... SET over the DV path: matched rows masked, post-images
+    appended (one member), nothing rewritten; CDF carries pre/post
+    images; time travel sees the old values; no-op publishes nothing."""
+    st, orders = _store(spark, sf_dir, tmp_path)
+    before = st.manifest(2)
+    v = st.update_where(
+        spark,
+        F.col("o_orderpriority") == "3-MEDIUM",
+        {"o_totalprice": F.col("o_totalprice") * 2},
+    )
+    doc = st.manifest(v)
+    assert doc["mode"] == "update"
+    assert doc["members"][: len(before["members"])] == before["members"]
+    assert len(doc["added"]) == 1 and doc["deletes"]
+    want = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority") == "3-MEDIUM",
+            F.col("o_totalprice") * 2,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    got = st.read(spark)
+    assert got.count() == want.count()
+    assert (
+        abs(
+            got.agg(F.sum("o_totalprice")).first()[0]
+            - want.agg(F.sum("o_totalprice")).first()[0]
+        )
+        < 1e-6
+    )
+    # CDF: one preimage + one postimage per matched row
+    n_match = orders.where(F.col("o_orderpriority") == "3-MEDIUM").count()
+    feed = st.read_changes(spark, 2, v)
+    assert (
+        feed.where(F.col("_change_type") == "update_preimage").count()
+        == n_match
+    )
+    assert (
+        feed.where(F.col("_change_type") == "update_postimage").count()
+        == n_match
+    )
+    # time travel: pre-update version sees original prices
+    assert (
+        abs(
+            st.read(spark, 2).agg(F.sum("o_totalprice")).first()[0]
+            - orders.agg(F.sum("o_totalprice")).first()[0]
+        )
+        < 1e-6
+    )
+    # no-op + unknown-column guard
+    assert (
+        st.update_where(
+            spark, F.col("o_orderpriority") == "9-X",
+            {"o_totalprice": F.lit(0.0)},
+        )
+        == v
+    )
+    with pytest.raises(ValueError, match="not in the table schema"):
+        st.update_where(spark, F.lit(True), {"nope": F.lit(1)})
