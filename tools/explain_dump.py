@@ -735,6 +735,43 @@ COMMENTARY = {
         "(index refresh, feature backfill) pays for the night's deltas, "
         "not the table. Plan: feed-member scans + one grouped aggregate."
     ),
+    "storage_delete_vectors": (
+        "Row-level DELETE via deletion vectors (round 11): delete_where "
+        "writes the matching rows' (file, pos) addresses — parquet "
+        "`_metadata.file_path`/`row_index`, relativized through ONE "
+        "shared expression — as a position-delete member; the manifest's "
+        "member list is UNCHANGED (n_added=0 pinned in the gate). Reads "
+        "split per member: clean members keep the plain columnar scan "
+        "(full codegen, zero extra nodes), dirty members pay a LeftAnti "
+        "BroadcastHashJoin on (_file,_pos) against the DV scan — AQE "
+        "broadcasts the deleted-rows side, cost O(deleted rows). At "
+        "100 TB a delete touching 1%% of members costs the other 99%% "
+        "nothing; compact() materializes the masks away; time travel "
+        "below the delete never sees the join."
+    ),
+    "storage_merge_on_read": (
+        "Merge-on-read (round 11): matched rows masked by one position-"
+        "delete file + upsert post-images appended as an ordinary member "
+        "— write cost O(changes + matched rows) where copy-on-write "
+        "merge(prune=True) pays O(affected members). Row-for-row "
+        "equivalent to merge() (test-asserted, same CDF). The gate reads "
+        "v4 (DV-masked plan: per-dirty-member anti-join) AND v5 "
+        "(post-compact plan: plain scans, DVs materialized away) against "
+        "ONE oracle — both read paths pinned to the same answer. The "
+        "stats split still narrows the SCAN to members that can hold a "
+        "matched key; unlike CoW it changes what gets read, not what "
+        "gets rewritten (nothing does)."
+    ),
+    "storage_update_where": (
+        "Row-level UPDATE ... SET over the DV path (round 11): matching "
+        "live rows masked, post-images (assignments cast back to the "
+        "recorded column types) appended as one member — the third verb "
+        "on the same machinery, same O(matched rows) write cost, same "
+        "per-dirty-member anti-join read, CDF carries update_preimage/"
+        "update_postimage pairs. Over the staged store it updates rows "
+        "INSIDE the compacted member, proving DVs stack on any member "
+        "vintage."
+    ),
     "embedding_semdedup_scaled": (
         "Scale-aware SemDeDup (round 10, the production default): n_cells "
         "is derived from the corpus count (k = ceil(n/50), the paper's "

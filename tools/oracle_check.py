@@ -71,12 +71,23 @@ def main():
     args = sys.argv[1:]
     json_path = None
     foreign = False
+    skip: set[str] = set()
+    temp_cap = None
     for a in list(args):
         if a.startswith("--json="):
             json_path = a.split("=", 1)[1]
             args.remove(a)
         elif a == "--foreign":
             foreign = True
+            args.remove(a)
+        elif a.startswith("--skip="):
+            skip |= set(a.split("=", 1)[1].split(","))
+            args.remove(a)
+        elif a.startswith("--duckdb-temp-cap="):
+            # bound DuckDB's out-of-core spill (e.g. '20GB'): a
+            # pathological oracle then FAILS loudly instead of filling
+            # the disk under every other process on the host
+            temp_cap = a.split("=", 1)[1]
             args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
@@ -100,6 +111,13 @@ def main():
         print("# FOREIGN session: tz=America/New_York, inferTimestampNTZ=off,"
               " shuffle.partitions=200, AQE=off, ansi=off")
     con = duckdb.connect()
+    if temp_cap is not None:
+        import tempfile as _tf
+
+        tdir = os.path.join(_tf.gettempdir(), "duckdb_oracle_tmp")
+        os.makedirs(tdir, exist_ok=True)
+        con.execute(f"SET temp_directory='{tdir}'")
+        con.execute(f"SET max_temp_directory_size='{temp_cap}'")
     for t in TABLES:
         # driver fixtures are single parquet FILES; derived fixtures
         # (tools/build_sf10x.py) are Spark-written DIRECTORIES of part
@@ -123,6 +141,10 @@ def main():
     ran = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
+            continue
+        if name in skip:
+            print(f"SKIP  {name}: excluded by --skip")
+            records[name] = {"err": "excluded by --skip"}
             continue
         ran += 1
         t0 = time.time()
