@@ -35,41 +35,59 @@ def _dec(col, p=12, s=2):
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy filter + 8-agg groupBy (SURVEY.md A1-A7
-    analogue on the synthetic star schema)."""
+    analogue on the synthetic star schema).
+
+    Money aggregates are carried as EXACT integer sums (cents for the
+    base price, the natural 1e-4/1e-6 fixed-point for the discount/tax
+    products) and converted to one frozen double division at the end.
+    The previous spelling summed exact DECIMALs and cast the SUM to
+    double — but the two engines round that decimal->double conversion
+    differently on 1-ulp boundary values, which the r11 10x oracle
+    sweep caught on sum_charge (invisible at sf0.1: smaller sums, a
+    boundary value never materialized). Integer sums never hit a
+    conversion boundary: qty/count values are exact in double, and each
+    money column is ONE bigint->double division on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4, 2))
-    charge = disc_price * (F.lit(1).cast("decimal(4,2)") + _dec("l_tax", 4, 2))
+    # exact per-row fixed-point: cents, then the discount/tax products
+    # stay integral at scale 1e-4 / 1e-6 (cents x cents)
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    disc_price_e4 = price_c * (100 - disc_c)          # scale 1e-4
+    charge_e6 = disc_price_e4 * (100 + tax_c)          # scale 1e-6
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(disc_price_e4) / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge_e6) / 1000000.0).alias("sum_charge"),
             (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
-            (F.sum(_dec("l_discount", 4, 2)).cast("double") / F.count("*")).alias("avg_disc"),
+            (F.sum(price_c) / (F.count("*") * 100.0)).alias("avg_price"),
+            (F.sum(disc_c) / (F.count("*") * 100.0)).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
 
 
 Q1_SQL = """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus, l_quantity,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
 SELECT l_returnflag, l_linestatus,
        SUM(l_quantity) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(price_c) AS BIGINT) / 100.0 AS sum_base_price,
+       CAST(SUM(price_c * (100 - disc_c)) AS BIGINT) / 10000.0 AS sum_disc_price,
+       CAST(SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT) / 1000000.0 AS sum_charge,
        SUM(l_quantity) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(SUM(price_c) AS BIGINT) / (COUNT(*) * 100.0) AS avg_price,
+       CAST(SUM(disc_c) AS BIGINT) / (COUNT(*) * 100.0) AS avg_disc,
        COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+FROM li
 GROUP BY l_returnflag, l_linestatus
 """
 

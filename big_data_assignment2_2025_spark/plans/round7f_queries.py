@@ -221,7 +221,13 @@ def observed_profile(spark: SparkSession, sf_dir: str):
         watched.groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            # exact integer-cents sum, ONE frozen division: a raw double
+            # SUM's 4th decimal is partial-order-dependent once the total
+            # nears 1e11 (the r11 10x oracle sweep caught exactly that)
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("revenue"),
         )
         .orderBy("o_orderstatus")
     )
@@ -239,7 +245,7 @@ def orders_observed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORDERS_OBSERVED_PROFILE_SQL = """
 SELECT o_orderstatus,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 4) AS revenue
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus

@@ -415,6 +415,20 @@ _Z_BITS = 16
 _Z_COMMITS = 8
 
 
+def _scale16_expr(col: str, vmax: int):
+    """Monotone exact-integer fixed-point map of ``col`` into
+    [0, 2^_Z_BITS): ``v * (2^b - 1) DIV (vmax + 1)`` — integer DIV, so
+    no float-boundary flips; ``v * 65535`` stays far under 2^63 for any
+    real key domain."""
+    return F.expr(
+        f"CAST(({col} * {(1 << _Z_BITS) - 1}) DIV {vmax + 1} AS BIGINT)"
+    )
+
+
+def _scale16_py(v: int, vmax: int) -> int:
+    return v * ((1 << _Z_BITS) - 1) // (vmax + 1)
+
+
 def _staged_zorder_store(spark: SparkSession, sf_dir: str) -> str:
     """Lineitem re-clustered BY MORTON KEY into a SnapshotStore of
     ``_Z_COMMITS`` zkey-range members with zkey stats — the layout
@@ -436,23 +450,24 @@ def _staged_zorder_store(spark: SparkSession, sf_dir: str) -> str:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
         )
-        # the Morton key keeps only the low _Z_BITS bits per coordinate;
-        # a key outside that budget would TRUNCATE and silently break the
-        # box -> z-range superset guarantee, so fail loudly instead
+        # coordinates are NORMALIZED into the _Z_BITS budget by a
+        # monotone exact-integer fixed-point map v*(2^b-1) DIV (max+1)
+        # (Delta's OPTIMIZE ZORDER range-ids, closed-form): ANY key
+        # domain fits — the r11 10x fixture's 9e8 keys used to trip a
+        # hard budget guard here. Monotone per-dimension maps preserve
+        # the box -> z-range SUPERSET guarantee; coordinate collisions
+        # only loosen pruning, never correctness (the exact predicate
+        # re-applies after the prune).
         mx = li.agg(
             F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
         ).collect()[0]
-        if int(mx["p"]) >= (1 << _Z_BITS) or int(mx["s"]) >= (1 << _Z_BITS):
-            raise ValueError(
-                f"z-order coordinates exceed the {_Z_BITS}-bit budget "
-                f"(max l_partkey={mx['p']}, max l_suppkey={mx['s']}); "
-                "raise _Z_BITS to keep pruning lossless"
-            )
+        pc = _scale16_expr("l_partkey", int(mx["p"]))
+        sc = _scale16_expr("l_suppkey", int(mx["s"]))
         # one materialization of the 32-term bit fold serves the zmax
         # probe and all 8 bucket writes (staging would otherwise rescan
         # lineitem and re-evaluate the fold once per bucket)
         z = li.withColumn(
-            "zkey", zorder_key2("l_partkey", "l_suppkey", bits=_Z_BITS)
+            "zkey", zorder_key2(pc, sc, bits=_Z_BITS)
         ).persist()
         try:
             zmax = z.agg(F.max("zkey")).collect()[0][0]
@@ -498,9 +513,13 @@ def storage_zorder_box_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = li.agg(
         F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
     ).collect()[0]
-    p1, p2 = 0, int(mx["p"]) // 4
-    s1, s2 = 0, int(mx["s"]) // 4
-    lo, hi = _zkey_py(p1, s1), _zkey_py(p2, s2)
+    pmax, smax = int(mx["p"]), int(mx["s"])
+    p1, p2 = 0, pmax // 4
+    s1, s2 = 0, smax // 4
+    # box bounds map through the SAME monotone normalization the writer
+    # used, so [zkey(f(p1),f(s1)), zkey(f(p2),f(s2))] stays a superset
+    lo = _zkey_py(_scale16_py(p1, pmax), _scale16_py(s1, smax))
+    hi = _zkey_py(_scale16_py(p2, pmax), _scale16_py(s2, smax))
     pruned = store.read_where(spark, "zkey", lo, hi + 1)
     return (
         pruned.where(

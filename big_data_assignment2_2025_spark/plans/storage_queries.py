@@ -265,7 +265,13 @@ def orders_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.count("o_orderpriority").alias("n_with_priority"),
             F.count("o_channel").alias("n_with_channel"),
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            # exact integer-cents sum, one frozen division (the raw
+            # double SUM's rounded tail is partial-order-dependent at
+            # 10x magnitudes — r11 oracle-sweep find)
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0
+            ).alias("revenue"),
         )
         .orderBy("year")
     )
@@ -285,7 +291,8 @@ SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
        count(*) AS n_orders,
        count(o_orderpriority) AS n_with_priority,
        count(o_channel) AS n_with_channel,
-       round(sum(o_totalprice), 4) AS revenue
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS revenue
 FROM unified
 GROUP BY 1
 ORDER BY year

@@ -94,12 +94,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    ByteType,
     DataType,
     DateType,
+    DoubleType,
+    FloatType,
     FractionalType,
     IntegerType,
     IntegralType,
+    LongType,
     MapType,
+    ShortType,
     StringType,
     StructField,
     StructType,
@@ -1025,19 +1030,22 @@ class SnapshotStore:
                 if prev is None:
                     raise ValueError("merge() on an empty store")
                 doc = self.manifest(prev)
+                # conform batch types to the RECORDED schema (re-checked
+                # per rebase: an interleaved alter may have changed it)
+                chg = self._conform_changes(doc, changes, op_col)
                 if prune and len(keys) == 1:
                     split = self._split_affected(
-                        spark, doc, changes, keys[0]
+                        spark, doc, chg, keys[0]
                     )
                     if split is not None:
                         try:
                             return self._merge_pruned(
-                                spark, doc, changes, keys, op_col, *split
+                                spark, doc, chg, keys, op_col, *split
                             )
                         except FileExistsError:
                             continue  # rebase against the new latest
                 cur = self.read(spark, prev)
-                out = self._apply_changes(cur, changes, keys, op_col)
+                out = self._apply_changes(cur, chg, keys, op_col)
                 # the logical path rewrites the whole table into one
                 # member: re-stat it on every column the prior manifest
                 # tracked, so a logical merge never silently turns off
@@ -1053,7 +1061,7 @@ class SnapshotStore:
                 # where diff() must refuse (a merge is not append-only)
                 cdf_dir, cdf_full = self._new_member_dir()
                 self._change_rows(
-                    cur, changes, keys, op_col, version
+                    cur, chg, keys, op_col, version
                 ).write.parquet(cdf_full)
                 # the rewrite honors the current spec (like compact): a
                 # logical merge over a spec'd table comes out re-laid-out
@@ -1122,6 +1130,55 @@ class SnapshotStore:
                 f"changes batch has multiple rows for key {key_vals}; "
                 "MERGE requires at most one change row per key"
             )
+
+    #: integral widths for the one coercion a MERGE batch may carry
+    #: implicitly (lossless widening); everything else must cast upstream
+    _INT_WIDTH = {ByteType: 1, ShortType: 2, IntegerType: 3, LongType: 4}
+
+    @classmethod
+    def _conform_changes(
+        cls, doc: dict, changes: DataFrame, op_col: str
+    ) -> DataFrame:
+        """The changes batch with every shared data column conformed to
+        the RECORDED table schema. A batch column that safely widens
+        (byte<short<int<long, float->double) is cast up; any other type
+        mismatch RAISES — without this, the merge output silently
+        promoted to the batch's wider type while the manifest kept the
+        recorded schema, publishing members every later read fails on
+        (PARQUET_COLUMN_DATA_TYPE_MISMATCH — caught by the r11 10x
+        oracle sweep; a corrupted-on-publish table, the worst failure
+        class a store can have)."""
+        if doc.get("schema") is None:
+            return changes
+        tbl = cls._normalize(StructType.fromJson(doc["schema"]))
+        names = {f.name: f.dataType for f in tbl.fields}
+        batch = cls._normalize(changes.schema)
+        out_cols = []
+        for f in batch.fields:
+            want = names.get(f.name)
+            if f.name == op_col or want is None or f.dataType == want:
+                out_cols.append(F.col(f.name))
+                continue
+            widen_int = (
+                type(f.dataType) in cls._INT_WIDTH
+                and type(want) in cls._INT_WIDTH
+                and cls._INT_WIDTH[type(f.dataType)]
+                <= cls._INT_WIDTH[type(want)]
+            )
+            widen_float = isinstance(f.dataType, FloatType) and isinstance(
+                want, DoubleType
+            )
+            if widen_int or widen_float:
+                out_cols.append(F.col(f.name).cast(want).alias(f.name))
+                continue
+            raise ValueError(
+                f"changes column {f.name!r} is "
+                f"{f.dataType.simpleString()} but the table records "
+                f"{want.simpleString()}: cast the batch explicitly (a "
+                "silent type change would publish members unreadable "
+                "under the recorded schema)"
+            )
+        return changes.select(*out_cols)
 
     def _live_with_pos(
         self, spark: SparkSession, doc: dict, members: list[str]
@@ -1420,12 +1477,16 @@ class SnapshotStore:
                 if prev is None:
                     raise ValueError("merge_on_read() on an empty store")
                 doc = self.manifest(prev)
+                # conform batch types to the RECORDED schema (same guard
+                # as the copy-on-write path — a wider batch type must
+                # never publish a member the recorded schema can't read)
+                chg = self._conform_changes(doc, changes, op_col)
                 # the stats split narrows the SCAN (which members can
                 # hold a matched key); unlike copy-on-write, untouched
                 # vs affected does not change what gets rewritten —
                 # nothing does
                 split = (
-                    self._split_affected(spark, doc, changes, keys[0])
+                    self._split_affected(spark, doc, chg, keys[0])
                     if len(keys) == 1
                     else None
                 )
@@ -1436,7 +1497,7 @@ class SnapshotStore:
                     # mask every current row whose key has a change row
                     # (upsert -> replaced, delete -> dropped)
                     masked = cur_pos.join(
-                        changes.select(*keys), keys, "left_semi"
+                        chg.select(*keys), keys, "left_semi"
                     ).select("_file", "_pos")
                     dv_dir, dv_full = self._new_member_dir()
                     masked.write.parquet(dv_full)
@@ -1447,14 +1508,14 @@ class SnapshotStore:
                     cur = cur_pos.drop("_file", "_pos")
                     cdf_dir, cdf_full = self._new_member_dir()
                     self._change_rows(
-                        cur, changes, keys, op_col, version
+                        cur, chg, keys, op_col, version
                     ).write.parquet(cdf_full)
                     written: list[tuple[str, dict | None]] = []
                     if has_upserts:
                         data_cols = [c for c in cur.columns if c not in keys]
-                        s_cols = set(changes.columns)
+                        s_cols = set(chg.columns)
                         out_new = (
-                            changes.alias("s")
+                            chg.alias("s")
                             .where(F.col(f"s.{op_col}") == "upsert")
                             .join(cur.alias("t"), on=keys, how="left")
                             .select(

@@ -61,14 +61,39 @@ class _state_partitions:
 
 def _stage_dir(sf_dir: str) -> str:
     """File streams consume *directories*; the fixture dir mixes ten tables.
-    Stage a per-sf temp dir holding only a symlink to events.parquet."""
+    Stage a per-sf temp dir of symlinks to the events data: driver
+    fixtures ship ONE parquet file (one link); derived fixtures
+    (tools/build_sf10x.py) are Spark-written DIRECTORIES whose part
+    files must be linked individually — a directory symlink is invisible
+    to the non-recursive file-stream source (r11: every streaming query
+    silently drained 0 rows at the 10x fixture)."""
     staged = os.path.join(
         tempfile.gettempdir(), f"events_stream_{sf_dir.strip('/').replace('/', '_')}"
     )
     os.makedirs(staged, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        want = sorted(
+            n for n in os.listdir(src) if n.endswith(".parquet")
+        )
+        done = os.path.join(staged, "_LINKED")
+        tag = "\n".join(want)
+        if not (os.path.exists(done) and open(done).read() == tag):
+            for n in os.listdir(staged):
+                p = os.path.join(staged, n)
+                if os.path.islink(p) or n == "_LINKED":
+                    os.unlink(p)
+            for i, n in enumerate(want):
+                os.symlink(
+                    os.path.join(src, n),
+                    os.path.join(staged, f"part-{i:05d}.parquet"),
+                )
+            with open(done, "w") as fh:
+                fh.write(tag)
+        return staged
     link = os.path.join(staged, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(src, link)
     return staged
 
 

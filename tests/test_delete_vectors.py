@@ -338,3 +338,44 @@ def test_update_where_masks_and_appends(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="not in the table schema"):
         st.update_where(spark, F.lit(True), {"nope": F.lit(1)})
+
+
+def test_merge_conforms_batch_types_to_recorded_schema(
+    spark, sf_dir, tmp_path
+):
+    """A MERGE batch whose column type differs from the recorded schema
+    must never publish an unreadable member (r11 10x sweep find:
+    int-recorded table + bigint batch wrote INT64 parquet under an int
+    schema — corrupted on publish). Lossless widening (int batch into a
+    bigint table) conforms silently; a WIDER batch type raises."""
+    st = SnapshotStore(str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k int, v int"
+    )
+    st.commit(base, mode="overwrite", stats_cols=["k"])
+    wide = spark.createDataFrame(
+        [(2, 99, "upsert")], "k int, v long, _op string"
+    )
+    for fn in (
+        lambda: st.merge(spark, wide, keys=["k"]),
+        lambda: st.merge_on_read(spark, wide, keys=["k"]),
+    ):
+        with pytest.raises(ValueError, match="table records int"):
+            fn()
+    # the store is untouched and fully readable
+    assert st.latest_version() == 1
+    assert st.read(spark).count() == 3
+    # narrow batch into a wider table: conforms, member readable
+    st2 = SnapshotStore(str(tmp_path) + "_wide")
+    st2.commit(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        mode="overwrite",
+    )
+    narrow = spark.createDataFrame(
+        [(2, 99, "upsert"), (5, 50, "upsert")], "k int, v int, _op string"
+    )
+    st2.merge_on_read(spark, narrow, keys=["k"])
+    got = {r["k"]: r["v"] for r in st2.read(spark).collect()}
+    assert got == {1: 10, 2: 99, 5: 50}
+    st2.merge(spark, narrow.where(F.col("k") == 5), keys=["k"])
+    assert st2.read(spark).count() == 3

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F  # noqa: E402
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
 SHIFT = 10**8
-BUILD_TAG = "sf10x-v1"
+BUILD_TAG = "sf10x-v2-ts-ordered"
 
 #: key columns shifted per copy, per table (empty = copy 1x verbatim)
 SHIFTS: dict[str, list[str]] = {
@@ -119,10 +119,27 @@ def build(dst: str) -> str:
             for p in parts[1:]:
                 out = out.unionAll(p)
             if t == "documents":
-                out = out.withColumn("n_chars", F.length("text"))
-        out.repartition(32 if keys else 1).write.mode("overwrite").parquet(
-            f"{dst}/{t}.parquet"
-        )
+                # recompute from the salted text, KEEPING the source
+                # column type (bigint) — an int here propagated into a
+                # staged store's recorded schema and tripped the merge
+                # type guard downstream
+                out = out.withColumn(
+                    "n_chars", F.length("text").cast("long")
+                )
+        if t == "events":
+            # the streaming gates consume this table as a FILE STREAM
+            # (one micro-batch per part file): files must be time-ranged
+            # or the watermark set by file 1 drops later files' rows as
+            # late — a realism requirement (real streams arrive roughly
+            # time-ordered), not a convenience
+            out = out.repartitionByRange(32, "ts").sortWithinPartitions(
+                "ts"
+            )
+        elif keys:
+            out = out.repartition(32)
+        else:
+            out = out.repartition(1)
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
         print(f"# {t}: written", file=sys.stderr)
     open(marker, "w").write(BUILD_TAG)
     return dst
