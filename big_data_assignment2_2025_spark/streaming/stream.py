@@ -77,17 +77,29 @@ def _stage_dir(sf_dir: str) -> str:
             n for n in os.listdir(src) if n.endswith(".parquet")
         )
         done = os.path.join(staged, "_LINKED")
-        tag = "\n".join(want)
+        # the tag carries the staging RECIPE version too — a recipe
+        # change (symlinks -> mtime-ordered copies) must restage
+        tag = "mtime-v2\n" + "\n".join(want)
         if not (os.path.exists(done) and open(done).read() == tag):
+            import shutil
+            import time as _time
+
             for n in os.listdir(staged):
                 p = os.path.join(staged, n)
-                if os.path.islink(p) or n == "_LINKED":
+                if n == "_LINKED" or n.endswith(".parquet"):
                     os.unlink(p)
+            # COPIES with strictly increasing mtimes, not symlinks: the
+            # file-stream source orders files by MODIFICATION TIME, and
+            # one write job stamps every part file identically — ties
+            # consume in arbitrary order, which violates the watermark's
+            # bounded-disorder contract for the ts-range-partitioned
+            # fixture (late-drop flakes at 10x). Part index == ts range
+            # == mtime order makes consumption deterministic.
+            base = _time.time() - 2 * len(want)
             for i, n in enumerate(want):
-                os.symlink(
-                    os.path.join(src, n),
-                    os.path.join(staged, f"part-{i:05d}.parquet"),
-                )
+                dst = os.path.join(staged, f"part-{i:05d}.parquet")
+                shutil.copyfile(os.path.join(src, n), dst)
+                os.utime(dst, (base + i, base + i))
             with open(done, "w") as fh:
                 fh.write(tag)
         return staged
