@@ -472,6 +472,7 @@ def main() -> None:
         }
         print(f"# A/B skipped: {ab['skipped']}", file=sys.stderr)
         prev_ref = None
+    head_probe = None
     if prev_ref is not None:
         try:
             wt = _prev_worktree(here, prev_ref)
@@ -482,6 +483,20 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — bench must never die here
             ab = {"skipped": f"{type(e).__name__}: {e}"[:160]}
             print(f"# A/B probe failed: {e}", file=sys.stderr)
+        if prev is not None and remaining() > 120:
+            try:
+                # HEAD's plan fingerprints via the SAME mechanism (fresh
+                # subprocess session, same query order): a warm
+                # in-process plan is not comparable to a cold probe plan
+                # — cached staged structures change the printed
+                # skeleton, which made every cross-tree comparison read
+                # as "plan changed"
+                head_probe = _probe_tree(
+                    here, HEADLINE, 1, sf_dir,
+                    timeout=max(120, remaining() - 60),
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"# HEAD plan probe failed: {e}", file=sys.stderr)
         if prev is not None and remaining() > pass1_wall / RUNS + 30:
             try:
                 # -- HEAD pass 2 (1 run): brackets the tag probe, so host
@@ -497,12 +512,22 @@ def main() -> None:
     ratios: list[float] = []
     n_plan_changed = 0
     drifts: list[float] = []
+    head_plans = (head_probe or {}).get("queries", {})
     for name in HEADLINE:
         head_min = min(mins1[name], mins2.get(name, float("inf")))
         timings[name] = round(head_min, 3)
         d: dict = {
             "sec": timings[name],
-            "plan_sha": plans.get(name),
+            # probe-captured sha when available (comparable to the tag
+            # side); the warm in-process sha otherwise, marked as such
+            "plan_sha": (
+                head_plans[name]["plan_sha"]
+                if name in head_plans
+                else plans.get(name)
+            ),
+            "plan_sha_source": (
+                "probe" if name in head_plans else "inprocess"
+            ),
             "ratio_vs_prev": None,
             "prev_plan_sha": None,
             "plan_same": None,
@@ -511,9 +536,15 @@ def main() -> None:
             p = prev["queries"][name]
             d["ratio_vs_prev"] = round(head_min / max(p["min"], 1e-6), 3)
             d["prev_plan_sha"] = p["plan_sha"]
-            d["plan_same"] = p["plan_sha"] == d["plan_sha"]
+            # comparable only probe-to-probe; otherwise unknown, not
+            # "changed" (the r11 warm-vs-cold lesson)
+            d["plan_same"] = (
+                p["plan_sha"] == d["plan_sha"]
+                if name in head_plans
+                else None
+            )
             ratios.append(d["ratio_vs_prev"])
-            n_plan_changed += int(not d["plan_same"])
+            n_plan_changed += int(d["plan_same"] is False)
         if name in mins2 and mins1[name] > 0:
             drifts.append(mins2[name] / max(mins1[name], 1e-6))
         detail[name] = d

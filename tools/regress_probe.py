@@ -67,14 +67,24 @@ def _normalize_plan(plan: str) -> str:
             # grouping-set/distinct-agg gid literals are assigned in
             # nondeterministic iteration order run to run — same plan,
             # swapped ids (seen on contamination_check)
-            keep.append(re.sub(r"gid#x = \d+", "gid#x = n", t))
-    # SORTED multiset of operator lines, not the tree print: AQE stage
-    # materialization order shuffles sibling-subtree print order between
-    # runs of the IDENTICAL tree (seen on dedup_minhash_lsh: same 588
-    # lines, different order). Strategy identity — which joins/aggs/
-    # scans/exchanges with which keys — survives sorting; print order is
-    # noise for the regression question this fingerprint answers.
-    return "\n".join(sorted(keep))
+            t = re.sub(r"gid#x = \d+", "gid#x = n", t)
+            # PERMUTATION-INVARIANT line form: Catalyst's distinct-agg
+            # rewrite (and other Set-driven rules) permute column lists
+            # nondeterministically ACROSS SESSIONS (seen on
+            # contamination_check: Expand columns swapped between two
+            # probes of the identical tree), so each line becomes its
+            # operator head + sorted token multiset — a strategy change
+            # (different operator, different key set, different literal)
+            # still differs; a column permutation hashes equal
+            toks = [x for x in re.split(r"[^A-Za-z0-9_#.]+", t) if x]
+            keep.append(toks[0] + " " + " ".join(sorted(toks[1:])))
+    # UNIQUE sorted line set, not the tree print: AQE stage
+    # materialization varies subtree print order AND reuse counts
+    # between runs of the IDENTICAL tree (seen on dedup_minhash_lsh:
+    # 586 vs 588 lines, same line set). Deliberately coarse — the
+    # fingerprint adjudicates "did the physical strategy change", and
+    # the per-query timing ratio flags anything it can't see.
+    return "\n".join(sorted(set(keep)))
 
 
 def main() -> None:
