@@ -46,6 +46,17 @@ fingerprint) and ``plan_same``; the stdout line carries the compact
 ``ab`` summary (median/p90/max ratio, plans changed, bracket drift).
 Disable with ``SPARK_GRAFT_AB=0``; failures of the tag probe degrade to
 a plain bench with the reason recorded, never a crash.
+
+Reading ``plan_same=False``: a FLAG for adjudication, not proof of a
+plan regression — AQE's runtime decisions can vary fingerprints on a
+busy host (the bench saturates every core while the probes run). The
+per-query min-time ratio is the primary signal; confirm a flagged
+fingerprint with a quiet-host ``tools/regress_probe.py`` pair, which is
+exactly one command per tree. (r11 spot-check: the flagged dedup/ANN
+fingerprints all reconverge to identical cross-tree shas on a quiet
+host; the three real plan changes that round were q1's integer-cents
+rewrite, the z-order range-id normalization, and the schema-evolution
+revenue fix.)
 """
 
 from __future__ import annotations
@@ -357,6 +368,7 @@ def _probe_tree(
     n_runs: int,
     sf_dir: str,
     timeout: float = 2400,
+    isolate_tmp: bool = True,
 ) -> dict:
     """Run ``tools/regress_probe.py`` (HEAD's copy — it skips queries the
     probed tree lacks) against ``repo_root`` in a SUBPROCESS (both trees
@@ -373,9 +385,15 @@ def _probe_tree(
     # r10 tree's bucketed_table rewrote on fresh-catalog, renaming every
     # part file under HEAD's bracket pass). Isolation costs a one-time
     # staging rebuild per ref, cached across bench runs.
-    sub_tmp = os.path.join(repo_root, ".bench_tmp")
-    os.makedirs(sub_tmp, exist_ok=True)
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, TMPDIR=sub_tmp)
+    # isolation applies to FOREIGN trees only — probing HEAD itself
+    # (plan fingerprints) shares the live session's caches: same code,
+    # same cache rules, and writing .bench_tmp into the repo root would
+    # pollute the working tree
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    if isolate_tmp:
+        sub_tmp = os.path.join(repo_root, ".bench_tmp")
+        os.makedirs(sub_tmp, exist_ok=True)
+        env["TMPDIR"] = sub_tmp
     subprocess.run(
         [sys.executable, os.path.join(here, "tools", "regress_probe.py"),
          repo_root, out_json, str(n_runs), *queries],
@@ -494,6 +512,7 @@ def main() -> None:
                 head_probe = _probe_tree(
                     here, HEADLINE, 1, sf_dir,
                     timeout=max(120, remaining() - 60),
+                    isolate_tmp=False,
                 )
             except Exception as e:  # noqa: BLE001
                 print(f"# HEAD plan probe failed: {e}", file=sys.stderr)
