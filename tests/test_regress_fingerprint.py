@@ -1,0 +1,89 @@
+"""Plan-fingerprint normalization (tools/regress_probe.py): the A/B
+bench's cross-tree comparison is only as good as the fingerprint's
+run-to-run stability. These pin the three nondeterminism classes round
+11 found the hard way: expression/gid id assignment, sibling print
+order under AQE, and column-list permutation from Set-driven rewrite
+rules."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.regress_probe import _normalize_plan
+
+
+def test_expression_ids_and_paths_normalize():
+    a = _normalize_plan(
+        "Project [x#12L, y#345]\n"
+        "+- FileScan parquet [x#12L] Location: file:/tmp/abc123/t"
+    )
+    b = _normalize_plan(
+        "Project [x#99L, y#7]\n"
+        "+- FileScan parquet [x#99L] Location: file:/tmp/zzz999/t"
+    )
+    assert a == b
+
+
+def test_gid_literals_normalize():
+    a = _normalize_plan(
+        "HashAggregate(keys=[k#1], functions=[count(v#2) FILTER "
+        "(WHERE (gid#3 = 1))])"
+    )
+    b = _normalize_plan(
+        "HashAggregate(keys=[k#1], functions=[count(v#2) FILTER "
+        "(WHERE (gid#3 = 2))])"
+    )
+    assert a == b
+
+
+def test_sibling_order_and_reuse_count_normalize():
+    one = (
+        "Union\n"
+        ":- HashAggregate(keys=[a#1])\n"
+        "+- Sort [b#2 ASC]\n"
+        "+- Exchange hashpartitioning(a#1, 32)\n"
+    )
+    two = (
+        "Union\n"
+        ":- Sort [b#2 ASC]\n"
+        "+- HashAggregate(keys=[a#1])\n"
+        "+- Exchange hashpartitioning(a#1, 32)\n"
+        "+- Exchange hashpartitioning(a#1, 32)\n"  # AQE reuse variance
+    )
+    assert _normalize_plan(one) == _normalize_plan(two)
+
+
+def test_column_permutation_normalizes_but_strategy_change_does_not():
+    perm_a = _normalize_plan(
+        "Expand [[t#1L, s#2, null, 1], [t#1L, null, d#3L, 2]]"
+    )
+    perm_b = _normalize_plan(
+        "Expand [[t#1L, d#3L, null, 1], [t#1L, null, s#2, 2]]"
+    )
+    assert perm_a == perm_b
+    # a different operator or join strategy must STILL differ
+    bhj = _normalize_plan("BroadcastHashJoin [k#1], [k#2], Inner")
+    smj = _normalize_plan("SortMergeJoin [k#1], [k#2], Inner")
+    assert bhj != smj
+    agg = _normalize_plan("HashAggregate(keys=[a#1, b#2])")
+    agg2 = _normalize_plan("HashAggregate(keys=[a#1, c#3])")
+    assert agg != agg2
+
+
+def test_bench_prev_ref_resolution():
+    import bench
+
+    # explicit env wins; cleaned up after
+    os.environ["SPARK_GRAFT_PREV_REF"] = "r99"
+    try:
+        assert bench._resolve_prev_ref(".") == "r99"
+    finally:
+        del os.environ["SPARK_GRAFT_PREV_REF"]
+    # this repo has the r10 tag (or later): resolves to the highest rN
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ref = bench._resolve_prev_ref(repo)
+    assert ref is not None and ref.startswith("r")
+    assert int(ref[1:]) >= 10
