@@ -567,6 +567,33 @@ def main() -> None:
         if name in mins2 and mins1[name] > 0:
             drifts.append(mins2[name] / max(mins1[name], 1e-6))
         detail[name] = d
+    # fingerprint RECONFIRMATION pass: plans captured inside a 153-query
+    # session depend on that session's accumulated cache state, and the
+    # two trees' cache paths diverge — so a first-pass mismatch is re-
+    # probed in SMALL clean sessions over just the flagged queries
+    # (r11: every false flag reconverged this way; real changes do not)
+    flagged = [n for n in HEADLINE if detail[n]["plan_same"] is False]
+    if prev is not None and flagged and remaining() > 240:
+        try:
+            t_each = max(120, (remaining() - 60) / 2)
+            qh = _probe_tree(
+                here, flagged, 1, sf_dir, timeout=t_each,
+                isolate_tmp=False,
+            )
+            qp = _probe_tree(wt, flagged, 1, sf_dir, timeout=t_each)
+            for n in flagged:
+                a = qh.get("queries", {}).get(n, {}).get("plan_sha")
+                b = qp.get("queries", {}).get(n, {}).get("plan_sha")
+                if a and b:
+                    detail[n]["plan_sha"] = a
+                    detail[n]["prev_plan_sha"] = b
+                    detail[n]["plan_same"] = a == b
+                    detail[n]["plan_reconfirmed"] = True
+            n_plan_changed = sum(
+                1 for n in HEADLINE if detail[n]["plan_same"] is False
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"# fingerprint reconfirm failed: {e}", file=sys.stderr)
     if prev is not None:
         rs = sorted(ratios)
         ds = sorted(drifts)
