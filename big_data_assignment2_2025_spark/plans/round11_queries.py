@@ -58,11 +58,13 @@ def _staged_dv_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
     ``delete_where`` (deletion vector, no rewrite), v4
     ``merge_on_read`` (mask + append, no rewrite), v5 ``compact``
     (materializes every DV away), v6 ``update_where`` (mask + post-image
-    append over the compacted member). Fingerprint-gated like every
-    staged store; the dir name carries a recipe version because the
-    fixture fingerprint can't see builder-code changes."""
+    append over the compacted member), v7 ``compact_masked`` (targeted
+    materialization: only the heavily-masked member rewrites).
+    Fingerprint-gated like every staged store; the dir name carries a
+    recipe version because the fixture fingerprint can't see
+    builder-code changes."""
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"snapdv2_{tag}")
+    base = os.path.join(tempfile.gettempdir(), f"snapdv3_{tag}")
     fprint = fixture_fingerprint(sf_dir)
     if not derived_cache_ok(base, fprint):
         if os.path.exists(base):
@@ -106,6 +108,7 @@ def _staged_dv_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
             F.col("o_orderpriority") == _UPD_PRIO,
             {"o_totalprice": F.col("o_totalprice") * 2},
         )
+        store.compact_masked(spark, max_masked_fraction=0.15)
         with open(os.path.join(base, "_SUCCESS"), "w"):
             pass
         mark_derived_cache(base, fprint)
@@ -283,14 +286,67 @@ ORDER BY prio
 """
 
 
+def storage_compact_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted deletion-vector materialization: v7 rewrites ONLY the
+    heavily-masked compacted member (one rewrote, one added, the clean
+    post-image member carried verbatim) and clears its DV — the
+    aggregate must be IDENTICAL to v6's DV-masked read, and the
+    bookkeeping columns pin the scoped-rewrite shape plus the
+    manifest-only telemetry that drove it (``masked_stats`` at v6)."""
+    store = _staged_dv_store(spark, sf_dir)
+    doc7 = store.manifest(7)
+    ms6 = store.masked_stats(6)
+    return (
+        store.read(spark, 7)
+        .groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit(_REINS)).alias(
+                "prio"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.lit(doc7["mode"]).alias("mode"),
+            F.lit(len(doc7["rewrote"])).alias("n_rewrote"),
+            F.lit(len(doc7["added"])).alias("n_added"),
+            F.lit(int(not doc7.get("deletes"))).alias("dv_cleared"),
+            F.lit(len(ms6)).alias("n_masked_members_v6"),
+            "prio",
+            "n_rows",
+            "sum_price",
+        )
+        .orderBy("prio")
+    )
+
+
+COMPACT_MASKED_SQL = f"""
+WITH {_FINAL_CTE},
+updated AS (
+  SELECT k, pr,
+         CASE WHEN pr = '{_UPD_PRIO}' THEN p * 2 ELSE p END AS p
+  FROM final)
+SELECT 'compact_masked' AS mode, CAST(1 AS INTEGER) AS n_rewrote,
+       CAST(1 AS INTEGER) AS n_added, CAST(1 AS INTEGER) AS dv_cleared,
+       CAST(1 AS INTEGER) AS n_masked_members_v6,
+       COALESCE(pr, '{_REINS}') AS prio, COUNT(*) AS n_rows,
+       ROUND(SUM(p), 2) AS sum_price
+FROM updated GROUP BY COALESCE(pr, '{_REINS}')
+ORDER BY prio
+"""
+
+
 QUERIES = {
     "storage_delete_vectors": storage_delete_vectors,
     "storage_merge_on_read": storage_merge_on_read,
     "storage_update_where": storage_update_where,
+    "storage_compact_masked": storage_compact_masked,
 }
 
 ORACLES = {
     "storage_delete_vectors": DELETE_VECTORS_SQL,
     "storage_merge_on_read": MERGE_ON_READ_SQL,
     "storage_update_where": UPDATE_WHERE_SQL,
+    "storage_compact_masked": COMPACT_MASKED_SQL,
 }

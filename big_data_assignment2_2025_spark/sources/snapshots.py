@@ -283,6 +283,7 @@ class SnapshotStore:
                      "stats": dict(doc.get("stats", {})),
                      "partitions": dict(doc.get("partitions", {})),
                      "deletes": dict(doc.get("deletes", {})),
+                     "deletes_rows": dict(doc.get("deletes_rows", {})),
                      "partition_spec": doc.get("partition_spec"),
                      "txns": dict(doc.get("txns", {})),
                      "schema": new_schema.jsonValue(),
@@ -347,6 +348,7 @@ class SnapshotStore:
                      "stats": dict(doc.get("stats", {})),
                      "partitions": dict(doc.get("partitions", {})),
                      "deletes": dict(doc.get("deletes", {})),
+                     "deletes_rows": dict(doc.get("deletes_rows", {})),
                      "schema": schema_json,
                      "schema_version": doc.get("schema_version", 1),
                      "txns": dict(doc.get("txns", {})),
@@ -810,6 +812,9 @@ class SnapshotStore:
             deletes = (
                 dict(prev_doc.get("deletes", {})) if keep_prev else {}
             )
+            deletes_rows = (
+                dict(prev_doc.get("deletes_rows", {})) if keep_prev else {}
+            )
             prev_schema_json = prev_doc.get("schema") if keep_prev else None
             if prev_schema_json is not None:
                 schema = self._merge_schema(
@@ -848,6 +853,7 @@ class SnapshotStore:
                 doc["partitions"] = partitions
             if deletes:
                 doc["deletes"] = deletes
+                doc["deletes_rows"] = deletes_rows
             try:
                 self._publish(version, doc)
                 return version
@@ -1198,6 +1204,34 @@ class SnapshotStore:
             self._read_dvs(spark, dv_dirs), ["_file", "_pos"], "left_anti"
         )
 
+    @staticmethod
+    def _member_hits(addr_df: DataFrame) -> dict[str, int]:
+        """``{member: n_masked}`` from a frame carrying ``_file`` — one
+        bounded aggregate, <= member-count rows ever reach the driver."""
+        return {
+            r["m"]: int(r["n"])
+            for r in addr_df.select(
+                F.regexp_extract(
+                    F.col("_file"), r"^(data/c[0-9a-f]{16})/", 1
+                ).alias("m")
+            ).groupBy("m").agg(F.count("*").alias("n")).collect()
+        }
+
+    @staticmethod
+    def _extend_deletes(
+        doc: dict, hits: dict, dv_dir: str
+    ) -> tuple[dict, dict]:
+        """The (deletes, deletes_rows) manifest maps extended with this
+        DV: ``deletes_rows`` is the cumulative per-member masked-row
+        count — zero-scan maintenance telemetry (``masked_stats``) and
+        the trigger input for ``compact_masked``."""
+        deletes = dict(doc.get("deletes", {}))
+        rows = dict(doc.get("deletes_rows", {}))
+        for m, n in hits.items():
+            deletes[m] = list(deletes.get(m, [])) + [dv_dir]
+            rows[m] = rows.get(m, 0) + n
+        return deletes, rows
+
     def delete_where(
         self,
         spark: SparkSession,
@@ -1260,24 +1294,17 @@ class SnapshotStore:
                 version = prev + 1
                 dv_dir, dv_full = self._new_member_dir()
                 matches.select("_file", "_pos").write.parquet(dv_full)
-                # which members took hits — bounded by member count
-                hits = [
-                    r["m"]
-                    for r in matches.select(
-                        F.regexp_extract(
-                            F.col("_file"), r"^(data/c[0-9a-f]{16})/", 1
-                        ).alias("m")
-                    ).distinct().collect()
-                ]
+                # which members took hits, with counts — bounded
+                hits = self._member_hits(matches)
                 cdf_dir, cdf_full = self._new_member_dir()
                 matches.drop("_file", "_pos").withColumn(
                     "_change_type", F.lit("delete")
                 ).withColumn(
                     "_commit_version", F.lit(version).cast("int")
                 ).write.parquet(cdf_full)
-                new_deletes = dict(doc.get("deletes", {}))
-                for m in hits:
-                    new_deletes[m] = list(new_deletes.get(m, [])) + [dv_dir]
+                new_deletes, new_dv_rows = self._extend_deletes(
+                    doc, hits, dv_dir
+                )
                 try:
                     self._publish(
                         version,
@@ -1288,6 +1315,7 @@ class SnapshotStore:
                          # delete — pruning never needs exact bounds
                          "stats": dict(doc.get("stats", {})),
                          "deletes": new_deletes,
+                         "deletes_rows": new_dv_rows,
                          "partitions": dict(doc.get("partitions", {})),
                          "partition_spec": doc.get("partition_spec"),
                          "txns": dict(doc.get("txns", {})),
@@ -1372,14 +1400,7 @@ class SnapshotStore:
                 version = prev + 1
                 dv_dir, dv_full = self._new_member_dir()
                 matches.select("_file", "_pos").write.parquet(dv_full)
-                hits = [
-                    r["m"]
-                    for r in matches.select(
-                        F.regexp_extract(
-                            F.col("_file"), r"^(data/c[0-9a-f]{16})/", 1
-                        ).alias("m")
-                    ).distinct().collect()
-                ]
+                hits = self._member_hits(matches)
                 pre = matches.drop("_file", "_pos")
                 post = pre.select(
                     *[
@@ -1413,9 +1434,9 @@ class SnapshotStore:
                 partitions.update(
                     {d: e for d, e in written if e is not None}
                 )
-                new_deletes = dict(doc.get("deletes", {}))
-                for m in hits:
-                    new_deletes[m] = list(new_deletes.get(m, [])) + [dv_dir]
+                new_deletes, new_dv_rows = self._extend_deletes(
+                    doc, hits, dv_dir
+                )
                 try:
                     self._publish(
                         version,
@@ -1425,6 +1446,7 @@ class SnapshotStore:
                          "added": [d for d, _ in written],
                          "changes": cdf_dir, "merge_on_read": True,
                          "stats": stats, "deletes": new_deletes,
+                         "deletes_rows": new_dv_rows,
                          "partitions": partitions,
                          "partition_spec": doc.get("partition_spec"),
                          "txns": dict(doc.get("txns", {})),
@@ -1537,19 +1559,10 @@ class SnapshotStore:
                         written = self._write_under_spec(
                             out_new, doc.get("partition_spec")
                         )
-                    hits = [
-                        r["m"]
-                        for r in dv_back.select(
-                            F.regexp_extract(
-                                F.col("_file"), r"^(data/c[0-9a-f]{16})/", 1
-                            ).alias("m")
-                        ).distinct().collect()
-                    ]
-                    new_deletes = dict(doc.get("deletes", {}))
-                    for m in hits:
-                        new_deletes[m] = (
-                            list(new_deletes.get(m, [])) + [dv_dir]
-                        )
+                    hits = self._member_hits(dv_back)
+                    new_deletes, new_dv_rows = self._extend_deletes(
+                        doc, hits, dv_dir
+                    )
                     stats = dict(doc.get("stats", {}))
                     stat_cols = sorted(
                         {c for s in stats.values() for c in s}
@@ -1573,6 +1586,7 @@ class SnapshotStore:
                              "added": [d for d, _ in written],
                              "changes": cdf_dir, "merge_on_read": True,
                              "stats": stats, "deletes": new_deletes,
+                             "deletes_rows": new_dv_rows,
                              "partitions": partitions,
                              "partition_spec": doc.get("partition_spec"),
                              "txns": dict(doc.get("txns", {})),
@@ -1760,6 +1774,10 @@ class SnapshotStore:
         # (the rewrite read applied them, so the new member is DV-free)
         prev_dvs = doc.get("deletes", {})
         deletes = {m: prev_dvs[m] for m in untouched if m in prev_dvs}
+        prev_dv_rows = doc.get("deletes_rows", {})
+        deletes_rows = {
+            m: prev_dv_rows[m] for m in untouched if m in prev_dv_rows
+        }
         partitions.update({d: e for d, e in written if e is not None})
         # keep pruning alive across merges: re-stat the rewritten member
         # on every column the prior manifest tracked anywhere
@@ -1777,13 +1795,138 @@ class SnapshotStore:
              "added": [d for d, _ in written],
              "changes": cdf_dir,
              "stats": stats, "rewrote": affected,
-             "deletes": deletes,
+             "deletes": deletes, "deletes_rows": deletes_rows,
              "partitions": partitions,
              "partition_spec": doc.get("partition_spec"),
              "txns": dict(doc.get("txns", {})),
              "schema": doc.get("schema"),
              "schema_version": doc.get("schema_version", 1)},
         )
+        return version
+
+    def masked_stats(self, version: int | None = None) -> dict:
+        """Per-member deletion-vector telemetry from the manifest ALONE
+        (zero data scans): ``{member: {"masked_rows": n, "dv_files": k}}``
+        for members carrying DVs — the readout an operator watches to
+        decide when merge-on-read debt is worth materializing
+        (``compact_masked``)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return {}
+        doc = self.manifest(v)
+        deletes = doc.get("deletes", {})
+        rows = doc.get("deletes_rows", {})
+        return {
+            m: {"masked_rows": rows.get(m, 0), "dv_files": len(dvs)}
+            for m, dvs in deletes.items()
+            if dvs
+        }
+
+    def compact_masked(
+        self,
+        spark: SparkSession,
+        max_masked_fraction: float = 0.3,
+        min_masked_rows: int = 1,
+    ) -> int:
+        """TARGETED deletion-vector materialization (Delta's PURGE /
+        Iceberg's rewrite_position_delete_files, scoped): rewrite ONLY
+        the members whose masked fraction crosses the threshold —
+        merge-on-read debt is paid member by member, clean members and
+        lightly-masked members are carried verbatim (a full ``compact``
+        rewrites the world to clear one hot member). Candidate totals
+        cost one column-pruned count over the CANDIDATE members only;
+        the masked counts come from the manifest. Returns the current
+        version unchanged when nothing crosses the threshold.
+
+        Concurrency: like ``compact``, NOT rebaseable — the rewritten
+        files describe one specific version; a lost race raises
+        ``SnapshotConflictError`` (orphans are vacuum()-collectable)."""
+        prev = self.latest_version()
+        if prev is None:
+            raise ValueError("compact_masked() on an empty store")
+        doc = self.manifest(prev)
+        dv_rows = doc.get("deletes_rows", {})
+        candidates = [
+            m for m in doc["members"]
+            if doc.get("deletes", {}).get(m)
+            and dv_rows.get(m, 0) >= min_masked_rows
+        ]
+        if not candidates:
+            return prev
+        totals = {
+            r["m"]: r["n"]
+            for r in self._read_members_raw(spark, doc, candidates)
+            .select(
+                F.regexp_extract(
+                    F.col("_metadata.file_path"),
+                    r"(data/c[0-9a-f]{16})/",
+                    1,
+                ).alias("m")
+            )
+            .groupBy("m")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        rewrite = [
+            m for m in candidates
+            if totals.get(m, 0) > 0
+            and dv_rows.get(m, 0) / totals[m] >= max_masked_fraction
+        ]
+        if not rewrite:
+            return prev
+        version = prev + 1
+        # the LOGICAL rows of the hot members (their DVs applied),
+        # re-laid-out under the current spec like every rewrite verb
+        out = self._read_members(spark, doc, rewrite)
+        written = self._write_under_spec(out, doc.get("partition_spec"))
+        keep = [m for m in doc["members"] if m not in set(rewrite)]
+        stats = {
+            m: v for m, v in doc.get("stats", {}).items() if m in set(keep)
+        }
+        stat_cols = sorted(
+            {c for v in doc.get("stats", {}).values() for c in v}
+        )
+        if stat_cols and written:
+            stats.update(
+                self._members_stats(
+                    spark, [d for d, _ in written], stat_cols
+                )
+            )
+        partitions = {
+            m: e
+            for m, e in doc.get("partitions", {}).items()
+            if m in set(keep)
+        }
+        partitions.update({d: e for d, e in written if e is not None})
+        deletes = {
+            m: v
+            for m, v in doc.get("deletes", {}).items()
+            if m in set(keep) and v
+        }
+        deletes_rows = {
+            m: n for m, n in dv_rows.items() if m in deletes
+        }
+        try:
+            self._publish(
+                version,
+                {"version": version, "mode": "compact_masked",
+                 "members": keep + [d for d, _ in written],
+                 "added": [d for d, _ in written],
+                 "rewrote": rewrite,
+                 "stats": stats,
+                 "deletes": deletes, "deletes_rows": deletes_rows,
+                 "partitions": partitions,
+                 "partition_spec": doc.get("partition_spec"),
+                 "txns": dict(doc.get("txns", {})),
+                 "schema": doc.get("schema"),
+                 "schema_version": doc.get("schema_version", 1)},
+            )
+        except FileExistsError:
+            raise SnapshotConflictError(
+                f"compact_masked of v{prev} lost the race for "
+                f"v{version}: the rewritten members no longer describe "
+                "the latest version; re-run against the new latest"
+            ) from None
         return version
 
     def vacuum(self, keep_versions: list[int] | None = None) -> list[str]:

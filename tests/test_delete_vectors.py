@@ -379,3 +379,44 @@ def test_merge_conforms_batch_types_to_recorded_schema(
     assert got == {1: 10, 2: 99, 5: 50}
     st2.merge(spark, narrow.where(F.col("k") == 5), keys=["k"])
     assert st2.read(spark).count() == 3
+
+
+def test_masked_stats_and_compact_masked(spark, sf_dir, tmp_path):
+    """DV maintenance (r11 extension): manifest-only masked-row
+    telemetry, and targeted materialization of ONLY the members whose
+    masked fraction crosses the threshold — clean and lightly-masked
+    members are carried verbatim."""
+    st, orders = _store(spark, sf_dir, tmp_path)
+    # member 1 = even keys, member 2 = odd keys; delete ~half of member
+    # 1's rows (even keys % 4 == 0) and a tiny slice of member 2's
+    st.delete_where(spark, F.col("o_orderkey") % 4 == 0)
+    st.delete_where(
+        spark,
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") <= 9),
+    )
+    ms = st.masked_stats()
+    assert len(ms) == 2
+    heavy = max(ms, key=lambda m: ms[m]["masked_rows"])
+    light = min(ms, key=lambda m: ms[m]["masked_rows"])
+    n_even_del = orders.where(F.col("o_orderkey") % 4 == 0).count()
+    assert ms[heavy]["masked_rows"] == n_even_del
+    assert ms[light]["masked_rows"] <= 5 and ms[light]["dv_files"] == 1
+    want = st.read(spark).count()
+    # threshold 0.3: only the heavy member (~50% masked) rewrites
+    before = st.manifest(st.latest_version())
+    v = st.compact_masked(spark, max_masked_fraction=0.3)
+    doc = st.manifest(v)
+    assert doc["mode"] == "compact_masked"
+    assert doc["rewrote"] == [heavy]
+    assert light in doc["members"]  # untouched, still masked
+    assert light in doc["deletes"] and heavy not in doc.get("deletes", {})
+    assert st.read(spark).count() == want
+    # physical: the rewritten member really excludes its masked rows
+    raw = spark.read.parquet(
+        *[os.path.join(str(tmp_path), m) for m in doc["added"]]
+    )
+    assert raw.where(F.col("o_orderkey") % 4 == 0).count() == 0
+    # nothing crosses a 0.9 threshold now: no-op, no version published
+    assert st.compact_masked(spark, max_masked_fraction=0.9) == v
+    # time travel below the materialization still applies the old DVs
+    assert st.read(spark, v - 1).count() == want
