@@ -72,15 +72,48 @@ from pyspark.sql.types import StructField, StructType
 FORMAT_NAME = "snapshotstream"
 
 
-def _read_file_backfilled(path: str, schema: StructType):
+def _read_file_backfilled(
+    path: str,
+    schema: StructType,
+    dv_paths: tuple[str, ...] = (),
+    rel_path: str | None = None,
+):
     """One parquet file as Arrow batches, column-pruned to ``schema``
     with NULL backfill for columns the file predates (the manifest-
     schema read discipline, executor-side). Shared by the batch and
-    stream readers."""
+    stream readers.
+
+    ``dv_paths`` are position-delete (deletion vector) parquet files of
+    this file's member: rows whose ``(_file, _pos)`` address matches
+    ``rel_path`` (the store-relative ``data/c…/part…`` path Spark-side
+    reads derive from ``_metadata.file_path``) are MASKED before the
+    batches are yielded — the executor-side twin of the anti-join
+    ``SnapshotStore._read_members`` applies, so the format-API read of
+    a delete_where/update_where/merge_on_read version serves the same
+    live rows as the native path (ADVICE r11: without this the batch
+    format read silently returned deleted rows). Cost is O(masked rows
+    of the dirty member); clean members ship no ``dv_paths`` and keep
+    the plain columnar read."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pq.read_table(path)
+    if dv_paths:
+        import pyarrow.compute as pc
+
+        masked: set[int] = set()
+        for dvp in dv_paths:
+            dv = pq.read_table(dvp, columns=["_file", "_pos"])
+            hit = dv.filter(pc.equal(dv.column("_file"), rel_path))
+            masked.update(hit.column("_pos").to_pylist())
+        if masked:
+            # pyarrow row order == parquet row_index order, the same
+            # address space _metadata.row_index exposes Spark-side
+            keep = pa.array(
+                [i not in masked for i in range(len(table))],
+                pa.bool_(),
+            )
+            table = table.filter(keep)
     names = [f.name for f in schema.fields]
     cols = []
     for f in schema.fields:
@@ -98,11 +131,53 @@ class _FilePartition(InputPartition):
     """One parquet file of one added member (picklable). In change-feed
     mode, ``change_type``/``version`` tag data files whose rows must be
     synthesized into feed rows (appends -> inserts); feed files carry
-    their own meta columns (``change_type`` None)."""
+    their own meta columns (``change_type`` None). ``dv_paths`` /
+    ``rel_path`` carry the member's position-delete files and the
+    file's store-relative address so the executor can mask deleted
+    rows (merge-on-read, executor-side)."""
 
     path: str
     change_type: str | None = None
     version: int | None = None
+    dv_paths: tuple[str, ...] = ()
+    rel_path: str | None = None
+
+
+def _member_file_partitions(
+    store_path: str,
+    doc: dict,
+    members: list[str],
+    change_type: str | None = None,
+    version: int | None = None,
+) -> list[_FilePartition]:
+    """One ``_FilePartition`` per parquet file of ``members``, with the
+    member's deletion-vector files attached (resolved driver-side from
+    the manifest's ``deletes`` map — executors never list directories).
+    The shared planning step of the batch reader, the stream's
+    ``initialSnapshotVersion`` baseline, and append batches (whose
+    members never carry DVs at publish time)."""
+    deletes = doc.get("deletes") or {}
+    out: list[_FilePartition] = []
+    for member in members:
+        full = os.path.join(store_path, member)
+        dv_paths: tuple[str, ...] = tuple(
+            os.path.join(store_path, d, n)
+            for d in deletes.get(member, [])
+            for n in sorted(os.listdir(os.path.join(store_path, d)))
+            if n.endswith(".parquet")
+        )
+        for name in sorted(os.listdir(full)):
+            if name.endswith(".parquet"):
+                out.append(
+                    _FilePartition(
+                        os.path.join(full, name),
+                        change_type=change_type,
+                        version=version,
+                        dv_paths=dv_paths,
+                        rel_path=f"{member}/{name}",
+                    )
+                )
+    return out
 
 
 def _list_versions(path: str) -> list[int]:
@@ -236,17 +311,35 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     "initialSnapshotVersion, or restart from a later "
                     "startVersion."
                 )
-            for member in doc.get("added", []):
-                full = os.path.join(self._path, member)
-                for name in sorted(os.listdir(full)):
-                    if name.endswith(".parquet"):
-                        out.append(
-                            _FilePartition(
-                                os.path.join(full, name),
-                                change_type="insert" if self._cdc else None,
-                                version=v if self._cdc else None,
-                            )
-                        )
+            if initial and v > 1:
+                # a declared baseline must serve the FULL live state of
+                # that version — members with deletion vectors masked —
+                # not its 'added' set: a delete commit adds nothing, an
+                # update/merge-on-read/compact_masked adds only the
+                # post-image/rewritten members (ADVICE r11: serving
+                # 'added' here was silent data loss on exactly the
+                # commits the refusal message steers users toward).
+                # v1 keeps the plain path below (added == members and
+                # no DVs can exist by construction).
+                out.extend(
+                    _member_file_partitions(
+                        self._path,
+                        doc,
+                        doc["members"],
+                        change_type="insert" if self._cdc else None,
+                        version=v if self._cdc else None,
+                    )
+                )
+                continue
+            out.extend(
+                _member_file_partitions(
+                    self._path,
+                    doc,
+                    doc.get("added", []),
+                    change_type="insert" if self._cdc else None,
+                    version=v if self._cdc else None,
+                )
+            )
         # an empty range still needs >= 1 partition only if rows exist;
         # the engine accepts [] for a no-op batch
         return out
@@ -258,7 +351,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
         # (the full CDC schema backfills them like any other); append
         # data files synthesize them as literals.
         if partition.change_type is None:
-            yield from _read_file_backfilled(partition.path, self._schema)
+            yield from _read_file_backfilled(
+                partition.path,
+                self._schema,
+                partition.dv_paths,
+                partition.rel_path,
+            )
             return
         import pyarrow as pa
 
@@ -273,7 +371,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
             "_change_type",
             "_commit_version",
         ]
-        for batch in _read_file_backfilled(partition.path, table_schema):
+        for batch in _read_file_backfilled(
+            partition.path,
+            table_schema,
+            partition.dv_paths,
+            partition.rel_path,
+        ):
             n = batch.num_rows
             yield pa.RecordBatch.from_arrays(
                 list(batch.columns)
@@ -309,19 +412,23 @@ class SnapshotBatchReader(DataSourceReader):
         if v is None or v not in vs:
             raise ValueError(f"version {v} not committed under {self._path}")
         doc = _load_manifest(self._path, v)
-        out = []
-        for member in doc["members"]:
-            full = os.path.join(self._path, member)
-            for name in sorted(os.listdir(full)):
-                if name.endswith(".parquet"):
-                    out.append(_FilePartition(os.path.join(full, name)))
+        # deletion vectors apply executor-side (dv_paths per file), so a
+        # time-travel read of a delete/update/merge-on-read version
+        # serves exactly the live rows the native SnapshotStore.read
+        # serves — never the masked pre-images (ADVICE r11 high)
+        out = _member_file_partitions(self._path, doc, doc["members"])
         # zero-member version: one no-op partition keeps the scan valid
         return out or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
         if not partition.path:
             return
-        yield from _read_file_backfilled(partition.path, self._schema)
+        yield from _read_file_backfilled(
+            partition.path,
+            self._schema,
+            partition.dv_paths,
+            partition.rel_path,
+        )
 
 
 class SnapshotStreamDataSource(DataSource):

@@ -304,6 +304,66 @@ def test_resume_across_vacuum_fails_on_data_loss(spark, sf_dir, tmp_path):
         bad.partitions({"version": 0}, {"version": 3})
 
 
+def test_batch_format_read_applies_deletion_vectors(spark, sf_dir, tmp_path):
+    """ADVICE r12 (high): the format-API batch read of a version carrying
+    deletion vectors must mask the deleted/pre-update rows exactly like
+    the native ``SnapshotStore.read`` — before this fix it silently
+    served the masked rows on a documented time-travel path."""
+    _register(spark)
+    st, orders = _store_with_orders(spark, sf_dir, tmp_path, n_commits=2)
+    v3 = st.delete_where(spark, F.col("o_orderkey") % 5 == 0)
+    v4 = st.update_where(
+        spark,
+        F.col("o_orderkey") % 7 == 0,
+        {"o_totalprice": F.lit(1.0)},
+    )
+
+    def fmt(v):
+        return (
+            spark.read.format("snapshotstream")
+            .option("path", str(tmp_path))
+            .option("version", str(v))
+            .load()
+        )
+
+    for v in (v3, v4):
+        native = {
+            tuple(r) for r in st.read(spark, v).collect()
+        }
+        got = {tuple(r) for r in fmt(v).collect()}
+        assert got == native, f"format read diverges from native at v{v}"
+    # the DV-bearing read really masked something
+    assert fmt(v3).count() < orders.count()
+    # and pre-delete time travel still serves everything
+    assert fmt(2).count() == orders.count()
+
+
+def test_initial_snapshot_baseline_serves_full_state(spark, sf_dir, tmp_path):
+    """ADVICE r12 (medium): initialSnapshotVersion pointing at a
+    delete/update/merge-on-read version must serve that version's FULL
+    live state (members, DV-masked), not its 'added' set — a delete
+    commit adds nothing and an update adds only post-images, so the old
+    behavior was silent data loss on exactly the commits the refusal
+    message recommends the option for."""
+    _register(spark)
+    st, orders = _store_with_orders(spark, sf_dir, tmp_path, n_commits=2)
+    v3 = st.delete_where(spark, F.col("o_orderkey") % 5 == 0)
+    stream = (
+        spark.readStream.format("snapshotstream")
+        .option("path", str(tmp_path))
+        .option("startVersion", str(v3 - 1))
+        .option("initialSnapshotVersion", str(v3))
+        .load()
+    )
+    got, _ = _drain(spark, stream)
+    want = st.read(spark, v3)
+    assert got.count() == want.count()
+    assert (
+        got.select(F.sum("o_orderkey")).first()[0]
+        == want.select(F.sum("o_orderkey")).first()[0]
+    )
+
+
 def test_streaming_snapshot_source_cache_validates(spark, sf_dir):
     """ADVICE r11: the staged store must leave a valid derived cache —
     without the _SUCCESS touch, derived_cache_ok never returned True and
