@@ -46,7 +46,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep caught on sum_charge (invisible at sf0.1: smaller sums, a
     boundary value never materialized). Integer sums never hit a
     conversion boundary: qty/count values are exact in double, and each
-    money column is ONE bigint->double division on both engines."""
+    money column is ONE bigint->double division on both engines.
+
+    Overflow headroom (ADVICE r12): the e4/e6 fixed-point rows are
+    ~1e9/~1e11 each, so a single BIGINT sum would wrap at roughly
+    sf>=1500 / sf>=100 (Spark wraps silently non-ANSI; DuckDB promotes
+    to HUGEINT then errors on the cast back — the engines diverge
+    exactly where a bigger sweep would land next). Each of those sums
+    is therefore split PER ROW into (value div scale, value mod scale)
+    and summed as two small BIGINTs — hi <= ~1.5e5/row, lo < scale —
+    recombined as ONE int->double add + divide at the end. Both partial
+    sums stay exactly representable in double far past sf100k, and the
+    recombination is the same two IEEE ops on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     # exact per-row fixed-point: cents, then the discount/tax products
     # stay integral at scale 1e-4 / 1e-6 (cents x cents)
@@ -55,14 +66,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tax_c = F.round(F.col("l_tax") * 100).cast("long")
     disc_price_e4 = price_c * (100 - disc_c)          # scale 1e-4
     charge_e6 = disc_price_e4 * (100 + tax_c)          # scale 1e-6
+    # per-row hi/lo split: (x - x % s) / s is exactly integral, and the
+    # double division is exact (multiple of s, < 2^53)
+    dp_lo = disc_price_e4 % 10000
+    dp_hi = ((disc_price_e4 - dp_lo) / 10000).cast("long")
+    ch_lo = charge_e6 % 1000000
+    ch_hi = ((charge_e6 - ch_lo) / 1000000).cast("long")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
             (F.sum(price_c) / 100.0).alias("sum_base_price"),
-            (F.sum(disc_price_e4) / 10000.0).alias("sum_disc_price"),
-            (F.sum(charge_e6) / 1000000.0).alias("sum_charge"),
+            (F.sum(dp_hi) + F.sum(dp_lo) / 10000.0).alias("sum_disc_price"),
+            (F.sum(ch_hi) + F.sum(ch_lo) / 1000000.0).alias("sum_charge"),
             (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
             (F.sum(price_c) / (F.count("*") * 100.0)).alias("avg_price"),
             (F.sum(disc_c) / (F.count("*") * 100.0)).alias("avg_disc"),
@@ -77,17 +94,24 @@ WITH li AS (
          CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
          CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
          CAST(round(l_tax * 100) AS BIGINT) AS tax_c
-  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
+fx AS (
+  SELECT l_returnflag, l_linestatus, l_quantity, price_c, disc_c,
+         price_c * (100 - disc_c) AS dp_e4,
+         price_c * (100 - disc_c) * (100 + tax_c) AS ch_e6
+  FROM li)
 SELECT l_returnflag, l_linestatus,
        SUM(l_quantity) AS sum_qty,
        CAST(SUM(price_c) AS BIGINT) / 100.0 AS sum_base_price,
-       CAST(SUM(price_c * (100 - disc_c)) AS BIGINT) / 10000.0 AS sum_disc_price,
-       CAST(SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT) / 1000000.0 AS sum_charge,
+       CAST(SUM(dp_e4 // 10000) AS BIGINT)
+         + CAST(SUM(dp_e4 % 10000) AS BIGINT) / 10000.0 AS sum_disc_price,
+       CAST(SUM(ch_e6 // 1000000) AS BIGINT)
+         + CAST(SUM(ch_e6 % 1000000) AS BIGINT) / 1000000.0 AS sum_charge,
        SUM(l_quantity) / COUNT(*) AS avg_qty,
        CAST(SUM(price_c) AS BIGINT) / (COUNT(*) * 100.0) AS avg_price,
        CAST(SUM(disc_c) AS BIGINT) / (COUNT(*) * 100.0) AS avg_disc,
        COUNT(*) AS count_order
-FROM li
+FROM fx
 GROUP BY l_returnflag, l_linestatus
 """
 

@@ -344,7 +344,12 @@ def storage_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("_change_type")
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                )
+                / 100.0
+            ).alias("sum_price"),
         )
         .orderBy("_change_type")
     )
@@ -353,16 +358,20 @@ def storage_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHANGE_FEED_SQL = f"""
 WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
 SELECT 'delete' AS _change_type, COUNT(*) AS n_rows,
-       ROUND(SUM(p), 2) AS sum_price
+       CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_price
 FROM o WHERE k % 7 = 0 AND k % 5 <> 0
 UNION ALL
-SELECT 'insert', COUNT(*), ROUND(SUM(p), 2)
+SELECT 'insert', COUNT(*),
+       CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS BIGINT) / 100.0
 FROM o WHERE k % {_EVO_MOD} = 0
 UNION ALL
-SELECT 'update_postimage', COUNT(*), ROUND(COUNT(*) * 1.0, 2)
+SELECT 'update_postimage', COUNT(*),
+       CAST(COUNT(*) * 100 AS BIGINT) / 100.0
 FROM o WHERE k % 5 = 0
 UNION ALL
-SELECT 'update_preimage', COUNT(*), ROUND(SUM(p), 2)
+SELECT 'update_preimage', COUNT(*),
+       CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS BIGINT) / 100.0
 FROM o WHERE k % 5 = 0
 ORDER BY _change_type
 """
@@ -426,7 +435,12 @@ def storage_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                )
+                / 100.0
+            ).alias("sum_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -434,7 +448,8 @@ def storage_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DATASOURCE_READ_SQL = """
 SELECT o_orderpriority, COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS sum_price
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS sum_price
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority

@@ -129,7 +129,12 @@ def storage_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     for v, doc in ((2, m2), (3, m3)):
         agg = store.read(spark, v).agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                )
+                / 100.0
+            ).alias("sum_price"),
         )
         part = agg.select(
             F.lit(v).alias("version"),
@@ -150,10 +155,12 @@ DELETE_VECTORS_SQL = f"""
 SELECT CAST(2 AS INTEGER) AS version, 'append' AS mode,
        CAST(2 AS INTEGER) AS n_members, CAST(1 AS INTEGER) AS n_added,
        CAST(1 AS INTEGER) AS same_members_as_v2,
-       COUNT(*) AS n_rows, ROUND(SUM(o_totalprice), 2) AS sum_price
+       COUNT(*) AS n_rows, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS sum_price
 FROM orders
 UNION ALL
-SELECT 3, 'delete', 2, 0, 1, COUNT(*), ROUND(SUM(o_totalprice), 2)
+SELECT 3, 'delete', 2, 0, 1, COUNT(*),
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
 FROM orders WHERE o_orderpriority <> '{_DV_PRIO}'
 ORDER BY version
 """
@@ -181,7 +188,12 @@ def storage_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(
                 F.count("*").alias("n_rows"),
-                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                )
+                / 100.0
+            ).alias("sum_price"),
             )
             .select(
                 F.lit(v).alias("version"),
@@ -212,7 +224,8 @@ final AS (
   WHERE k % {_UPS_MOD} = 0 AND pr = '{_DV_PRIO}'),
 agg AS (
   SELECT COALESCE(pr, '{_REINS}') AS prio, COUNT(*) AS n_rows,
-         ROUND(SUM(p), 2) AS sum_price
+         CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_price
   FROM final GROUP BY COALESCE(pr, '{_REINS}'))
 SELECT CAST(v.version AS INTEGER) AS version, CAST(1 AS INTEGER) AS mor,
        CAST(1 AS INTEGER) AS zero_rewrites,
@@ -259,7 +272,12 @@ def storage_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                )
+                / 100.0
+            ).alias("sum_price"),
         )
         .select(
             F.lit(doc6["mode"]).alias("mode"),
@@ -280,7 +298,8 @@ updated AS (
   FROM final)
 SELECT 'update' AS mode, CAST(1 AS INTEGER) AS n_added_v6,
        COALESCE(pr, '{_REINS}') AS prio, COUNT(*) AS n_rows,
-       ROUND(SUM(p), 2) AS sum_price
+       CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_price
 FROM updated GROUP BY COALESCE(pr, '{_REINS}')
 ORDER BY prio
 """
@@ -305,7 +324,12 @@ def storage_compact_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                )
+                / 100.0
+            ).alias("sum_price"),
         )
         .select(
             F.lit(doc7["mode"]).alias("mode"),
@@ -331,7 +355,8 @@ SELECT 'compact_masked' AS mode, CAST(1 AS INTEGER) AS n_rewrote,
        CAST(1 AS INTEGER) AS n_added, CAST(1 AS INTEGER) AS dv_cleared,
        CAST(1 AS INTEGER) AS n_masked_members_v6,
        COALESCE(pr, '{_REINS}') AS prio, COUNT(*) AS n_rows,
-       ROUND(SUM(p), 2) AS sum_price
+       CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_price
 FROM updated GROUP BY COALESCE(pr, '{_REINS}')
 ORDER BY prio
 """

@@ -68,7 +68,15 @@ def bucketed_table(
     """
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     name = f"{table}_bkt{n_buckets}_{tag}"
-    path = os.path.join(tempfile.gettempdir(), f"bkt_{tag}", table)
+    # the path must encode the FULL bucket spec, not just the table: the
+    # register-without-rewrite branch below declares CLUSTERED BY (key)
+    # INTO n_buckets BUCKETS over whatever files sit here, and a caller
+    # with a different spec registering the same path would let Spark
+    # skip shuffles against mismatched files — silent wrong join results
+    # (ADVICE r12)
+    path = os.path.join(
+        tempfile.gettempdir(), f"bkt_{tag}", f"{table}_{key}_{n_buckets}"
+    )
     fprint = fixture_fingerprint(sf_dir)
     if spark.catalog.tableExists(name) and derived_cache_ok(path, fprint):
         return spark.table(name)
