@@ -328,12 +328,27 @@ def summary_line(
 
 def _resolve_prev_ref(repo: str) -> str | None:
     """The previous round's git ref for the A/B side: explicit
-    ``$SPARK_GRAFT_PREV_REF`` wins; otherwise the highest ``r<N>`` tag."""
+    ``$SPARK_GRAFT_PREV_REF`` wins; otherwise the highest ``r<N>`` tag
+    that does NOT resolve to the current HEAD commit. The self-compare
+    guard matters when the round tag is created before the driver's
+    bench run (r11's driver artifact compared HEAD to its own tag — a
+    pure-noise null instead of the real round-over-round signal); the
+    next-lower tag carries the comparison the A/B exists for."""
     import subprocess
 
     env = os.environ.get("SPARK_GRAFT_PREV_REF")
     if env:
         return env
+
+    def _sha(ref: str) -> str | None:
+        try:
+            return subprocess.run(
+                ["git", "-C", repo, "rev-parse", ref],
+                capture_output=True, text=True, timeout=30, check=True,
+            ).stdout.strip()
+        except Exception:
+            return None
+
     try:
         tags = subprocess.run(
             ["git", "-C", repo, "tag", "--list", "r[0-9]*"],
@@ -345,7 +360,11 @@ def _resolve_prev_ref(repo: str) -> str | None:
         (t for t in tags if re.fullmatch(r"r\d+", t)),
         key=lambda t: int(t[1:]),
     )
-    return tags[-1] if tags else None
+    head = _sha("HEAD")
+    for t in reversed(tags):
+        if head is None or _sha(f"{t}^{{commit}}") != head:
+            return t
+    return None
 
 
 def _prev_worktree(repo: str, ref: str) -> str:

@@ -245,26 +245,32 @@ def graph_kcore_peel(
     )
 
 
+# Every CTE is MATERIALIZED: DuckDB otherwise INLINES CTEs per
+# reference, so round k's chain re-expands round k-1 at every mention —
+# the unrolled plan grows exponentially and the r11 10x sweep measured
+# >55 GB of oracle-side spill. Materialized, each round is evaluated
+# once and the working set stays O(edges) — the bounded-intermediate
+# rewrite the r11 verdict asked for (closes the 10x exclusion).
 KCORE_SQL = """
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-edges0 AS (
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges0 AS MATERIALIZED (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-adj0 AS (SELECT u AS node FROM edges0 UNION ALL SELECT v FROM edges0),
-keep1 AS (SELECT node FROM adj0 GROUP BY node HAVING COUNT(*) >= 2),
-edges1 AS (
+adj0 AS MATERIALIZED (SELECT u AS node FROM edges0 UNION ALL SELECT v FROM edges0),
+keep1 AS MATERIALIZED (SELECT node FROM adj0 GROUP BY node HAVING COUNT(*) >= 2),
+edges1 AS MATERIALIZED (
   SELECT e.u, e.v FROM edges0 e
   WHERE e.u IN (SELECT node FROM keep1) AND e.v IN (SELECT node FROM keep1)),
-adj1 AS (SELECT u AS node FROM edges1 UNION ALL SELECT v FROM edges1),
-keep2 AS (SELECT node FROM adj1 GROUP BY node HAVING COUNT(*) >= 2),
-edges2 AS (
+adj1 AS MATERIALIZED (SELECT u AS node FROM edges1 UNION ALL SELECT v FROM edges1),
+keep2 AS MATERIALIZED (SELECT node FROM adj1 GROUP BY node HAVING COUNT(*) >= 2),
+edges2 AS MATERIALIZED (
   SELECT e.u, e.v FROM edges1 e
   WHERE e.u IN (SELECT node FROM keep2) AND e.v IN (SELECT node FROM keep2)),
-adj2 AS (SELECT u AS node FROM edges2 UNION ALL SELECT v FROM edges2),
-keep3 AS (SELECT node FROM adj2 GROUP BY node HAVING COUNT(*) >= 2),
-edges3 AS (
+adj2 AS MATERIALIZED (SELECT u AS node FROM edges2 UNION ALL SELECT v FROM edges2),
+keep3 AS MATERIALIZED (SELECT node FROM adj2 GROUP BY node HAVING COUNT(*) >= 2),
+edges3 AS MATERIALIZED (
   SELECT e.u, e.v FROM edges2 e
   WHERE e.u IN (SELECT node FROM keep3) AND e.v IN (SELECT node FROM keep3))
 SELECT CAST(1 AS BIGINT) AS round,

@@ -106,11 +106,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lpa_oracle() -> str:
     """Unroll the synchronous rounds as chained CTEs: l{k} = min over
     self + neighbors of l{k-1}. Same edges CTE as every graph oracle."""
+    # Every CTE is MATERIALIZED: round k references round k-1 TWICE
+    # (self + neighbor side), so DuckDB's default inlining re-expands
+    # the chain exponentially — the r11 10x sweep measured >55 GB of
+    # oracle-side spill. Materialized, each round evaluates once and
+    # the working set stays O(edges) per round (bounded-intermediate
+    # rewrite, r11 verdict item 2).
     steps = []
     for k in range(1, _LPA_ROUNDS + 1):
         prev = f"l{k - 1}"
         steps.append(
-            f"""l{k} AS (
+            f"""l{k} AS MATERIALIZED (
   SELECT n.node, LEAST(n.label, MIN(p.label)) AS label
   FROM {prev} n
   JOIN und e ON e.node = n.node
@@ -118,16 +124,16 @@ def _lpa_oracle() -> str:
   GROUP BY n.node, n.label)"""
         )
     return f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-edges AS (
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS MATERIALIZED (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY u, v
   HAVING COUNT(*) >= 2),
-und AS (SELECT u AS node, v AS nbr FROM edges
+und AS MATERIALIZED (SELECT u AS node, v AS nbr FROM edges
         UNION ALL SELECT v AS node, u AS nbr FROM edges),
-l0 AS (SELECT DISTINCT node, node AS label FROM und),
+l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM und),
 {",".join(steps)}
 SELECT node, label FROM l{_LPA_ROUNDS} ORDER BY node
 """

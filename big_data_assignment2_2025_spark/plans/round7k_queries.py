@@ -240,8 +240,8 @@ def _modularity_oracle() -> str:
     body = lpa[: lpa.rindex("SELECT node, label FROM")].rstrip().rstrip(",")
     final_tbl = lpa[lpa.rindex("FROM l") :].split()[1]
     return f"""{body},
-labels AS (SELECT node, label FROM {final_tbl}),
-m AS (SELECT COUNT(*) AS m FROM edges),
+labels AS MATERIALIZED (SELECT node, label FROM {final_tbl}),
+m AS MATERIALIZED (SELECT COUNT(*) AS m FROM edges),
 tagged AS (
   SELECT e.u, e.v, lu.label AS lab_u, lv.label AS lab_v
   FROM edges e

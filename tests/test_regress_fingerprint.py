@@ -87,3 +87,45 @@ def test_bench_prev_ref_resolution():
     ref = bench._resolve_prev_ref(repo)
     assert ref is not None and ref.startswith("r")
     assert int(ref[1:]) >= 10
+
+
+def test_bench_prev_ref_skips_tag_at_head(tmp_path):
+    """VERDICT r11 nit: when the round tag was created BEFORE the bench
+    ran (driver ordering), the highest rN tag IS HEAD — comparing HEAD
+    to itself is a null A/B. The resolver must fall through to the
+    next-lower tag, and return None when every tag sits at HEAD."""
+    import subprocess
+
+    import bench
+
+    repo = str(tmp_path / "r")
+    subprocess.run(["git", "init", "-q", repo], check=True)
+    env_id = {
+        "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+        "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+    }
+
+    def commit(msg):
+        subprocess.run(
+            ["git", "-C", repo, "commit", "-q", "--allow-empty", "-m", msg],
+            check=True, env={**os.environ, **env_id},
+        )
+
+    commit("one")
+    subprocess.run(["git", "-C", repo, "tag", "r1"], check=True)
+    commit("two")
+    subprocess.run(["git", "-C", repo, "tag", "r2"], check=True)
+    # r2 == HEAD: must skip to r1
+    assert bench._resolve_prev_ref(repo) == "r1"
+    commit("three")
+    # HEAD moved past r2: highest tag is valid again
+    assert bench._resolve_prev_ref(repo) == "r2"
+    # a lone tag at HEAD yields no A/B side at all
+    repo2 = str(tmp_path / "r2")
+    subprocess.run(["git", "init", "-q", repo2], check=True)
+    subprocess.run(
+        ["git", "-C", repo2, "commit", "-q", "--allow-empty", "-m", "x"],
+        check=True, env={**os.environ, **env_id},
+    )
+    subprocess.run(["git", "-C", repo2, "tag", "r1"], check=True)
+    assert bench._resolve_prev_ref(repo2) is None
