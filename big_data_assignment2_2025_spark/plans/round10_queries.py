@@ -386,20 +386,18 @@ def storage_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrative cross-engine: overwrite -> spec-only alter -> partitioned
     append -> spec-migrating compaction."""
     store = _staged_partition_store(spark, sf_dir)
-    rows = []
-    for v in store.versions():
-        doc = store.manifest(v)
-        rows.append((
-            v,
-            doc["mode"],
-            len(doc["members"]),
-            len(doc["added"]),
-            int(doc.get("schema_version", 1)),
-            int((doc.get("partition_spec") or {}).get("spec_id", 0)),
-        ))
+    rows = [
+        (
+            h["version"], h["mode"], h["n_members"], h["n_added"],
+            h["n_dv_members"], h["masked_rows"],
+            h["schema_version"], h["spec_id"],
+        )
+        for h in store.history()
+    ]
     return spark.createDataFrame(
         rows,
         "version int, mode string, n_members int, n_added int, "
+        "n_dv_members int, masked_rows long, "
         "schema_version int, spec_id int",
     ).orderBy("version")
 
@@ -407,10 +405,11 @@ def storage_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 STORAGE_HISTORY_SQL = """
 SELECT CAST(1 AS INTEGER) AS version, 'overwrite' AS mode,
        CAST(1 AS INTEGER) AS n_members, CAST(1 AS INTEGER) AS n_added,
+       CAST(0 AS INTEGER) AS n_dv_members, CAST(0 AS BIGINT) AS masked_rows,
        CAST(1 AS INTEGER) AS schema_version, CAST(0 AS INTEGER) AS spec_id
-UNION ALL SELECT 2, 'alter', 1, 0, 1, 1
-UNION ALL SELECT 3, 'append', 6, 5, 1, 1
-UNION ALL SELECT 4, 'compact', 5, 5, 1, 1
+UNION ALL SELECT 2, 'alter', 1, 0, 0, 0, 1, 1
+UNION ALL SELECT 3, 'append', 6, 5, 0, 0, 1, 1
+UNION ALL SELECT 4, 'compact', 5, 5, 0, 0, 1, 1
 ORDER BY version
 """
 

@@ -362,11 +362,67 @@ ORDER BY prio
 """
 
 
+def storage_dv_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY with deletion-vector maintenance telemetry
+    (``SnapshotStore.history()``, r11 verdict #4): one row per version
+    of the DV store's 7-commit narrative with ``n_dv_members`` (members
+    currently masked by position-delete files) and ``masked_rows``
+    (their cumulative masked total) — all from manifests alone, zero
+    data scans. The oracle recomputes every masked count relationally:
+    v3 masks the 5-LOW rows across both members, v4 adds the matched
+    upsert/delete rows, compaction clears everything, v6 masks exactly
+    the 3-MEDIUM rows of the compacted member, and the targeted v7
+    rewrite clears the map again. This is the readout an operator
+    watches to schedule ``compact_masked`` — pinned cross-engine so the
+    manifest telemetry can never drift from the row-level truth."""
+    store = _staged_dv_store(spark, sf_dir)
+    rows = [
+        (
+            h["version"], h["mode"], h["n_members"], h["n_added"],
+            h["n_dv_members"], h["masked_rows"],
+        )
+        for h in store.history()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version int, mode string, n_members int, n_added int, "
+        "n_dv_members int, masked_rows long",
+    ).orderBy("version")
+
+
+DV_HISTORY_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr FROM orders),
+d3 AS (SELECT COUNT(*) AS n FROM base WHERE pr = '{_DV_PRIO}'),
+m4 AS (
+  SELECT COUNT(*) AS n FROM base
+  WHERE pr <> '{_DV_PRIO}'
+    AND (k % {_UPS_MOD} = 0
+         OR (k % {_DEL_MOD} = 0 AND k % {_UPS_MOD} <> 0))),
+u6 AS (
+  SELECT COUNT(*) AS n FROM base
+  WHERE pr = '{_UPD_PRIO}'
+    AND NOT (k % {_DEL_MOD} = 0 AND k % {_UPS_MOD} <> 0))
+SELECT CAST(1 AS INTEGER) AS version, 'overwrite' AS mode,
+       CAST(1 AS INTEGER) AS n_members, CAST(1 AS INTEGER) AS n_added,
+       CAST(0 AS INTEGER) AS n_dv_members, CAST(0 AS BIGINT) AS masked_rows
+UNION ALL SELECT 2, 'append', 2, 1, 0, 0
+UNION ALL SELECT 3, 'delete', 2, 0, 2, (SELECT n FROM d3)
+UNION ALL SELECT 4, 'merge', 3, 1, 2,
+          (SELECT n FROM d3) + (SELECT n FROM m4)
+UNION ALL SELECT 5, 'compact', 1, 1, 0, 0
+UNION ALL SELECT 6, 'update', 2, 1, 1, (SELECT n FROM u6)
+UNION ALL SELECT 7, 'compact_masked', 2, 1, 0, 0
+ORDER BY version
+"""
+
+
 QUERIES = {
     "storage_delete_vectors": storage_delete_vectors,
     "storage_merge_on_read": storage_merge_on_read,
     "storage_update_where": storage_update_where,
     "storage_compact_masked": storage_compact_masked,
+    "storage_dv_history": storage_dv_history,
 }
 
 ORACLES = {
@@ -374,4 +430,5 @@ ORACLES = {
     "storage_merge_on_read": MERGE_ON_READ_SQL,
     "storage_update_where": UPDATE_WHERE_SQL,
     "storage_compact_masked": COMPACT_MASKED_SQL,
+    "storage_dv_history": DV_HISTORY_SQL,
 }

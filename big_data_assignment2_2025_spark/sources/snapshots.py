@@ -176,6 +176,34 @@ class SnapshotStore:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY (Delta) / ``snapshots`` (Iceberg) as a list
+        of dicts, one per committed version, from manifests ALONE
+        (bounded by commit count, zero data scans). Carries the
+        deletion-vector maintenance telemetry alongside the structural
+        counts: ``n_dv_members`` (members currently masked by position-
+        delete files) and ``masked_rows`` (their cumulative masked-row
+        total) — the columns an operator watches to decide when
+        merge-on-read debt is worth a ``compact_masked``."""
+        out = []
+        for v in self.versions():
+            doc = self.manifest(v)
+            dv = {m: d for m, d in (doc.get("deletes") or {}).items() if d}
+            rows = doc.get("deletes_rows") or {}
+            out.append({
+                "version": v,
+                "mode": doc["mode"],
+                "n_members": len(doc["members"]),
+                "n_added": len(doc["added"]),
+                "n_dv_members": len(dv),
+                "masked_rows": sum(rows.get(m, 0) for m in dv),
+                "schema_version": int(doc.get("schema_version", 1)),
+                "spec_id": int(
+                    (doc.get("partition_spec") or {}).get("spec_id", 0)
+                ),
+            })
+        return out
+
     # -- schema evolution ----------------------------------------------------
 
     @classmethod

@@ -11,6 +11,12 @@ steps, same isolation the grading driver has):
  3. oracle_check sf0.1   -> ORACLE_LOCAL_r{N}_sf01.json
  4. oracle_check --foreign sf0.01 -> ORACLE_FOREIGN_r{N}.json
  4b. oracle_check sf0.001 -> ORACLE_LOCAL_r{N}_sf0001.json (boundary sweep)
+ 4c. build_sf10x (idempotent, marker-gated) + oracle_check over the 10x
+     fixture -> ORACLE_LOCAL_r{N}_10x.json — STANDING since r12 (r11
+     verdict #1: every one of the 10x sweep's six catches was invisible
+     at sf0.1; scale correctness is now gated every round, full
+     registry, zero exclusions since the graph oracles were rewritten
+     with materialized CTEs)
  5. plan_lint            -> PLANAUDIT_r{N}.json
  6. shuffle_report sf0.1 -> SHUFFLE_r{N}.json, budget-gated against the
     newest prior SHUFFLE_r{M}.json (M < N) if one exists
@@ -62,6 +68,7 @@ def _check_consistency(n: int, skip: set[str]) -> tuple[bool, str]:
         "oracle_sf01": (f"ORACLE_LOCAL_r{n}_sf01.json", "ran", total),
         "oracle_sf0001": (f"ORACLE_LOCAL_r{n}_sf0001.json", "ran", total),
         "oracle_foreign": (f"ORACLE_FOREIGN_r{n}.json", "ran", total),
+        "oracle_10x": (f"ORACLE_LOCAL_r{n}_10x.json", "ran", total),
         "plan_lint": (f"PLANAUDIT_r{n}.json", "audited", batch),
     }
     bad = []
@@ -108,6 +115,13 @@ def main() -> None:
         ("oracle_sf0001", [sys.executable, "tools/oracle_check.py",
                            "/root/testdata/sf0.001",
                            f"--json=ORACLE_LOCAL_r{n}_sf0001.json"]),
+        # the 10x sweep (standing since r12): the fixture build is a
+        # no-op when the _DONE marker matches the build tag
+        ("fixture_10x", [sys.executable, "tools/build_sf10x.py",
+                         "/tmp/sf10x_oracle"]),
+        ("oracle_10x", [sys.executable, "tools/oracle_check.py",
+                        "/tmp/sf10x_oracle",
+                        f"--json=ORACLE_LOCAL_r{n}_10x.json"]),
         ("plan_lint", [sys.executable, "tools/plan_lint.py",
                        f"--json=PLANAUDIT_r{n}.json"]),
         ("shuffle", [sys.executable, "tools/shuffle_report.py",
