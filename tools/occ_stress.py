@@ -25,6 +25,17 @@ C. **merge-on-read melee** — same contract through the deletion-vector
 D. **compact-vs-append race** — compact() is non-rebaseable by contract:
    each racer either lands or raises SnapshotConflictError; the final
    table is bit-identical to the append-only expectation either way.
+E. **deletion-vector melee** (round 12, r11 verdict #5) — four racing
+   processes issue ``delete_where`` / ``update_where`` /
+   ``merge_on_read`` / ``compact_masked`` against OVERLAPPING members
+   of one store (disjoint key classes, so the final logical state is
+   order-independent while every verb contends on the same manifest
+   log and the same physical members). Asserted: the final table equals
+   the relational expectation under ANY landing order (rebases must
+   recompute against the new latest, never replay stale addresses), no
+   member data was lost, and the manifest's ``deletes_rows`` telemetry
+   reconciles row-for-row with a physical read of every referenced
+   position-delete file.
 
 Usage:
     python tools/occ_stress.py <out_json>                 # orchestrator
@@ -102,6 +113,50 @@ def writer_merge(store_dir: str, wid: int, n: int, mor: bool) -> None:
     else:
         v = st.merge(spark, changes, keys=["k"])
     print(f"writer {wid}: merge landed at v{v}")
+
+
+def writer_dv(store_dir: str, wid: int, n: int) -> None:
+    """One racing DV verb, selected by writer id. Key classes are
+    disjoint (k mod 10) so the final state is order-independent; the
+    members each verb masks OVERLAP (both seed members hold every
+    class), which is the contention the phase exists to prove safe."""
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_2025_spark.sources.snapshots import (
+        SnapshotConflictError,
+        SnapshotStore,
+    )
+
+    spark = _spark(f"occ_dv_{wid}")
+    st = SnapshotStore(store_dir)
+    if wid == 0:
+        v = st.delete_where(spark, F.col("k") % 10 == 0)
+        print(f"writer {wid}: delete_where landed at v{v}")
+    elif wid == 1:
+        v = st.update_where(
+            spark, F.col("k") % 10 == 1, {"val": F.lit(1111)}
+        )
+        print(f"writer {wid}: update_where landed at v{v}")
+    elif wid == 2:
+        ups = spark.range(KEYS).where(F.col("id") % 10 == 2).select(
+            F.col("id").alias("k"),
+            F.lit(2222).alias("val"),
+            F.lit("upsert").alias("_op"),
+        )
+        dels = spark.range(KEYS).where(F.col("id") % 10 == 3).select(
+            F.col("id").alias("k"),
+            F.lit(0).alias("val"),
+            F.lit("delete").alias("_op"),
+        )
+        v = st.merge_on_read(spark, ups.unionAll(dels), keys=["k"])
+        print(f"writer {wid}: merge_on_read landed at v{v}")
+    else:
+        try:
+            v = st.compact_masked(spark, max_masked_fraction=0.01)
+            print(f"writer {wid}: compact_masked landed at v{v}")
+        except SnapshotConflictError as e:
+            print(f"writer {wid}: compact_masked refused ({e})")
+            sys.exit(42)  # clean refusal (non-rebaseable by contract)
 
 
 def writer_compact(store_dir: str, wid: int, n: int) -> None:
@@ -248,6 +303,76 @@ def phase_compact(spark, appends_dir: str, result: dict) -> None:
     assert ok, result["compact_race"]
 
 
+def phase_dv_melee(spark, result: dict) -> None:
+    from pyspark.sql import functions as F
+
+    from big_data_assignment2_2025_spark.sources.snapshots import (
+        SnapshotStore,
+    )
+
+    d = tempfile.mkdtemp(prefix="occ_dv_")
+    st = SnapshotStore(d)
+    base = spark.range(KEYS).select(
+        F.col("id").alias("k"), F.lit(0).alias("val")
+    )
+    # two members, each holding every key class — every verb's mask set
+    # OVERLAPS both members while key classes stay disjoint
+    st.commit(base.where(F.col("k") % 2 == 0), mode="overwrite",
+              stats_cols=["k"])
+    st.commit(base.where(F.col("k") % 2 == 1), mode="append",
+              stats_cols=["k"])
+    t0 = time.perf_counter()
+    codes = _join(
+        [_spawn(["dv", d, str(w), "1"]) for w in range(4)],
+        ok_codes=(0, 42),
+    )
+    dt = time.perf_counter() - t0
+    refused = sum(1 for c in codes if c == 42)
+    # order-independent relational expectation: k%10==0 deleted,
+    # k%10==3 merge-deleted, k%10==1 updated to 1111, k%10==2 upserted
+    # to 2222, everything else untouched
+    expect = {
+        (k, 1111 if k % 10 == 1 else 2222 if k % 10 == 2 else 0)
+        for k in range(KEYS)
+        if k % 10 not in (0, 3)
+    }
+    got = {tuple(r) for r in st.read(spark).collect()}
+    latest = st.latest_version()
+    doc = st.manifest(latest)
+    # telemetry reconciliation: every member's manifest masked-row count
+    # must equal a PHYSICAL read of its referenced position-delete files
+    deletes = doc.get("deletes") or {}
+    dv_rows = doc.get("deletes_rows") or {}
+    telemetry_ok = True
+    for m, dirs in deletes.items():
+        if not dirs:
+            continue
+        physical = (
+            spark.read.schema("_file string, _pos long")
+            .parquet(*[os.path.join(d, x) for x in sorted(set(dirs))])
+            .where(F.col("_file").startswith(m + "/"))
+            .count()
+        )
+        if physical != dv_rows.get(m, 0):
+            telemetry_ok = False
+    # 3 rebaseable verbs always land (+2 seeds); compact_masked lands
+    # 0 or 1 versions (no-op/refusal vs publish)
+    ok = (
+        got == expect
+        and telemetry_ok
+        and 5 <= latest <= 6
+        and refused <= 1
+    )
+    result["dv_melee"] = {
+        "writers": 4, "keys": KEYS, "rows": len(got),
+        "expected_rows": len(expect), "state_match": got == expect,
+        "telemetry_reconciles": telemetry_ok,
+        "versions": latest, "compact_masked_refused": refused,
+        "wall_sec": round(dt, 1), "ok": ok,
+    }
+    assert ok, result["dv_melee"]
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--writer":
         phase, d, wid, n = sys.argv[2:6]
@@ -259,6 +384,8 @@ def main() -> None:
             writer_merge(d, int(wid), int(n), mor=True)
         elif phase == "compact":
             writer_compact(d, int(wid), int(n))
+        elif phase == "dv":
+            writer_dv(d, int(wid), int(n))
         else:
             raise SystemExit(f"unknown phase {phase}")
         return
@@ -270,6 +397,7 @@ def main() -> None:
     phase_merge(spark, result, mor=False)
     phase_merge(spark, result, mor=True)
     phase_compact(spark, appends_dir, result)
+    phase_dv_melee(spark, result)
     result["all_ok"] = all(
         v.get("ok") for v in result.values() if isinstance(v, dict)
     )

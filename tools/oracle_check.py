@@ -83,6 +83,18 @@ def main():
         elif a.startswith("--skip="):
             skip |= set(a.split("=", 1)[1].split(","))
             args.remove(a)
+        elif a.startswith("--match="):
+            # family selection by name PREFIX (e.g. --match=q1,join_,
+            # window_): the repeatable way to sweep a query family
+            # without enumerating names (used by the skew-fixture sweep)
+            prefixes = [p for p in a.split("=", 1)[1].split(",") if p]
+            args.remove(a)
+            from big_data_assignment2_2025_spark.plans import (
+                QUERIES as _Q,
+            )
+            args.extend(
+                q for q in _Q if any(q.startswith(p) for p in prefixes)
+            )
         elif a.startswith("--duckdb-temp-cap="):
             # bound DuckDB's out-of-core spill (e.g. '20GB'): a
             # pathological oracle then FAILS loudly instead of filling
