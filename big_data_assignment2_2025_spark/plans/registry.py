@@ -41,6 +41,7 @@ from . import (
     round9_queries,
     round10_queries,
     round11_queries,
+    round12_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -87,6 +88,7 @@ _MODULES = [
     round9_queries,
     round10_queries,
     round11_queries,
+    round12_queries,
     storage_queries,
 ]
 

@@ -565,11 +565,19 @@ SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
 
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running quantity per supplier over ship order (cumulative frame).
-    l_quantity is integral -> exact double accumulation on both engines."""
+    l_quantity is integral -> exact double accumulation on both engines.
+
+    The synthetic lineitem does NOT have unique (l_orderkey,
+    l_linenumber) pairs (~20% duplicated), so the order key carries
+    l_quantity too: rows that still tie then hold EQUAL quantities, so
+    every tie permutation yields the same running values and the output
+    multiset is engine-independent. Caught by the r12 skew-fixture
+    sweep — hot suppliers concentrated the duplicate pairs into one
+    window partition and the old ordering diverged cross-engine."""
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 3)
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return li.select(
@@ -583,7 +591,8 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_RUNNING_SQL = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        SUM(l_quantity) OVER (PARTITION BY l_suppkey
-                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                      l_quantity
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
 FROM lineitem WHERE l_suppkey <= 3
 """

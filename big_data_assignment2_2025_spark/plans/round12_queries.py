@@ -1,0 +1,164 @@
+"""Round-12 queries: CHECK-constraint enforcement on the snapshot store.
+
+``sources/snapshots.py`` gained Delta-style table constraints
+(``add_constraint`` / ``drop_constraint`` + enforcement of every write
+verb's NEW rows before publish — commit/merge/merge_on_read/
+update_where; SQL NULL-passes semantics; refusals leave only
+vacuum()-collectable orphans). The gate stages one store whose builder
+ASSERTS the refusal paths (a violating append, a violating update and
+an unsatisfiable add_constraint must all raise and leave the version
+log untouched), then pins the surviving narrative cross-engine: the
+constraint rides the manifest as table-level metadata, the valid verbs
+land, and the final table equals the relational recomputation.
+
+Scale: enforcement is O(new rows) — one column-pruned, limit-1-probed
+read of just-written files, never a table scan (``add_constraint``
+itself scans once, by design, like Delta's ADD CONSTRAINT).
+
+No reference counterpart; lakehouse extensions per SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import (
+    derived_cache_ok,
+    fixture_fingerprint,
+    load_table,
+    mark_derived_cache,
+)
+from ..sources.snapshots import ConstraintViolationError, SnapshotStore
+
+#: the narrative's splits (shared by the Spark and SQL sides)
+_UPD_PRIO = "1-URGENT"   # v3 update: +10.00 on this priority
+_APP_MOD = 1000          # v4 appends orders with k % 1000 == 0 (raw)
+
+
+def _staged_constraint_store(
+    spark: SparkSession, sf_dir: str
+) -> SnapshotStore:
+    """v1 overwrite -> v2 add_constraint(price_nonneg) -> v3
+    update_where(+10 on 1-URGENT) -> v4 append(k % 1000 == 0). Between
+    the landed versions the builder attempts THREE violating writes and
+    asserts each refuses without publishing — the gate only ever sees a
+    store whose refusal discipline held."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"snapcons1_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(base, fprint):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        store = SnapshotStore(base)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        store.commit(orders, mode="overwrite", stats_cols=["o_orderkey"])
+        store.add_constraint(spark, "price_nonneg", "o_totalprice >= 0")
+        # refusal 1: an unsatisfiable constraint must not be recorded
+        try:
+            store.add_constraint(spark, "impossible", "o_totalprice > 1e18")
+            raise AssertionError("unsatisfiable constraint was recorded")
+        except ConstraintViolationError:
+            pass
+        # refusal 2: a violating append must not publish
+        try:
+            store.commit(
+                orders.limit(5).withColumn("o_totalprice", F.lit(-1.0)),
+                mode="append",
+            )
+            raise AssertionError("violating append landed")
+        except ConstraintViolationError:
+            pass
+        # refusal 3: a violating update post-image must not publish
+        try:
+            store.update_where(
+                spark,
+                F.col("o_orderpriority") == _UPD_PRIO,
+                {"o_totalprice": F.lit(-9.0)},
+            )
+            raise AssertionError("violating update landed")
+        except ConstraintViolationError:
+            pass
+        assert store.latest_version() == 2, "a refusal published a version"
+        store.update_where(
+            spark,
+            F.col("o_orderpriority") == _UPD_PRIO,
+            {"o_totalprice": F.col("o_totalprice") + F.lit(10.0)},
+        )
+        store.commit(
+            orders.where(F.col("o_orderkey") % _APP_MOD == 0),
+            mode="append",
+        )
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
+        mark_derived_cache(base, fprint)
+    return SnapshotStore(base)
+
+
+def storage_check_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints as table-level manifest metadata: the
+    per-priority aggregate of the final state (update applied to
+    1-URGENT, the raw mod-key batch appended) must equal the relational
+    recomputation, and the bookkeeping columns pin that exactly 4
+    versions exist (every refusal left the log untouched), the
+    constraint map survived update/append, and the update rode the
+    deletion-vector path (mode 'update'). Money as exact integer
+    cents."""
+    store = _staged_constraint_store(spark, sf_dir)
+    hist = store.history()
+    return (
+        store.read(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0
+            ).alias("sum_price"),
+        )
+        .select(
+            F.lit(len(hist)).alias("n_versions"),
+            F.lit(hist[-1]["mode"]).alias("last_mode"),
+            F.lit(len(store.constraints())).alias("n_constraints"),
+            F.lit(hist[2]["mode"]).alias("v3_mode"),
+            F.col("o_orderpriority").alias("prio"),
+            "n_rows",
+            "sum_price",
+        )
+        .orderBy("prio")
+    )
+
+
+CHECK_CONSTRAINT_SQL = f"""
+WITH updated AS (
+  SELECT o_orderpriority AS prio,
+         CASE WHEN o_orderpriority = '{_UPD_PRIO}'
+              THEN o_totalprice + 10.0 ELSE o_totalprice END AS p
+  FROM orders
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % {_APP_MOD} = 0)
+SELECT CAST(4 AS INTEGER) AS n_versions, 'append' AS last_mode,
+       CAST(1 AS INTEGER) AS n_constraints, 'update' AS v3_mode,
+       prio, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_price
+FROM updated
+GROUP BY prio
+ORDER BY prio
+"""
+
+
+QUERIES = {
+    "storage_check_constraint": storage_check_constraint,
+}
+
+ORACLES = {
+    "storage_check_constraint": CHECK_CONSTRAINT_SQL,
+}

@@ -133,6 +133,14 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _ISO_PREFIX_RE = re.compile(r"^\d{4}-\d{2}(-\d{2})?([ T].*)?$")
 
 
+class ConstraintViolationError(ValueError):
+    """A write carried rows that violate a recorded CHECK constraint
+    (Delta ``ALTER TABLE ADD CONSTRAINT ... CHECK`` semantics): the
+    version is NOT published, the store is untouched, and any
+    already-written data directory is a ``vacuum()``-collectable orphan
+    — same discipline as a rejected schema or a lost race."""
+
+
 class SnapshotConflictError(RuntimeError):
     """An optimistic commit could not land: either the bounded rebase
     retries were exhausted (livelock under heavy contention) or the
@@ -314,6 +322,7 @@ class SnapshotStore:
                      "deletes_rows": dict(doc.get("deletes_rows", {})),
                      "partition_spec": doc.get("partition_spec"),
                      "txns": dict(doc.get("txns", {})),
+                     "constraints": dict(doc.get("constraints", {})),
                      "schema": new_schema.jsonValue(),
                      "schema_version": doc.get("schema_version", 1) + 1},
                 )
@@ -380,6 +389,7 @@ class SnapshotStore:
                      "schema": schema_json,
                      "schema_version": doc.get("schema_version", 1),
                      "txns": dict(doc.get("txns", {})),
+                     "constraints": dict(doc.get("constraints", {})),
                      "partition_spec": {"spec_id": spec_id, "fields": norm}},
                 )
                 return version
@@ -389,6 +399,163 @@ class SnapshotStore:
             f"set_partition_spec could not land after {_OCC_RETRIES} "
             "rebases (sustained contention on the manifest log)"
         )
+
+    # -- CHECK constraints ----------------------------------------------------
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """The CHECK constraints recorded at ``version`` (default
+        latest): ``{name: sql_expression}``. Table-level metadata like
+        the partition spec — carried through every verb, including
+        overwrite."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return {}
+        return dict(self.manifest(v).get("constraints", {}))
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, expression: str
+    ) -> int:
+        """Record a CHECK constraint (Delta ``ADD CONSTRAINT ... CHECK``)
+        as an alter-mode version: every later write verb validates its
+        NEW rows against it before publishing (``commit``/``merge``/
+        ``merge_on_read``/``update_where``; delete/compaction rewrite
+        only already-valid rows). SQL semantics: a row violates iff the
+        expression evaluates to FALSE — NULL passes, like SQL CHECK.
+
+        Adding the constraint validates the CURRENT table first (one
+        column-pruned scan, bounded limit-1 probe): a constraint the
+        existing data already violates is a lie and refuses. OCC losers
+        rebase like every alter verb."""
+        for _ in range(_OCC_RETRIES):
+            prev = self.latest_version()
+            if prev is None:
+                raise ValueError("add_constraint() on an empty store")
+            doc = self.manifest(prev)
+            existing = dict(doc.get("constraints", {}))
+            if name in existing:
+                raise ValueError(
+                    f"constraint {name!r} already exists "
+                    f"({existing[name]!r}); drop it first"
+                )
+            # the current rows must already satisfy the new constraint
+            self._check_rows(
+                self._read_members(spark, doc, doc["members"]),
+                {name: expression},
+                context=f"add_constraint({name!r}) on v{prev}",
+            )
+            version = prev + 1
+            try:
+                self._publish(
+                    version,
+                    {"version": version, "mode": "alter",
+                     "members": list(doc["members"]), "added": [],
+                     "stats": dict(doc.get("stats", {})),
+                     "partitions": dict(doc.get("partitions", {})),
+                     "deletes": dict(doc.get("deletes", {})),
+                     "deletes_rows": dict(doc.get("deletes_rows", {})),
+                     "partition_spec": doc.get("partition_spec"),
+                     "txns": dict(doc.get("txns", {})),
+                     "constraints": {**existing, name: expression},
+                     "schema": doc.get("schema"),
+                     "schema_version": doc.get("schema_version", 1)},
+                )
+                return version
+            except FileExistsError:
+                continue  # rebase: re-validate against the new latest
+        raise SnapshotConflictError(
+            f"add_constraint could not land after {_OCC_RETRIES} rebases "
+            "(sustained contention on the manifest log)"
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint (alter-mode version, no data)."""
+        for _ in range(_OCC_RETRIES):
+            prev = self.latest_version()
+            if prev is None:
+                raise ValueError("drop_constraint() on an empty store")
+            doc = self.manifest(prev)
+            existing = dict(doc.get("constraints", {}))
+            if name not in existing:
+                raise ValueError(f"no constraint named {name!r}")
+            existing.pop(name)
+            version = prev + 1
+            try:
+                self._publish(
+                    version,
+                    {"version": version, "mode": "alter",
+                     "members": list(doc["members"]), "added": [],
+                     "stats": dict(doc.get("stats", {})),
+                     "partitions": dict(doc.get("partitions", {})),
+                     "deletes": dict(doc.get("deletes", {})),
+                     "deletes_rows": dict(doc.get("deletes_rows", {})),
+                     "partition_spec": doc.get("partition_spec"),
+                     "txns": dict(doc.get("txns", {})),
+                     "constraints": existing,
+                     "schema": doc.get("schema"),
+                     "schema_version": doc.get("schema_version", 1)},
+                )
+                return version
+            except FileExistsError:
+                continue
+        raise SnapshotConflictError(
+            f"drop_constraint could not land after {_OCC_RETRIES} rebases "
+            "(sustained contention on the manifest log)"
+        )
+
+    @staticmethod
+    def _check_rows(
+        df: DataFrame, constraints: dict[str, str], context: str
+    ) -> None:
+        """Raise ``ConstraintViolationError`` if any ``df`` row violates
+        any constraint. ONE job for all constraints: a combined
+        violation predicate feeds a limit-1 probe whose row carries one
+        flag per constraint, so the error names exactly which failed.
+        SQL CHECK semantics: NULL passes."""
+        if not constraints:
+            return
+        names = sorted(constraints)
+        flags = [
+            F.expr(
+                f"NOT coalesce(({constraints[n]}), true)"
+            ).alias(f"__viol_{i}")
+            for i, n in enumerate(names)
+        ]
+        any_viol = F.col("__viol_0")
+        for i in range(1, len(names)):
+            any_viol = any_viol | F.col(f"__viol_{i}")
+        probe = df.select(*flags).where(any_viol).limit(1).collect()
+        if probe:
+            violated = [
+                f"{n} CHECK ({constraints[n]})"
+                for i, n in enumerate(names)
+                if probe[0][f"__viol_{i}"]
+            ]
+            raise ConstraintViolationError(
+                f"{context} violates constraint(s) "
+                f"{'; '.join(violated)} — version not published, "
+                "written data is a vacuum()-collectable orphan"
+            )
+
+    def _enforce_constraints(
+        self,
+        spark: SparkSession,
+        doc: dict,
+        written: list[str],
+        verb: str,
+    ) -> None:
+        """Validate just-written member directories (ground truth, one
+        column-pruned read of only the NEW files) against the manifest's
+        constraints BEFORE publish. O(new rows), never a table scan —
+        existing members were validated by the write that created them
+        (and by ``add_constraint``'s full-table scan when the rule was
+        recorded)."""
+        cons = doc.get("constraints") or {}
+        if not cons or not written:
+            return
+        df = spark.read.parquet(
+            *[os.path.join(self.base_dir, d) for d in written]
+        )
+        self._check_rows(df, cons, context=f"{verb}")
 
     @staticmethod
     def _transform_expr(field: dict) -> Column:
@@ -813,10 +980,23 @@ class SnapshotStore:
             else {}
         )
         batch_schema = self._normalize(df.schema)
+        validated_cons = None  # constraints map already enforced, if any
         for _ in range(_OCC_RETRIES):
             prev = self.latest_version()
             version = (prev or 0) + 1
             prev_doc = self.manifest(prev) if prev is not None else {}
+            # CHECK constraints: validate the just-written files against
+            # the manifest we are landing on — re-run only if a rebase
+            # changed the constraint set (a racing add_constraint)
+            cons_key = json.dumps(
+                prev_doc.get("constraints", {}), sort_keys=True
+            )
+            if cons_key != validated_cons:
+                self._enforce_constraints(
+                    df.sparkSession, prev_doc,
+                    [d for d, _ in written], f"commit(mode={mode!r})",
+                )
+                validated_cons = cons_key
             if txn is not None:
                 app, batch_id = txn
                 last = prev_doc.get("txns", {}).get(app)
@@ -876,7 +1056,8 @@ class SnapshotStore:
                    # survive overwrite (the member list resets, the
                    # layout contract and writer-idempotence do not)
                    "partition_spec": prev_doc.get("partition_spec"),
-                   "txns": txns}
+                   "txns": txns,
+                   "constraints": dict(prev_doc.get("constraints", {}))}
             if partitions:
                 doc["partitions"] = partitions
             if deletes:
@@ -997,6 +1178,7 @@ class SnapshotStore:
                  "partitions": partitions,
                  "partition_spec": doc.get("partition_spec"),
                  "txns": dict(doc.get("txns", {})),
+                 "constraints": dict(doc.get("constraints", {})),
                  # the rewrite reads under the recorded schema, so the
                  # compacted member physically carries every evolved
                  # column (NULL-backfilled) — schema version unchanged
@@ -1103,6 +1285,9 @@ class SnapshotStore:
                 written = self._write_under_spec(
                     out, doc.get("partition_spec")
                 )
+                self._enforce_constraints(
+                    spark, doc, [d for d, _ in written], "merge"
+                )
                 stats = (
                     self._members_stats(
                         spark, [d for d, _ in written], stat_cols
@@ -1123,6 +1308,7 @@ class SnapshotStore:
                          },
                          "partition_spec": doc.get("partition_spec"),
                          "txns": dict(doc.get("txns", {})),
+                         "constraints": dict(doc.get("constraints", {})),
                          "schema": doc.get("schema"),
                          "schema_version": doc.get("schema_version", 1)},
                     )
@@ -1347,6 +1533,7 @@ class SnapshotStore:
                          "partitions": dict(doc.get("partitions", {})),
                          "partition_spec": doc.get("partition_spec"),
                          "txns": dict(doc.get("txns", {})),
+                         "constraints": dict(doc.get("constraints", {})),
                          "schema": doc.get("schema"),
                          "schema_version": doc.get("schema_version", 1)},
                     )
@@ -1450,6 +1637,9 @@ class SnapshotStore:
                 written = self._write_under_spec(
                     post, doc.get("partition_spec")
                 )
+                self._enforce_constraints(
+                    spark, doc, [d for d, _ in written], "update_where"
+                )
                 stats = dict(doc.get("stats", {}))
                 stat_cols = sorted({c for s in stats.values() for c in s})
                 if stat_cols and written:
@@ -1478,6 +1668,7 @@ class SnapshotStore:
                          "partitions": partitions,
                          "partition_spec": doc.get("partition_spec"),
                          "txns": dict(doc.get("txns", {})),
+                         "constraints": dict(doc.get("constraints", {})),
                          "schema": doc.get("schema"),
                          "schema_version": doc.get(
                              "schema_version", 1
@@ -1587,6 +1778,10 @@ class SnapshotStore:
                         written = self._write_under_spec(
                             out_new, doc.get("partition_spec")
                         )
+                        self._enforce_constraints(
+                            spark, doc, [d for d, _ in written],
+                            "merge_on_read",
+                        )
                     hits = self._member_hits(dv_back)
                     new_deletes, new_dv_rows = self._extend_deletes(
                         doc, hits, dv_dir
@@ -1618,6 +1813,7 @@ class SnapshotStore:
                              "partitions": partitions,
                              "partition_spec": doc.get("partition_spec"),
                              "txns": dict(doc.get("txns", {})),
+                             "constraints": dict(doc.get("constraints", {})),
                              "schema": doc.get("schema"),
                              "schema_version": doc.get(
                                  "schema_version", 1
@@ -1793,6 +1989,9 @@ class SnapshotStore:
         # keep their own (possibly older) spec entries — the mixed-spec
         # member set real table formats carry after spec evolution
         written = self._write_under_spec(out, doc.get("partition_spec"))
+        self._enforce_constraints(
+            spark, doc, [d for d, _ in written], "merge(prune=True)"
+        )
         prev_stats = doc.get("stats", {})
         stats = {m: prev_stats[m] for m in untouched if m in prev_stats}
         prev_parts = doc.get("partitions", {})
@@ -1827,6 +2026,7 @@ class SnapshotStore:
              "partitions": partitions,
              "partition_spec": doc.get("partition_spec"),
              "txns": dict(doc.get("txns", {})),
+             "constraints": dict(doc.get("constraints", {})),
              "schema": doc.get("schema"),
              "schema_version": doc.get("schema_version", 1)},
         )
@@ -1946,6 +2146,7 @@ class SnapshotStore:
                  "partitions": partitions,
                  "partition_spec": doc.get("partition_spec"),
                  "txns": dict(doc.get("txns", {})),
+                 "constraints": dict(doc.get("constraints", {})),
                  "schema": doc.get("schema"),
                  "schema_version": doc.get("schema_version", 1)},
             )
