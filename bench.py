@@ -263,6 +263,11 @@ HEADLINE = [
     "contamination_check",       # eval-contamination family
     "islands_active_days",       # gaps-and-islands family
     "decimal_exact_agg",         # exact-decimal aggregation family
+    # round-11/12 storage-verb representatives: deletion vectors /
+    # merge-on-read, CHECK constraints, small-file compaction
+    "storage_delete_vectors",
+    "storage_check_constraint",
+    "storage_compact_small",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —

@@ -155,10 +155,100 @@ ORDER BY prio
 """
 
 
+#: the sprawl narrative's split count (shared by Spark and SQL sides)
+_SPRAWL_N = 6
+_SMALL_PRIO = "5-LOW"   # deleted before the compaction
+
+
+def _staged_sprawl_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
+    """The streaming-trickle shape: v1..v6 small appends (orders split
+    by key mod), v7 ``delete_where`` (a DV over every member), v8
+    ``compact_small`` — all six undersized members bin into one, the
+    rewrite materializes their deletion vectors away."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"snapsprawl1_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(base, fprint):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        store = SnapshotStore(base)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        for i in range(_SPRAWL_N):
+            store.commit(
+                orders.where(F.col("o_orderkey") % _SPRAWL_N == i),
+                mode="append" if i else "overwrite",
+                stats_cols=["o_orderkey"],
+            )
+        store.delete_where(
+            spark, F.col("o_orderpriority") == _SMALL_PRIO
+        )
+        store.compact_small(spark, target_bytes=1 << 31)
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
+        mark_derived_cache(base, fprint)
+    return SnapshotStore(base)
+
+
+def storage_compact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (Delta OPTIMIZE shape): six trickle
+    members + their shared deletion vector collapse into ONE member
+    whose rows equal the DV-masked logical state — the bookkeeping
+    columns pin the bin shape (6 rewrote, 1 added, DV map cleared,
+    member count 6 -> 1) and the per-priority aggregate pins the row
+    content cross-engine. Scale: the bins come from stat calls alone;
+    only small members' bytes are rewritten."""
+    store = _staged_sprawl_store(spark, sf_dir)
+    v8 = store.latest_version()
+    doc8 = store.manifest(v8)
+    doc7 = store.manifest(v8 - 1)
+    return (
+        store.read(spark)
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0
+            ).alias("sum_price"),
+        )
+        .select(
+            F.lit(doc8["mode"]).alias("mode"),
+            F.lit(len(doc7["members"])).alias("n_members_before"),
+            F.lit(len(doc8["members"])).alias("n_members_after"),
+            F.lit(len(doc8["rewrote"])).alias("n_rewrote"),
+            F.lit(len(doc8["added"])).alias("n_added"),
+            F.lit(int(not doc8.get("deletes"))).alias("dv_cleared"),
+            "prio",
+            "n_rows",
+            "sum_price",
+        )
+        .orderBy("prio")
+    )
+
+
+COMPACT_SMALL_SQL = f"""
+SELECT 'compact_small' AS mode, CAST({_SPRAWL_N} AS INTEGER)
+         AS n_members_before,
+       CAST(1 AS INTEGER) AS n_members_after,
+       CAST({_SPRAWL_N} AS INTEGER) AS n_rewrote,
+       CAST(1 AS INTEGER) AS n_added, CAST(1 AS INTEGER) AS dv_cleared,
+       o_orderpriority AS prio, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS sum_price
+FROM orders WHERE o_orderpriority <> '{_SMALL_PRIO}'
+GROUP BY o_orderpriority
+ORDER BY prio
+"""
+
+
 QUERIES = {
     "storage_check_constraint": storage_check_constraint,
+    "storage_compact_small": storage_compact_small,
 }
 
 ORACLES = {
     "storage_check_constraint": CHECK_CONSTRAINT_SQL,
+    "storage_compact_small": COMPACT_SMALL_SQL,
 }

@@ -2158,6 +2158,129 @@ class SnapshotStore:
             ) from None
         return version
 
+    def member_bytes(self, version: int | None = None) -> dict[str, int]:
+        """On-disk bytes per member of ``version`` (default latest) —
+        driver-side stat calls, O(member count + files), zero data
+        reads. The small-file readout ``compact_small`` bins on."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return {}
+        out = {}
+        for m in self.manifest(v)["members"]:
+            full = os.path.join(self.base_dir, m)
+            out[m] = sum(
+                e.stat().st_size
+                for e in os.scandir(full)
+                if e.is_file() and e.name.endswith(".parquet")
+            )
+        return out
+
+    def compact_small(
+        self,
+        spark: SparkSession,
+        target_bytes: int = 128 * 1024 * 1024,
+        min_members: int = 2,
+    ) -> int:
+        """Small-file compaction (Delta ``OPTIMIZE`` / Iceberg
+        ``rewrite_data_files`` with a size filter): members SMALLER than
+        ``target_bytes`` are greedily binned to ~``target_bytes`` and
+        each bin rewrites into one member; members at/above the target —
+        and the table's row content — are untouched. THE operational
+        verb for streaming ingest at scale: a trickle of per-batch
+        members turns every later scan into an open-file storm, and a
+        full ``compact`` pays an O(table) rewrite to fix an O(small
+        files) problem. Cost here: stat calls to find the bins (zero
+        data reads) + a rewrite of only the small members' bytes.
+
+        Deletion vectors of rewritten members are MATERIALIZED by the
+        rewrite (the bin read applies them) and dropped from the new
+        manifest; large members keep theirs. Returns the current version
+        unchanged when fewer than ``min_members`` small members exist.
+        Concurrency: like every rewrite verb, NOT rebaseable — a lost
+        race raises ``SnapshotConflictError`` (orphans vacuumable)."""
+        prev = self.latest_version()
+        if prev is None:
+            raise ValueError("compact_small() on an empty store")
+        doc = self.manifest(prev)
+        sizes = self.member_bytes(prev)
+        small = [m for m in doc["members"] if sizes[m] < target_bytes]
+        if len(small) < min_members:
+            return prev
+        # greedy first-fit by manifest order (stable): bins of cumulative
+        # size <= target_bytes, so output files land near the target
+        bins: list[list[str]] = []
+        cur: list[str] = []
+        acc = 0
+        for m in small:
+            if cur and acc + sizes[m] > target_bytes:
+                bins.append(cur)
+                cur, acc = [], 0
+            cur.append(m)
+            acc += sizes[m]
+        if cur:
+            bins.append(cur)
+        version = prev + 1
+        written_all: list[tuple[str, dict | None]] = []
+        for b in bins:
+            # the LOGICAL rows of the bin (DVs applied), re-laid-out
+            # under the current spec like every rewrite verb
+            out = self._read_members(spark, doc, b)
+            written_all.extend(
+                self._write_under_spec(out, doc.get("partition_spec"))
+            )
+        keep = [m for m in doc["members"] if m not in set(small)]
+        stats = {
+            m: s for m, s in doc.get("stats", {}).items() if m in set(keep)
+        }
+        stat_cols = sorted(
+            {c for s in doc.get("stats", {}).values() for c in s}
+        )
+        if stat_cols and written_all:
+            stats.update(
+                self._members_stats(
+                    spark, [d for d, _ in written_all], stat_cols
+                )
+            )
+        partitions = {
+            m: e
+            for m, e in doc.get("partitions", {}).items()
+            if m in set(keep)
+        }
+        partitions.update({d: e for d, e in written_all if e is not None})
+        deletes = {
+            m: v
+            for m, v in doc.get("deletes", {}).items()
+            if m in set(keep) and v
+        }
+        deletes_rows = {
+            m: n
+            for m, n in doc.get("deletes_rows", {}).items()
+            if m in deletes
+        }
+        try:
+            self._publish(
+                version,
+                {"version": version, "mode": "compact_small",
+                 "members": keep + [d for d, _ in written_all],
+                 "added": [d for d, _ in written_all],
+                 "rewrote": small,
+                 "stats": stats,
+                 "deletes": deletes, "deletes_rows": deletes_rows,
+                 "partitions": partitions,
+                 "partition_spec": doc.get("partition_spec"),
+                 "txns": dict(doc.get("txns", {})),
+                 "constraints": dict(doc.get("constraints", {})),
+                 "schema": doc.get("schema"),
+                 "schema_version": doc.get("schema_version", 1)},
+            )
+        except FileExistsError:
+            raise SnapshotConflictError(
+                f"compact_small of v{prev} lost the race for v{version}: "
+                "the rewritten members no longer describe the latest "
+                "version; re-run against the new latest"
+            ) from None
+        return version
+
     def vacuum(self, keep_versions: list[int] | None = None) -> list[str]:
         """Delete commit directories unreachable from every retained
         manifest (default: retain all — vacuum only removes orphans left

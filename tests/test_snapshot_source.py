@@ -304,6 +304,36 @@ def test_resume_across_vacuum_fails_on_data_loss(spark, sf_dir, tmp_path):
         bad.partitions({"version": 0}, {"version": 3})
 
 
+def test_cdc_stream_serves_dv_verbs(spark, sf_dir, tmp_path):
+    """readChangeFeed over delete_where/update_where commits: the DV
+    verbs record change directories like MERGE does, so the CDC stream
+    serves delete / update_preimage / update_postimage events instead
+    of refusing — row-identical to the batch read_changes()."""
+    _register(spark)
+    st, orders = _store_with_orders(spark, sf_dir, tmp_path, n_commits=2)
+    st.delete_where(spark, F.col("o_orderkey") % 5 == 0)
+    v4 = st.update_where(
+        spark, F.col("o_orderkey") % 7 == 3, {"o_totalprice": F.lit(2.5)}
+    )
+    stream = (
+        spark.readStream.format("snapshotstream")
+        .option("path", str(tmp_path))
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    got, _ = _drain(spark, stream)
+    key = ["o_orderkey", "o_totalprice", "_change_type", "_commit_version"]
+    got_set = {tuple(r) for r in got.select(*key).collect()}
+    want_set = {
+        tuple(r)
+        for r in st.read_changes(spark, 0, v4).select(*key).collect()
+    }
+    assert got_set == want_set
+    types = {r[2] for r in got_set}
+    assert {"insert", "delete", "update_preimage",
+            "update_postimage"} <= types
+
+
 def test_batch_format_read_applies_deletion_vectors(spark, sf_dir, tmp_path):
     """ADVICE r12 (high): the format-API batch read of a version carrying
     deletion vectors must mask the deleted/pre-update rows exactly like

@@ -17,6 +17,10 @@ steps, same isolation the grading driver has):
      at sf0.1; scale correctness is now gated every round, full
      registry, zero exclusions since the graph oracles were rewritten
      with materialized CTEs)
+ 4d. build_skew (zipfian twin of the 10x fixture) + oracle_check of the
+     join/agg/window families -> ORACLE_SKEW_r{N}.json — STANDING since
+     r12 (its first run caught window_running_sum's non-total window
+     order the same day)
  5. plan_lint            -> PLANAUDIT_r{N}.json
  6. shuffle_report sf0.1 -> SHUFFLE_r{N}.json, budget-gated against the
     newest prior SHUFFLE_r{M}.json (M < N) if one exists
@@ -122,6 +126,18 @@ def main() -> None:
         ("oracle_10x", [sys.executable, "tools/oracle_check.py",
                         "/tmp/sf10x_oracle",
                         f"--json=ORACLE_LOCAL_r{n}_10x.json"]),
+        # zipfian twin of the 10x fixture (standing since r12): the
+        # join/agg/window families under hot-key skew — AQE skew
+        # handling oracle-witnessed every round, not config-asserted
+        ("fixture_skew", [sys.executable, "tools/build_skew.py",
+                          "/tmp/sfskew_oracle", "/tmp/sf10x_oracle"]),
+        ("oracle_skew", [sys.executable, "tools/oracle_check.py",
+                         "/tmp/sfskew_oracle",
+                         "--match=q1,q2,q3,q4,q5,q6,q7,q8,q9,join_,"
+                         "window_,agg_,grouping,rollup,cube,pivot,"
+                         "unpivot,topk,cross_join,set_,sql_,correlated,"
+                         "orders_,skew",
+                         f"--json=ORACLE_SKEW_r{n}.json"]),
         ("plan_lint", [sys.executable, "tools/plan_lint.py",
                        f"--json=PLANAUDIT_r{n}.json"]),
         ("shuffle", [sys.executable, "tools/shuffle_report.py",
