@@ -166,7 +166,7 @@ def _staged_sprawl_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
     ``compact_small`` — all six undersized members bin into one, the
     rewrite materializes their deletion vectors away."""
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"snapsprawl1_{tag}")
+    base = os.path.join(tempfile.gettempdir(), f"snapsprawl2_{tag}")
     fprint = fixture_fingerprint(sf_dir)
     if not derived_cache_ok(base, fprint):
         if os.path.exists(base):
