@@ -82,25 +82,49 @@ def _spill_totals(seen_stages: set[int]) -> tuple[dict, set[int]]:
     return {"memoryBytesSpilled": mem_b, "diskBytesSpilled": disk_b}, new_seen
 
 
-def main() -> None:
-    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    spark = _session()
-    from tools.scale_probe import DST, build
+#: skew-mode cases (r12): the zipfian fixture's straggler shapes — a hot
+#: single-partition window, a hot-key groupBy tail, and the salted-join
+#: family's own query — under the same heap squeeze, so the skew path
+#: carries the same spill-not-OOM evidence as the uniform one
+SKEW_CASES = [
+    "window_running_sum",
+    "q13_order_count_distribution",
+    "skew_join_salted",
+]
 
-    build(spark, copies)
+
+def main() -> None:
+    skew = "--skew" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    copies = int(args[0]) if args else 10
+    spark = _session()
+    if skew:
+        dst = "/tmp/sfskew_oracle"
+        if not os.path.exists(os.path.join(dst, "_DONE")):
+            raise SystemExit("skew fixture missing — run tools/build_skew.py")
+        global CASES
+        CASES = SKEW_CASES
+    else:
+        from tools.scale_probe import build
+
+        build(spark, copies)
 
     from big_data_assignment2_2025_spark.plans import QUERIES
 
-    out = {"mem": MEM, "copies": copies, "cases": {}}
+    out = {"mem": MEM, "copies": copies, "cases": {},
+           "fixture": "skew" if skew else "scale_probe"}
     seen: set[int] = set()
     # burn the build's stages out of the attribution window
     _, seen = _spill_totals(seen)
+
+    if not skew:
+        from tools.scale_probe import DST as dst  # noqa: N811
 
     for name in CASES:
         rec: dict = {}
         t0 = time.perf_counter()
         try:
-            rec["rows"] = QUERIES[name](spark, DST).count()
+            rec["rows"] = QUERIES[name](spark, dst).count()
             rec["sec"] = round(time.perf_counter() - t0, 2)
             rec["status"] = "completed"
         except Exception as e:  # OOM surfaces as a Py4J java error
@@ -118,8 +142,8 @@ def main() -> None:
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        o = spark.read.parquet(f"{DST}/orders.parquet")
-        c = spark.read.parquet(f"{DST}/customer.parquet")
+        o = spark.read.parquet(f"{dst}/orders.parquet")
+        c = spark.read.parquet(f"{dst}/customer.parquet")
         t0 = time.perf_counter()
         n = o.join(c, o.o_custkey == c.c_custkey).count()
         rec = {"rows": n, "sec": round(time.perf_counter() - t0, 2), "status": "completed"}
