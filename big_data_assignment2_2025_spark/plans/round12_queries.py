@@ -243,12 +243,125 @@ ORDER BY prio
 """
 
 
+#: the default-column narrative's splits (shared by Spark and SQL)
+_DEF_MOD = 4       # v1 = k % 4 != 0; v3 appends k % 4 == 0 WITH the column
+_SUBSET_MOD = 8    # v4 re-appends k % 8 == 1 OMITTING the column (-> NULL)
+_DEF_VAL = 7       # the initial default backfilled onto v1's member
+
+
+def _staged_default_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
+    """v1 overwrite (no region_code) -> v2 add_column(region_code,
+    default=7) -> v3 append WITH explicit values (k % 3) -> v4 subset
+    append OMITTING the column (reads NULL: initial default only, write
+    defaults deliberately not implied) -> v5 compact (materializes the
+    backfill, defaults map empties)."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"snapdef1_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(base, fprint):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        store = SnapshotStore(base)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        store.commit(
+            orders.where(F.col("o_orderkey") % _DEF_MOD != 0),
+            mode="overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        store.add_column("region_code", "int", default=_DEF_VAL)
+        store.commit(
+            orders.where(F.col("o_orderkey") % _DEF_MOD == 0).withColumn(
+                "region_code",
+                (F.col("o_orderkey") % 3).cast("int"),
+            ),
+            mode="append",
+        )
+        store.commit(
+            orders.where(F.col("o_orderkey") % _SUBSET_MOD == 1),
+            mode="append",
+        )
+        store.compact(spark)
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
+        mark_derived_cache(base, fprint)
+    return SnapshotStore(base)
+
+
+def storage_default_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial DEFAULT for an added column (Iceberg v3 initial-default
+    semantics): pre-evolution rows read 7, post-evolution explicit
+    values and explicit NULL-by-omission survive untouched, and the v5
+    compaction MATERIALIZES the backfill (defaults map empty) without
+    changing a single value — the same aggregate is pinned at v4
+    (backfill active) and v5 (physical), one oracle for both read
+    paths. Metadata-only evolution: no data file was touched at v2."""
+    store = _staged_default_store(spark, sf_dir)
+    d4, d5 = store.manifest(4), store.manifest(5)
+    out = None
+    for v, doc in ((4, d4), (5, d5)):
+        part = (
+            store.read(spark, v)
+            .groupBy(
+                F.coalesce(F.col("region_code"), F.lit(-1)).alias("rc")
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                (
+                    F.sum(
+                        F.round(F.col("o_totalprice") * 100).cast("long")
+                    )
+                    / 100.0
+                ).alias("sum_price"),
+            )
+            .select(
+                F.lit(v).alias("version"),
+                F.lit(int(bool(doc.get("defaults")))).alias(
+                    "defaults_active"
+                ),
+                "rc",
+                "n_rows",
+                "sum_price",
+            )
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("version", "rc")
+
+
+DEFAULT_COLUMN_SQL = f"""
+WITH final AS (
+  SELECT {_DEF_VAL} AS rc, o_totalprice AS p
+  FROM orders WHERE o_orderkey % {_DEF_MOD} <> 0
+  UNION ALL
+  SELECT CAST(o_orderkey % 3 AS INTEGER), o_totalprice
+  FROM orders WHERE o_orderkey % {_DEF_MOD} = 0
+  UNION ALL
+  SELECT -1, o_totalprice
+  FROM orders WHERE o_orderkey % {_SUBSET_MOD} = 1),
+agg AS (
+  SELECT rc, COUNT(*) AS n_rows,
+         CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_price
+  FROM final GROUP BY rc)
+SELECT CAST(v.version AS INTEGER) AS version,
+       CAST(v.active AS INTEGER) AS defaults_active,
+       agg.rc, agg.n_rows, agg.sum_price
+FROM agg CROSS JOIN (
+  SELECT 4 AS version, 1 AS active
+  UNION ALL SELECT 5, 0) v
+ORDER BY version, rc
+"""
+
+
 QUERIES = {
     "storage_check_constraint": storage_check_constraint,
     "storage_compact_small": storage_compact_small,
+    "storage_default_column": storage_default_column,
 }
 
 ORACLES = {
     "storage_check_constraint": CHECK_CONSTRAINT_SQL,
     "storage_compact_small": COMPACT_SMALL_SQL,
+    "storage_default_column": DEFAULT_COLUMN_SQL,
 }

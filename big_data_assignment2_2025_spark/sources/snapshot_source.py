@@ -77,6 +77,7 @@ def _read_file_backfilled(
     schema: StructType,
     dv_paths: tuple[str, ...] = (),
     rel_path: str | None = None,
+    fill: tuple[tuple[str, object], ...] = (),
 ):
     """One parquet file as Arrow batches, column-pruned to ``schema``
     with NULL backfill for columns the file predates (the manifest-
@@ -115,6 +116,7 @@ def _read_file_backfilled(
             )
             table = table.filter(keep)
     names = [f.name for f in schema.fields]
+    fills = dict(fill)
     cols = []
     for f in schema.fields:
         if f.name in table.column_names:
@@ -122,7 +124,15 @@ def _read_file_backfilled(
         else:
             from pyspark.sql.pandas.types import to_arrow_type
 
-            cols.append(pa.nulls(len(table), to_arrow_type(f.dataType)))
+            t = to_arrow_type(f.dataType)
+            if f.name in fills:
+                # initial-default backfill: this file's member predates
+                # the column and its manifest entry carries the value
+                cols.append(
+                    pa.array([fills[f.name]] * len(table), t)
+                )
+            else:
+                cols.append(pa.nulls(len(table), t))
     yield from pa.table(cols, names=names).to_batches()
 
 
@@ -141,6 +151,7 @@ class _FilePartition(InputPartition):
     version: int | None = None
     dv_paths: tuple[str, ...] = ()
     rel_path: str | None = None
+    fill: tuple[tuple[str, object], ...] = ()
 
 
 def _member_file_partitions(
@@ -157,6 +168,7 @@ def _member_file_partitions(
     ``initialSnapshotVersion`` baseline, and append batches (whose
     members never carry DVs at publish time)."""
     deletes = doc.get("deletes") or {}
+    defaults = doc.get("defaults") or {}
     out: list[_FilePartition] = []
     for member in members:
         full = os.path.join(store_path, member)
@@ -165,6 +177,13 @@ def _member_file_partitions(
             for d in deletes.get(member, [])
             for n in sorted(os.listdir(os.path.join(store_path, d)))
             if n.endswith(".parquet")
+        )
+        fill = tuple(
+            sorted(
+                (col, spec["value"])
+                for col, spec in defaults.items()
+                if member in set(spec.get("members", []))
+            )
         )
         for name in sorted(os.listdir(full)):
             if name.endswith(".parquet"):
@@ -175,6 +194,7 @@ def _member_file_partitions(
                         version=version,
                         dv_paths=dv_paths,
                         rel_path=f"{member}/{name}",
+                        fill=fill,
                     )
                 )
     return out
@@ -356,6 +376,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 self._schema,
                 partition.dv_paths,
                 partition.rel_path,
+                partition.fill,
             )
             return
         import pyarrow as pa
@@ -376,6 +397,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             table_schema,
             partition.dv_paths,
             partition.rel_path,
+            partition.fill,
         ):
             n = batch.num_rows
             yield pa.RecordBatch.from_arrays(
@@ -428,6 +450,7 @@ class SnapshotBatchReader(DataSourceReader):
             self._schema,
             partition.dv_paths,
             partition.rel_path,
+            partition.fill,
         )
 
 

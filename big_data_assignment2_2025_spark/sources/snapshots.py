@@ -286,14 +286,49 @@ class SnapshotStore:
         s = self.manifest(v).get("schema")
         return StructType.fromJson(s) if s else None
 
-    def add_column(self, name: str, dtype: DataType | str) -> int:
+    @staticmethod
+    def _carry_defaults(doc: dict, dropped=()) -> dict:
+        """The ``defaults`` map carried into a new version, with
+        ``dropped`` members removed from every entry — a rewrite reads
+        the LOGICAL rows (defaults applied), so its output members carry
+        the value physically and need no backfill. Entries whose member
+        list empties vanish (the default is fully materialized)."""
+        out = {}
+        gone = set(dropped)
+        for col, spec in (doc.get("defaults") or {}).items():
+            keep = [m for m in spec.get("members", []) if m not in gone]
+            if keep:
+                out[col] = {"value": spec["value"], "members": keep}
+        return out
+
+    def add_column(
+        self, name: str, dtype: DataType | str, default=None
+    ) -> int:
         """Publish a schema-only version adding a nullable column: same
         members, no data written — every existing row reads as NULL in the
         new column until a later commit/merge fills it (Delta/Iceberg
         ``ALTER TABLE ADD COLUMN``). OCC losers rebase: re-validate
-        against the new latest schema and retry one version up."""
+        against the new latest schema and retry one version up.
+
+        ``default`` (Iceberg v3's *initial default*): existing rows read
+        as this value instead of NULL. The manifest records WHICH
+        members predate the column, so the backfill applies exactly to
+        them — a later batch that writes an explicit NULL keeps its
+        NULL, and a rewrite (compact/merge) materializes the value and
+        drops the entry. Metadata-only either way: no data file is
+        touched now or later. The value must be a JSON scalar; reads
+        cast it to the column type. (Write defaults — filling a column
+        a LATER batch omits — are intentionally not implied: a
+        post-evolution subset write still reads as NULL, like Delta.)"""
         if isinstance(dtype, str):
             dtype = StructType.fromDDL(f"`{name}` {dtype}")[0].dataType
+        if default is not None and not isinstance(
+            default, (int, float, str, bool)
+        ):
+            raise ValueError(
+                "default must be a JSON scalar (int/float/str/bool), "
+                f"got {type(default).__name__}"
+            )
         for _ in range(_OCC_RETRIES):
             prev = self.latest_version()
             if prev is None:
@@ -310,6 +345,12 @@ class SnapshotStore:
             new_schema = StructType(
                 list(prev_schema.fields) + [StructField(name, dtype, True)]
             )
+            new_defaults = self._carry_defaults(doc)
+            if default is not None and doc["members"]:
+                new_defaults[name] = {
+                    "value": default,
+                    "members": list(doc["members"]),
+                }
             version = prev + 1
             try:
                 self._publish(
@@ -323,6 +364,7 @@ class SnapshotStore:
                      "partition_spec": doc.get("partition_spec"),
                      "txns": dict(doc.get("txns", {})),
                      "constraints": dict(doc.get("constraints", {})),
+                     "defaults": new_defaults,
                      "schema": new_schema.jsonValue(),
                      "schema_version": doc.get("schema_version", 1) + 1},
                 )
@@ -390,6 +432,7 @@ class SnapshotStore:
                      "schema_version": doc.get("schema_version", 1),
                      "txns": dict(doc.get("txns", {})),
                      "constraints": dict(doc.get("constraints", {})),
+                     "defaults": self._carry_defaults(doc),
                      "partition_spec": {"spec_id": spec_id, "fields": norm}},
                 )
                 return version
@@ -456,6 +499,7 @@ class SnapshotStore:
                      "partition_spec": doc.get("partition_spec"),
                      "txns": dict(doc.get("txns", {})),
                      "constraints": {**existing, name: expression},
+                     "defaults": self._carry_defaults(doc),
                      "schema": doc.get("schema"),
                      "schema_version": doc.get("schema_version", 1)},
                 )
@@ -491,6 +535,7 @@ class SnapshotStore:
                      "partition_spec": doc.get("partition_spec"),
                      "txns": dict(doc.get("txns", {})),
                      "constraints": existing,
+                     "defaults": self._carry_defaults(doc),
                      "schema": doc.get("schema"),
                      "schema_version": doc.get("schema_version", 1)},
                 )
@@ -1057,7 +1102,14 @@ class SnapshotStore:
                    # layout contract and writer-idempotence do not)
                    "partition_spec": prev_doc.get("partition_spec"),
                    "txns": txns,
-                   "constraints": dict(prev_doc.get("constraints", {}))}
+                   "constraints": dict(prev_doc.get("constraints", {})),
+                   # append: prior members keep their default backfill;
+                   # overwrite: the old members die and the backfill
+                   # entries die with them (the new state is physical)
+                   "defaults": self._carry_defaults(
+                       prev_doc,
+                       () if keep_prev else prev_doc.get("members", []),
+                   )}
             if partitions:
                 doc["partitions"] = partitions
             if deletes:
@@ -1179,6 +1231,7 @@ class SnapshotStore:
                  "partition_spec": doc.get("partition_spec"),
                  "txns": dict(doc.get("txns", {})),
                  "constraints": dict(doc.get("constraints", {})),
+                 "defaults": self._carry_defaults(doc, doc["members"]),
                  # the rewrite reads under the recorded schema, so the
                  # compacted member physically carries every evolved
                  # column (NULL-backfilled) — schema version unchanged
@@ -1309,6 +1362,7 @@ class SnapshotStore:
                          "partition_spec": doc.get("partition_spec"),
                          "txns": dict(doc.get("txns", {})),
                          "constraints": dict(doc.get("constraints", {})),
+                         "defaults": self._carry_defaults(doc, doc["members"]),
                          "schema": doc.get("schema"),
                          "schema_version": doc.get("schema_version", 1)},
                     )
@@ -1534,6 +1588,7 @@ class SnapshotStore:
                          "partition_spec": doc.get("partition_spec"),
                          "txns": dict(doc.get("txns", {})),
                          "constraints": dict(doc.get("constraints", {})),
+                         "defaults": self._carry_defaults(doc),
                          "schema": doc.get("schema"),
                          "schema_version": doc.get("schema_version", 1)},
                     )
@@ -1669,6 +1724,7 @@ class SnapshotStore:
                          "partition_spec": doc.get("partition_spec"),
                          "txns": dict(doc.get("txns", {})),
                          "constraints": dict(doc.get("constraints", {})),
+                         "defaults": self._carry_defaults(doc),
                          "schema": doc.get("schema"),
                          "schema_version": doc.get(
                              "schema_version", 1
@@ -1814,6 +1870,7 @@ class SnapshotStore:
                              "partition_spec": doc.get("partition_spec"),
                              "txns": dict(doc.get("txns", {})),
                              "constraints": dict(doc.get("constraints", {})),
+                         "defaults": self._carry_defaults(doc),
                              "schema": doc.get("schema"),
                              "schema_version": doc.get(
                                  "schema_version", 1
@@ -2027,6 +2084,7 @@ class SnapshotStore:
              "partition_spec": doc.get("partition_spec"),
              "txns": dict(doc.get("txns", {})),
              "constraints": dict(doc.get("constraints", {})),
+             "defaults": self._carry_defaults(doc, affected),
              "schema": doc.get("schema"),
              "schema_version": doc.get("schema_version", 1)},
         )
@@ -2083,11 +2141,15 @@ class SnapshotStore:
             return prev
         totals = {
             r["m"]: r["n"]
-            for r in self._read_members_raw(spark, doc, candidates)
+            # with_pos: the _file address column survives the default-
+            # backfill projections where raw _metadata would not
+            for r in self._read_members_raw(
+                spark, doc, candidates, with_pos=True
+            )
             .select(
                 F.regexp_extract(
-                    F.col("_metadata.file_path"),
-                    r"(data/c[0-9a-f]{16})/",
+                    F.col("_file"),
+                    r"^(data/c[0-9a-f]{16})/",
                     1,
                 ).alias("m")
             )
@@ -2147,6 +2209,7 @@ class SnapshotStore:
                  "partition_spec": doc.get("partition_spec"),
                  "txns": dict(doc.get("txns", {})),
                  "constraints": dict(doc.get("constraints", {})),
+                 "defaults": self._carry_defaults(doc, rewrite),
                  "schema": doc.get("schema"),
                  "schema_version": doc.get("schema_version", 1)},
             )
@@ -2289,6 +2352,7 @@ class SnapshotStore:
                  "partition_spec": doc.get("partition_spec"),
                  "txns": dict(doc.get("txns", {})),
                  "constraints": dict(doc.get("constraints", {})),
+                 "defaults": self._carry_defaults(doc, small),
                  "schema": doc.get("schema"),
                  "schema_version": doc.get("schema_version", 1)},
             )
@@ -2352,15 +2416,23 @@ class SnapshotStore:
         ]
 
     def _read_members_raw(
-        self, spark: SparkSession, doc: dict, members: list[str]
+        self,
+        spark: SparkSession,
+        doc: dict,
+        members: list[str],
+        with_pos: bool = False,
     ) -> DataFrame:
         """Read ``members`` under the manifest's recorded schema: members
         that predate an additive evolution NULL-backfill the newer
-        columns by NAME, with zero per-file footer merging (contrast
-        ``mergeSchema=true``, which opens every footer). Legacy manifests
-        without a recorded schema read by inference, as before. Deletion
-        vectors are NOT applied — this is the physical-bytes read the
-        change feed and the DV machinery itself build on."""
+        columns by NAME — or DEFAULT-backfill when the column was added
+        with a default (the manifest's ``defaults`` map records which
+        members predate each defaulted column, so genuine NULLs written
+        after the evolution are never confused with the backfill) — with
+        zero per-file footer merging (contrast ``mergeSchema=true``,
+        which opens every footer). Legacy manifests without a recorded
+        schema read by inference, as before. Deletion vectors are NOT
+        applied — this is the physical-bytes read the change feed and
+        the DV machinery itself build on."""
         if not members:
             # a spec'd overwrite of an empty batch can legally publish a
             # zero-member version: the recorded schema IS the table
@@ -2371,12 +2443,59 @@ class SnapshotStore:
             return spark.createDataFrame(
                 [], StructType.fromJson(doc["schema"])
             )
-        reader = spark.read
-        if doc.get("schema") is not None:
-            reader = reader.schema(StructType.fromJson(doc["schema"]))
-        return reader.parquet(
-            *[os.path.join(self.base_dir, m) for m in members]
+        schema = (
+            StructType.fromJson(doc["schema"])
+            if doc.get("schema") is not None
+            else None
         )
+        defaults = doc.get("defaults") or {}
+
+        def _plain(ms: list[str]) -> DataFrame:
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.parquet(
+                *[os.path.join(self.base_dir, m) for m in ms]
+            )
+            if with_pos:
+                # the _metadata pseudo-column resolves only on the scan
+                # relation itself — project the row address HERE, before
+                # any default backfill or union hides it
+                df = df.select("*", *self._pos_cols())
+            return df
+
+        if not defaults or schema is None:
+            return _plain(members)
+        # group members by the exact set of defaulted columns they
+        # predate (almost always one group or two) — each group is one
+        # schema-pruned scan with its literals stamped on top, and the
+        # union preserves the recorded column order
+        fill_of = {
+            m: tuple(
+                sorted(
+                    (col, spec["value"])
+                    for col, spec in defaults.items()
+                    if m in set(spec.get("members", []))
+                )
+            )
+            for m in members
+        }
+        groups: dict[tuple, list[str]] = {}
+        for m in members:
+            groups.setdefault(fill_of[m], []).append(m)
+        out_cols = [f.name for f in schema.fields] + (
+            ["_file", "_pos"] if with_pos else []
+        )
+        out = None
+        for fill, ms in groups.items():
+            df = _plain(ms)
+            for col, value in fill:
+                df = df.withColumn(
+                    col, F.lit(value).cast(schema[col].dataType)
+                )
+            df = df.select(*out_cols)
+            out = df if out is None else out.unionByName(df)
+        return out
 
     @staticmethod
     def _pos_cols() -> list[Column]:
@@ -2400,14 +2519,15 @@ class SnapshotStore:
     ) -> DataFrame:
         """``members`` under the manifest schema plus the row-address
         columns ``(_file, _pos)``."""
-        raw = self._read_members_raw(spark, doc, members)
         if not members:  # local relation: no _metadata to project
-            return raw.select(
+            return self._read_members_raw(spark, doc, members).select(
                 "*",
                 F.lit("").alias("_file"),
                 F.lit(0).cast("long").alias("_pos"),
             )
-        return raw.select("*", *self._pos_cols())
+        # with_pos projects the address at the scan level — required
+        # once default backfill wraps the scan in projections/unions
+        return self._read_members_raw(spark, doc, members, with_pos=True)
 
     def _read_dvs(self, spark: SparkSession, dv_dirs: list[str]) -> DataFrame:
         return spark.read.schema("_file string, _pos long").parquet(
