@@ -127,9 +127,13 @@ def _read_file_backfilled(
             t = to_arrow_type(f.dataType)
             if f.name in fills:
                 # initial-default backfill: this file's member predates
-                # the column and its manifest entry carries the value
+                # the column and its manifest entry carries the value.
+                # Build untyped then cast so value/type coercion matches
+                # the native path's F.lit(value).cast(dtype) (a direct
+                # typed pa.array raises ArrowInvalid on e.g. a string
+                # default for a date column, where the cast succeeds).
                 cols.append(
-                    pa.array([fills[f.name]] * len(table), t)
+                    pa.array([fills[f.name]] * len(table)).cast(t)
                 )
             else:
                 cols.append(pa.nulls(len(table), t))

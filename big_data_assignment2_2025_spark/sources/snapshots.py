@@ -329,6 +329,20 @@ class SnapshotStore:
                 "default must be a JSON scalar (int/float/str/bool), "
                 f"got {type(default).__name__}"
             )
+        if default is not None:
+            # reject a default Arrow cannot cast to the column type at
+            # declare time, so the native (F.lit().cast) and format-API
+            # (pa.array().cast) read paths can never diverge on it
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            try:
+                pa.array([default]).cast(to_arrow_type(dtype))
+            except Exception as e:
+                raise ValueError(
+                    f"default {default!r} is not castable to column type "
+                    f"{dtype.simpleString()}: {e}"
+                ) from None
         for _ in range(_OCC_RETRIES):
             prev = self.latest_version()
             if prev is None:
@@ -597,7 +611,15 @@ class SnapshotStore:
         cons = doc.get("constraints") or {}
         if not cons or not written:
             return
-        df = spark.read.parquet(
+        # Read under the candidate manifest's merged schema (mirrors
+        # _read_members_raw): a legal subset append that omits a column
+        # referenced by a CHECK constraint NULL-backfills and passes
+        # under SQL NULL-passes semantics, instead of failing column
+        # resolution and blocking the valid write.
+        reader = spark.read
+        if doc.get("schema") is not None:
+            reader = reader.schema(StructType.fromJson(doc["schema"]))
+        df = reader.parquet(
             *[os.path.join(self.base_dir, d) for d in written]
         )
         self._check_rows(df, cons, context=f"{verb}")
@@ -1030,6 +1052,18 @@ class SnapshotStore:
             prev = self.latest_version()
             version = (prev or 0) + 1
             prev_doc = self.manifest(prev) if prev is not None else {}
+            # txn idempotence FIRST: an already-landed batch is a no-op
+            # even if a later add_constraint would now reject its rows —
+            # the duplicate must return idempotently, not raise (and must
+            # not pay a needless validation scan per retry)
+            if txn is not None:
+                app, batch_id = txn
+                last = prev_doc.get("txns", {}).get(app)
+                if last is not None and batch_id <= last:
+                    # a racing writer landed this very batch between our
+                    # pre-check and now: our data directory becomes a
+                    # vacuum()-collectable orphan, the rows exist ONCE
+                    return prev
             # CHECK constraints: validate the just-written files against
             # the manifest we are landing on — re-run only if a rebase
             # changed the constraint set (a racing add_constraint)
@@ -1042,14 +1076,6 @@ class SnapshotStore:
                     [d for d, _ in written], f"commit(mode={mode!r})",
                 )
                 validated_cons = cons_key
-            if txn is not None:
-                app, batch_id = txn
-                last = prev_doc.get("txns", {}).get(app)
-                if last is not None and batch_id <= last:
-                    # a racing writer landed this very batch between our
-                    # pre-check and now: our data directory becomes a
-                    # vacuum()-collectable orphan, the rows exist ONCE
-                    return prev
             txns = dict(prev_doc.get("txns", {}))
             if txn is not None:
                 txns[txn[0]] = txn[1]
@@ -2283,20 +2309,42 @@ class SnapshotStore:
         ]
         if len(small) < min_members:
             return prev
-        # greedy first-fit by manifest order (stable): bins of cumulative
-        # size <= target_bytes, so output files land near the target and
-        # above the target/2 graduation threshold
-        bins: list[list[str]] = []
-        cur: list[str] = []
-        acc = 0
+        # greedy first-fit by manifest order (stable), binned PER
+        # PARTITION ENTRY: under a spec, a mixed-partition bin would fan
+        # back out through _write_under_spec into one member per leaf —
+        # each below target/2, never graduating, re-rewritten every run.
+        # Grouping by the member's partition value guarantees each bin
+        # writes exactly ONE member, so the [target/2, target] graduation
+        # bound holds for partitioned stores too. Members without a
+        # partitions entry (pre-spec) share one group; their first
+        # rewrite under the current spec is a one-time migration whose
+        # outputs gain partition entries and bin per-partition next run.
+        part_of = doc.get("partitions", {})
+        groups: dict[str, list[str]] = {}
         for m in small:
-            if cur and acc + sizes[m] > target_bytes:
+            key = json.dumps(part_of.get(m), sort_keys=True)
+            groups.setdefault(key, []).append(m)
+        deletes_map = doc.get("deletes") or {}
+        bins: list[list[str]] = []
+        for key in sorted(groups):
+            cur: list[str] = []
+            acc = 0
+            for m in groups[key]:
+                if cur and acc + sizes[m] > target_bytes:
+                    bins.append(cur)
+                    cur, acc = [], 0
+                cur.append(m)
+                acc += sizes[m]
+            if cur:
                 bins.append(cur)
-                cur, acc = [], 0
-            cur.append(m)
-            acc += sizes[m]
-        if cur:
-            bins.append(cur)
+        # a 1-member DV-less bin would rewrite the same bytes into the
+        # same shape (and recompression can even shrink it back under
+        # target/2 — an endless self-rewrite): pure churn, leave it for
+        # a run where a sibling small member exists in its partition
+        bins = [b for b in bins if len(b) > 1 or deletes_map.get(b[0])]
+        small = [m for b in bins for m in b]
+        if not bins or len(small) < min_members:
+            return prev
         version = prev + 1
         written_all: list[tuple[str, dict | None]] = []
         for b in bins:

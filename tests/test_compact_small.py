@@ -129,3 +129,42 @@ def test_compact_small_loses_race_cleanly(spark, sf_dir, tmp_path):
         pinned.compact_small(spark, target_bytes=1 << 31)
     # the real store is untouched beyond the racer's append
     assert st.read(spark).count() == orders.count() + 3
+
+
+def test_compact_small_graduates_under_partition_spec(
+    spark, sf_dir, tmp_path
+):
+    """r13 ADVICE regression: under a partition spec, bins are formed
+    PER PARTITION ENTRY so each bin writes exactly one member and the
+    [target/2, target] graduation bound holds — a mixed-partition bin
+    used to fan back out into per-leaf small members that were
+    re-rewritten on every later run (write amplification unbounded)."""
+    st = SnapshotStore(str(tmp_path))
+    orders = _orders(spark, sf_dir)
+    st.commit(orders.limit(10), mode="overwrite")
+    st.set_partition_spec([("o_orderpriority", "identity")])
+    # trickle: several small partitioned appends -> many tiny members
+    for i in range(4):
+        st.commit(
+            orders.where(F.col("o_orderkey") % 4 == i).limit(200),
+            mode="append",
+        )
+    want = st.read(spark).count()
+    v1 = st.compact_small(spark, target_bytes=1 << 31)
+    doc1 = st.manifest(v1)
+    assert doc1["mode"] == "compact_small"
+    # every bin produced exactly ONE member (per partition), so output
+    # member count == number of distinct partitions among rewrote's
+    # binnable groups; crucially outputs are not smaller than inputs
+    assert len(doc1["added"]) < len(doc1["rewrote"])
+    assert st.read(spark).count() == want
+    # a second run must NOT re-rewrite the first run's outputs: with the
+    # same target every graduated member stays untouched (idempotence)
+    v2 = st.compact_small(spark, target_bytes=1 << 31)
+    if v2 != v1:  # a residual group may legally compact once more
+        doc2 = st.manifest(v2)
+        assert not set(doc2["rewrote"]) & set(doc1["added"]), (
+            "re-rewrote members produced by the previous compact_small"
+        )
+        v3 = st.compact_small(spark, target_bytes=1 << 31)
+        assert v3 == v2, "compact_small did not converge"

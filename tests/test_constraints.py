@@ -162,3 +162,57 @@ def test_constraints_survive_compact_and_delete(spark, sf_dir, tmp_path):
     assert st.constraints() == {"price_nonneg": "o_totalprice >= 0"}
     # history keeps serving; reads unaffected
     assert st.read(spark).count() > 0
+
+
+def test_subset_append_null_passes_constraint_column(
+    spark, sf_dir, tmp_path
+):
+    """r13 ADVICE regression: a legal subset append that OMITS the
+    column a CHECK constraint references must NULL-backfill under the
+    manifest schema and land (SQL NULL-passes) — not fail column
+    resolution and block the valid write."""
+    st, orders = _store(spark, sf_dir, tmp_path)
+    st.add_constraint(spark, "price_nonneg", "o_totalprice >= 0")
+    before = st.latest_version()
+    subset = orders.select("o_orderkey", "o_orderpriority").limit(5)
+    v = st.commit(subset, mode="append")  # omits o_totalprice entirely
+    assert v == before + 1
+    got = st.read(spark)
+    assert got.where(F.col("o_totalprice").isNull()).count() == 5
+    # a violating batch still refuses through the schema-backfilled read
+    with pytest.raises(ConstraintViolationError, match="price_nonneg"):
+        st.commit(
+            orders.limit(1).withColumn("o_totalprice", F.lit(-1.0)),
+            mode="append",
+        )
+
+
+def test_txn_replay_is_idempotent_past_new_constraint(
+    spark, sf_dir, tmp_path
+):
+    """r13 ADVICE regression: a duplicate-batch writer retry arriving
+    AFTER a later add_constraint must take the idempotent no-op return,
+    not re-validate (and spuriously raise) on rows that already
+    landed."""
+    st, orders = _store(spark, sf_dir, tmp_path)
+    batch = orders.limit(5).withColumn("o_totalprice", F.lit(-1.0))
+    st.commit(batch, mode="append", txn=("app", 1))
+    # the batch's rows violate the LATER rule, so clean them first and
+    # record the rule against the cleaned state
+    st.delete_where(spark, F.col("o_totalprice") < 0)
+    st.add_constraint(spark, "price_nonneg", "o_totalprice >= 0")
+    latest = st.latest_version()
+    # a plain replay takes commit()'s cheap pre-write short-circuit
+    assert st.commit(batch, mode="append", txn=("app", 1)) == latest
+    # the RACING twin (pre-check saw a stale manifest, data written,
+    # idempotence re-checked inside the OCC loop): must hit the in-loop
+    # txn check BEFORE constraint enforcement and no-op, not raise
+    orig = st.last_txn
+    st.last_txn = lambda app: None  # simulate the stale pre-check
+    try:
+        got = st.commit(batch, mode="append", txn=("app", 1))
+    finally:
+        st.last_txn = orig
+    assert got == latest
+    assert st.latest_version() == latest
+    assert st.vacuum() != []  # the twin's data dir is an orphan

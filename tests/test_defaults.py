@@ -136,3 +136,35 @@ def test_default_survives_update_where_and_merge(spark, sf_dir, tmp_path):
         for r in st.read(spark).groupBy("region_code").count().collect()
     }
     assert by[2] == 4 and by[7] == got.count() - 4
+
+
+def test_default_cast_parity_native_vs_arrow(spark, sf_dir, tmp_path):
+    """r13 ADVICE regression: a default whose Python type needs a CAST
+    to the column type (string -> date here) must read identically via
+    the native path (F.lit().cast) and the format-API Arrow path
+    (pa.array().cast) — the typed-array construction used to raise
+    ArrowInvalid only on the Arrow side."""
+    from big_data_assignment2_2025_spark.sources.snapshot_source import (
+        SnapshotStreamDataSource,
+    )
+
+    spark.dataSource.register(SnapshotStreamDataSource)
+    st = SnapshotStore(str(tmp_path))
+    orders = _orders(spark, sf_dir)
+    st.commit(orders.limit(8), mode="overwrite")
+    st.add_column("as_of", "date", default="2020-01-31")
+    native = {tuple(r) for r in st.read(spark).collect()}
+    fmt = {
+        tuple(r)
+        for r in spark.read.format("snapshotstream")
+        .option("path", str(tmp_path))
+        .load()
+        .collect()
+    }
+    assert fmt == native
+    assert all(str(r[-1]) == "2020-01-31" for r in fmt)
+    # an uncastable default refuses at DECLARE time, on both paths
+    with pytest.raises(ValueError, match="not castable"):
+        st.add_column("bad_date", "date", default="not-a-date")
+    with pytest.raises(ValueError, match="not castable"):
+        st.add_column("bad_int", "int", default="abc")
