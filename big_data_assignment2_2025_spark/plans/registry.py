@@ -42,6 +42,7 @@ from . import (
     round10_queries,
     round11_queries,
     round12_queries,
+    round13_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -89,6 +90,7 @@ _MODULES = [
     round10_queries,
     round11_queries,
     round12_queries,
+    round13_queries,
     storage_queries,
 ]
 

@@ -1,0 +1,372 @@
+"""Round-13 queries: column mapping (rename/drop without rewrite) and
+identity / generated columns on the snapshot store.
+
+``sources/snapshots.py`` gained the remaining Delta DDL surface:
+``rename_column`` / ``drop_column`` are metadata-only under a
+logical->physical ``column_mapping`` (physical in-file names never
+change; a dropped column's physical name retires so a re-added logical
+name can never resurrect dead bytes), ``add_identity_column`` records a
+GENERATED ALWAYS AS IDENTITY watermark that every later commit assigns
+past (unique, gaps allowed, no shuffle), and ``add_generated_column``
+materializes GENERATED ALWAYS AS (expr) on every write verb's
+post-images. All three gates stage a store whose builder ASSERTS the
+refusal paths, then pin the surviving narrative cross-engine.
+
+Scale: rename/drop touch one manifest (O(members) metadata, zero data
+bytes); identity assignment derives from per-partition id blocks (no
+shuffle, no global sort — Delta documents the same gap-allowed
+contract); generated recompute is a codegen'd projection on post-images
+only.
+
+No reference counterpart; lakehouse extensions per SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import (
+    derived_cache_ok,
+    fixture_fingerprint,
+    load_table,
+    mark_derived_cache,
+)
+from ..sources.snapshots import SnapshotStore
+
+#: the column-mapping narrative's append split (shared Spark/SQL)
+_MAP_MOD = 1000   # v5 appends orders with k % 1000 == 0 under the new names
+
+
+def _staged_mapping_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
+    """v1 overwrite -> v2 rename(o_totalprice -> price_usd) -> v3
+    drop(o_orderpriority) -> v4 re-add o_orderpriority (fresh physical:
+    old bytes must NOT resurrect) -> v5 append under the new names. The
+    builder asserts the refusal paths (rename onto an existing name,
+    drop of the last column's guards are unit-tested; here: re-added
+    column reads NULL on pre-drop rows)."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"snapcolmap1_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(base, fprint):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        store = SnapshotStore(base)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        store.commit(orders, mode="overwrite", stats_cols=["o_orderkey"])
+        v2 = store.rename_column("o_totalprice", "price_usd")
+        assert store.manifest(v2)["added"] == [], "rename wrote data"
+        v3 = store.drop_column("o_orderpriority")
+        assert store.manifest(v3)["added"] == [], "drop wrote data"
+        store.add_column("o_orderpriority", "string")
+        assert store.column_mapping()["o_orderpriority"] != (
+            "o_orderpriority"
+        ), "re-added column did not get a fresh physical name"
+        store.commit(
+            orders.where(F.col("o_orderkey") % _MAP_MOD == 0)
+            .withColumnRenamed("o_totalprice", "price_usd")
+            .withColumn("o_orderpriority", F.lit("NEW")),
+            mode="append",
+        )
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
+        mark_derived_cache(base, fprint)
+    return SnapshotStore(base)
+
+
+def storage_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping narrative pinned cross-engine: the renamed column
+    serves the SAME values under its new logical name (physical bytes
+    untouched — bookkeeping pins zero files written by rename/drop),
+    the dropped-then-re-added column reads NULL on every pre-drop row
+    (fresh physical name: dead bytes cannot resurrect) and 'NEW' on the
+    appended batch, and time travel still shows the old shape. Money as
+    exact integer cents."""
+    store = _staged_mapping_store(spark, sf_dir)
+    v1_cols = store.schema(1).fieldNames()
+    v5 = store.latest_version()
+    return (
+        store.read(spark)
+        .groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("__none__")).alias(
+                "prio"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            (
+                F.sum(F.round(F.col("price_usd") * 100).cast("long"))
+                / 100.0
+            ).alias("sum_price"),
+        )
+        .select(
+            F.lit(v5).alias("n_versions"),
+            F.lit(int("o_totalprice" in v1_cols)).alias("v1_old_name"),
+            F.lit(
+                int(store.column_mapping()["price_usd"] == "o_totalprice")
+            ).alias("mapping_pins_physical"),
+            F.lit(len(store.manifest(v5)["retired_physical"])).alias(
+                "n_retired"
+            ),
+            "prio",
+            "n_rows",
+            "sum_price",
+        )
+        .orderBy("prio")
+    )
+
+
+COLUMN_MAPPING_SQL = f"""
+WITH final AS (
+  SELECT '__none__' AS prio, o_totalprice AS p FROM orders
+  UNION ALL
+  SELECT 'NEW', o_totalprice FROM orders
+  WHERE o_orderkey % {_MAP_MOD} = 0)
+SELECT CAST(5 AS INTEGER) AS n_versions,
+       CAST(1 AS INTEGER) AS v1_old_name,
+       CAST(1 AS INTEGER) AS mapping_pins_physical,
+       CAST(1 AS INTEGER) AS n_retired,
+       prio, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_price
+FROM final
+GROUP BY prio
+ORDER BY prio
+"""
+
+
+#: identity narrative splits (shared Spark/SQL)
+_ID_MOD = 3        # v1 = k % 3 != 0; v3 appends k % 3 == 0
+_ID_START = 1000
+_ID_STEP = 3
+_ID_UPD_PRIO = "1-URGENT"   # v4 update: price += 10 on this priority
+
+
+def _staged_identity_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
+    """v1 overwrite (no id column) -> v2 add_identity_column (one
+    rewrite materializes ids for existing rows) -> v3 append OMITTING
+    the column (engine assigns past the watermark) -> v4 update_where
+    (post-images keep their ids). The builder asserts the refusal
+    paths: explicit identity values and identity assignment refuse."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"snapident1_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(base, fprint):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        store = SnapshotStore(base)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        store.commit(
+            orders.where(F.col("o_orderkey") % _ID_MOD != 0),
+            mode="overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        store.add_identity_column(
+            spark, "row_id", start=_ID_START, step=_ID_STEP
+        )
+        try:
+            store.commit(
+                orders.limit(1).withColumn(
+                    "row_id", F.lit(1).cast("long")
+                ),
+                mode="append",
+            )
+            raise AssertionError("explicit identity value landed")
+        except ValueError:
+            pass
+        store.commit(
+            orders.where(F.col("o_orderkey") % _ID_MOD == 0),
+            mode="append",
+        )
+        try:
+            store.update_where(
+                spark, F.lit(True), {"row_id": F.lit(0).cast("long")}
+            )
+            raise AssertionError("identity assignment landed")
+        except ValueError:
+            pass
+        store.update_where(
+            spark,
+            F.col("o_orderpriority") == _ID_UPD_PRIO,
+            {"o_totalprice": F.col("o_totalprice") + F.lit(10.0)},
+        )
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
+        mark_derived_cache(base, fprint)
+    return SnapshotStore(base)
+
+
+def storage_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY pinned cross-engine: the Spark side
+    MEASURES the identity invariants on the final table (ids unique,
+    none NULL, all past the start in step's residue class, watermark
+    covering the max) and the oracle states what they must equal — a
+    broken assignment (collision, NULL on the update path, watermark
+    drift) hash-mismatches. The per-priority money aggregate pins that
+    the id machinery never perturbed row content."""
+    store = _staged_identity_store(spark, sf_dir)
+    wm = store.identity_columns()["row_id"]["watermark"]
+    t = store.read(spark)
+    inv = t.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("row_id").alias("n_distinct_ids"),
+        F.sum(
+            F.when(F.col("row_id").isNull(), 1).otherwise(0)
+        ).alias("n_null_ids"),
+        F.min(
+            F.when(F.col("row_id") >= _ID_START, 1).otherwise(0)
+        ).alias("all_past_start"),
+        F.min(
+            F.when(
+                (F.col("row_id") - _ID_START) % _ID_STEP == 0, 1
+            ).otherwise(0)
+        ).alias("all_on_step"),
+        F.max(
+            F.when(F.col("row_id") <= F.lit(wm), 1).otherwise(0)
+        ).alias("watermark_covers"),
+    )
+    money = t.groupBy(
+        F.col("o_orderpriority").alias("prio")
+    ).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            / 100.0
+        ).alias("sum_price")
+    )
+    return inv.crossJoin(money).select(
+        "prio", "n_rows", "n_distinct_ids", "n_null_ids",
+        "all_past_start", "all_on_step", "watermark_covers", "sum_price",
+    ).orderBy("prio")
+
+
+IDENTITY_COLUMN_SQL = f"""
+WITH updated AS (
+  SELECT o_orderpriority AS prio,
+         CASE WHEN o_orderpriority = '{_ID_UPD_PRIO}'
+              THEN o_totalprice + 10.0 ELSE o_totalprice END AS p
+  FROM orders),
+inv AS (SELECT COUNT(*) AS n FROM updated)
+SELECT u.prio,
+       inv.n AS n_rows,
+       inv.n AS n_distinct_ids,
+       CAST(0 AS BIGINT) AS n_null_ids,
+       CAST(1 AS INTEGER) AS all_past_start,
+       CAST(1 AS INTEGER) AS all_on_step,
+       CAST(1 AS INTEGER) AS watermark_covers,
+       CAST(SUM(CAST(round(u.p * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_price
+FROM updated u CROSS JOIN inv
+GROUP BY u.prio, inv.n
+ORDER BY u.prio
+"""
+
+
+#: generated-column narrative splits (shared Spark/SQL)
+_GEN_MOD = 2          # v1 = k % 2 == 0; v3 appends k % 2 == 1
+_GEN_DIV = 50000      # band = floor(price / 50000)
+_GEN_UPD_PRIO = "1-URGENT"   # v4 update: price += 100000 -> band jumps
+
+
+def _staged_generated_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
+    """v1 overwrite -> v2 add_generated_column(band) (one rewrite
+    materializes it) -> v3 append OMITTING the column (engine computes)
+    -> v4 update_where on a SOURCE column (band recomputes on the
+    post-image). The builder asserts explicit values refuse."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"snapgen1_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(base, fprint):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        store = SnapshotStore(base)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        store.commit(
+            orders.where(F.col("o_orderkey") % _GEN_MOD == 0),
+            mode="overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        store.add_generated_column(
+            spark, "band", "int",
+            f"CAST(FLOOR(o_totalprice / {_GEN_DIV}) AS INT)",
+        )
+        try:
+            store.commit(
+                orders.limit(1).withColumn("band", F.lit(0)),
+                mode="append",
+            )
+            raise AssertionError("explicit generated value landed")
+        except ValueError:
+            pass
+        store.commit(
+            orders.where(F.col("o_orderkey") % _GEN_MOD == 1),
+            mode="append",
+        )
+        store.update_where(
+            spark,
+            F.col("o_orderpriority") == _GEN_UPD_PRIO,
+            {"o_totalprice": F.col("o_totalprice") + F.lit(100000.0)},
+        )
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
+        mark_derived_cache(base, fprint)
+    return SnapshotStore(base)
+
+
+def storage_generated_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS (expr) pinned cross-engine at VALUE level:
+    the per-band aggregate of the final state must equal the oracle's
+    recomputation of the expression over the relational narrative —
+    a stale band on the update path (the classic derived-column bug)
+    shifts rows between groups and hash-mismatches. FLOOR keeps the
+    Spark truncation and DuckDB rounding casts agreed."""
+    store = _staged_generated_store(spark, sf_dir)
+    return (
+        store.read(spark)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0
+            ).alias("sum_price"),
+        )
+        .orderBy("band")
+    )
+
+
+GENERATED_COLUMN_SQL = f"""
+WITH updated AS (
+  SELECT CASE WHEN o_orderpriority = '{_GEN_UPD_PRIO}'
+              THEN o_totalprice + 100000.0 ELSE o_totalprice END AS p
+  FROM orders)
+SELECT CAST(FLOOR(p / {_GEN_DIV}) AS INTEGER) AS band,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_price
+FROM updated
+GROUP BY band
+ORDER BY band
+"""
+
+
+QUERIES = {
+    "storage_column_mapping": storage_column_mapping,
+    "storage_identity_column": storage_identity_column,
+    "storage_generated_column": storage_generated_column,
+}
+
+ORACLES = {
+    "storage_column_mapping": COLUMN_MAPPING_SQL,
+    "storage_identity_column": IDENTITY_COLUMN_SQL,
+    "storage_generated_column": GENERATED_COLUMN_SQL,
+}

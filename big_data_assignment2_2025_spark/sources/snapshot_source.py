@@ -71,6 +71,11 @@ from pyspark.sql.types import StructField, StructType
 
 FORMAT_NAME = "snapshotstream"
 
+#: mirror of ``snapshots._READER_VERSION`` — keep in sync (this module
+#: must stay light for executor import; equality is test-pinned in
+#: tests/test_protocol_version.py)
+_READER_VERSION = 4
+
 
 def _read_file_backfilled(
     path: str,
@@ -78,6 +83,7 @@ def _read_file_backfilled(
     dv_paths: tuple[str, ...] = (),
     rel_path: str | None = None,
     fill: tuple[tuple[str, object], ...] = (),
+    colmap: tuple[tuple[str, str], ...] = (),
 ):
     """One parquet file as Arrow batches, column-pruned to ``schema``
     with NULL backfill for columns the file predates (the manifest-
@@ -117,10 +123,12 @@ def _read_file_backfilled(
             table = table.filter(keep)
     names = [f.name for f in schema.fields]
     fills = dict(fill)
+    phys_of = dict(colmap)  # logical -> physical (column mapping)
     cols = []
     for f in schema.fields:
-        if f.name in table.column_names:
-            cols.append(table.column(f.name))
+        phys = phys_of.get(f.name, f.name)
+        if phys in table.column_names:
+            cols.append(table.column(phys))
         else:
             from pyspark.sql.pandas.types import to_arrow_type
 
@@ -156,6 +164,7 @@ class _FilePartition(InputPartition):
     dv_paths: tuple[str, ...] = ()
     rel_path: str | None = None
     fill: tuple[tuple[str, object], ...] = ()
+    colmap: tuple[tuple[str, str], ...] = ()
 
 
 def _member_file_partitions(
@@ -173,6 +182,7 @@ def _member_file_partitions(
     members never carry DVs at publish time)."""
     deletes = doc.get("deletes") or {}
     defaults = doc.get("defaults") or {}
+    colmap = tuple(sorted((doc.get("column_mapping") or {}).items()))
     out: list[_FilePartition] = []
     for member in members:
         full = os.path.join(store_path, member)
@@ -199,6 +209,7 @@ def _member_file_partitions(
                         dv_paths=dv_paths,
                         rel_path=f"{member}/{name}",
                         fill=fill,
+                        colmap=colmap,
                     )
                 )
     return out
@@ -220,7 +231,16 @@ def _load_manifest(path: str, version: int) -> dict:
     with open(
         os.path.join(path, "_manifests", f"v{version:08d}.json")
     ) as fh:
-        return json.load(fh)
+        doc = json.load(fh)
+    need = int(doc.get("min_reader_version", 1))
+    if need > _READER_VERSION:
+        raise ValueError(
+            f"manifest v{version} requires reader protocol {need} but "
+            f"this reader understands {_READER_VERSION}: a newer writer "
+            "recorded table features this generation would silently "
+            "mis-read (wrong rows). Upgrade the reader."
+        )
+    return doc
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -381,6 +401,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 partition.dv_paths,
                 partition.rel_path,
                 partition.fill,
+                partition.colmap,
             )
             return
         import pyarrow as pa
@@ -402,6 +423,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             partition.dv_paths,
             partition.rel_path,
             partition.fill,
+            partition.colmap,
         ):
             n = batch.num_rows
             yield pa.RecordBatch.from_arrays(
@@ -455,6 +477,7 @@ class SnapshotBatchReader(DataSourceReader):
             partition.dv_paths,
             partition.rel_path,
             partition.fill,
+            partition.colmap,
         )
 
 

@@ -127,6 +127,17 @@ _BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
 #: Hive's directory name for a NULL partition value
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+#: reader generations this code understands (Delta's protocol
+#: ``minReaderVersion`` re-expressed): 1 = base manifests, 2 = deletion
+#: vectors, 3 = initial defaults + CHECK constraints, 4 = column
+#: mapping (rename/drop) + identity/generated columns. A manifest
+#: stamped with a HIGHER requirement refuses loudly on open — an old
+#: reader silently ignoring ``deletes``/``defaults``/``column_mapping``
+#: keys would serve wrong rows, the worst failure class a store can
+#: have. ``sources/snapshot_source.py`` mirrors this constant (test-
+#: pinned in tests/test_protocol_version.py).
+_READER_VERSION = 4
+
 #: canonical ISO lexical prefix (zero-padded yyyy-MM…) — the only string
 #: form whose lexical order agrees with temporal order, and so the only
 #: form month/day range-envelope pruning may act on
@@ -139,6 +150,15 @@ class ConstraintViolationError(ValueError):
     version is NOT published, the store is untouched, and any
     already-written data directory is a ``vacuum()``-collectable orphan
     — same discipline as a rejected schema or a lost race."""
+
+
+class ProtocolVersionError(RuntimeError):
+    """The manifest's ``min_reader_version`` exceeds what this reader
+    generation understands: a newer writer recorded table features
+    (deletion vectors, defaults, column mapping, ...) whose silent
+    omission would return WRONG ROWS, so the open refuses instead —
+    Delta's reader-protocol contract. Upgrade the reader; the store is
+    untouched."""
 
 
 class SnapshotConflictError(RuntimeError):
@@ -182,7 +202,16 @@ class SnapshotStore:
 
     def manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as fh:
-            return json.load(fh)
+            doc = json.load(fh)
+        need = int(doc.get("min_reader_version", 1))
+        if need > _READER_VERSION:
+            raise ProtocolVersionError(
+                f"manifest v{version} requires reader protocol {need} but "
+                f"this reader understands {_READER_VERSION}: a newer "
+                "writer recorded table features this generation would "
+                "silently mis-read (wrong rows). Upgrade the reader."
+            )
+        return doc
 
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY (Delta) / ``snapshots`` (Iceberg) as a list
@@ -286,6 +315,81 @@ class SnapshotStore:
         s = self.manifest(v).get("schema")
         return StructType.fromJson(s) if s else None
 
+    # -- column mapping (rename / drop without rewrite) -----------------------
+
+    def column_mapping(self, version: int | None = None) -> dict[str, str]:
+        """logical -> physical column-name map of ``version`` (default
+        latest). Sparse: only columns whose physical (in-file) name
+        differs appear — Delta ``columnMapping.mode=name`` re-expressed.
+        Physical names NEVER change once written; renames move only the
+        logical name, which is why rename/drop are metadata-only."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return {}
+        return dict(self.manifest(v).get("column_mapping") or {})
+
+    def identity_columns(self, version: int | None = None) -> dict:
+        """``{col: {"step", "watermark"}}`` — GENERATED ALWAYS AS
+        IDENTITY columns (Delta semantics: engine-assigned, unique,
+        monotone past the watermark, gaps allowed)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return {}
+        return dict(self.manifest(v).get("identity") or {})
+
+    def generated_columns(self, version: int | None = None) -> dict[str, str]:
+        """``{col: sql_expr}`` — GENERATED ALWAYS AS (expr) columns,
+        materialized at write time from the expression (Delta
+        generated-column semantics)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return {}
+        return dict(self.manifest(v).get("generated") or {})
+
+    @staticmethod
+    def _physical_schema(schema: StructType, mapping: dict) -> StructType:
+        """``schema`` with each field renamed to its physical (in-file)
+        name — what parquet scans must request under column mapping."""
+        return StructType(
+            [
+                StructField(mapping.get(f.name, f.name), f.dataType, True)
+                for f in schema.fields
+            ]
+        )
+
+    @staticmethod
+    def _to_physical(df: DataFrame, mapping: dict) -> DataFrame:
+        """``df`` with mapped logical columns renamed to their physical
+        names — applied once, just before bytes hit parquet. A pure
+        projection: codegen'd, never a shuffle."""
+        if not mapping:
+            return df
+        return df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
+
+    @staticmethod
+    def _used_physical(doc: dict) -> set[str]:
+        """Every physical column name this lineage has EVER written —
+        current fields' physicals, mapping targets, and retired names of
+        dropped columns. A new logical column whose name collides gets a
+        fresh physical name, or old files would leak a dead column's
+        bytes into it."""
+        mapping = doc.get("column_mapping") or {}
+        used = set(mapping.values())
+        if doc.get("schema") is not None:
+            for f in StructType.fromJson(doc["schema"]).fields:
+                used.add(mapping.get(f.name, f.name))
+        used |= set(doc.get("retired_physical") or [])
+        return used
+
+    @staticmethod
+    def _expr_references(expr: str, col: str) -> bool:
+        """Conservative identifier match: does the SQL ``expr`` mention
+        ``col``? (Backtick-quoted or bare; used to refuse rename/drop of
+        columns a constraint or generated expression depends on.)"""
+        return re.search(rf"(?<![\w`]){re.escape(col)}(?![\w`])", expr) is not None or f"`{col}`" in expr
+
     @staticmethod
     def _carry_defaults(doc: dict, dropped=()) -> dict:
         """The ``defaults`` map carried into a new version, with
@@ -356,6 +460,9 @@ class SnapshotStore:
             prev_schema = StructType.fromJson(doc["schema"])
             if name in prev_schema.fieldNames():
                 raise ValueError(f"column {name!r} already exists")
+            # a re-added name whose physical bytes exist in old files
+            # (dropped or renamed-away column) gets a FRESH physical name
+            _, mapping = self._fresh_physical(name, doc)
             new_schema = StructType(
                 list(prev_schema.fields) + [StructField(name, dtype, True)]
             )
@@ -379,6 +486,7 @@ class SnapshotStore:
                      "txns": dict(doc.get("txns", {})),
                      "constraints": dict(doc.get("constraints", {})),
                      "defaults": new_defaults,
+                     "column_mapping": mapping,
                      "schema": new_schema.jsonValue(),
                      "schema_version": doc.get("schema_version", 1) + 1},
                 )
@@ -389,6 +497,485 @@ class SnapshotStore:
             f"add_column could not land after {_OCC_RETRIES} rebases "
             "(sustained contention on the manifest log)"
         )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column WITHOUT rewriting any data file (Delta column
+        mapping, mode=name): a schema-only version where the logical
+        name moves and the physical (in-file) name stays pinned in the
+        ``column_mapping`` map — reads request the physical name and
+        alias back, writes rename just before parquet. Every manifest
+        structure keyed by logical name (stats, partition values, spec
+        sources, defaults, identity, generated) follows the rename in
+        the SAME atomic publish. Time travel to pre-rename versions
+        shows the old name (their manifests are untouched). Refuses when
+        a CHECK constraint or another generated expression references
+        ``old`` (rewriting SQL text is not metadata-safe — drop and
+        re-add the rule under the new name)."""
+        if old == new:
+            raise ValueError("rename_column: old and new are the same")
+        for _ in range(_OCC_RETRIES):
+            prev = self.latest_version()
+            if prev is None:
+                raise ValueError("rename_column() on an empty store")
+            doc = self.manifest(prev)
+            if doc.get("schema") is None:
+                raise ValueError(
+                    "rename_column() needs a schema-tracking manifest"
+                )
+            schema = StructType.fromJson(doc["schema"])
+            names = schema.fieldNames()
+            if old not in names:
+                raise ValueError(f"column {old!r} does not exist")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            for cname, cexpr in (doc.get("constraints") or {}).items():
+                if self._expr_references(cexpr, old):
+                    raise ValueError(
+                        f"constraint {cname!r} references {old!r}; drop "
+                        "it first and re-add under the new name"
+                    )
+            for gname, gexpr in (doc.get("generated") or {}).items():
+                if gname != old and self._expr_references(gexpr, old):
+                    raise ValueError(
+                        f"generated column {gname!r} references {old!r}; "
+                        "drop it first and re-add under the new name"
+                    )
+            mapping = dict(doc.get("column_mapping") or {})
+            phys = mapping.pop(old, old)
+            if phys != new:
+                # renaming back to the exact physical name un-maps
+                mapping[new] = phys
+            ren = lambda c: new if c == old else c  # noqa: E731
+            new_schema = StructType(
+                [
+                    StructField(ren(f.name), f.dataType, True)
+                    for f in schema.fields
+                ]
+            )
+            stats = {
+                m: {ren(c): v for c, v in s.items()}
+                for m, s in doc.get("stats", {}).items()
+            }
+            parts = {
+                m: {
+                    **e,
+                    "fields": [
+                        {**fld, "source": ren(fld["source"])}
+                        for fld in e.get("fields", [])
+                    ],
+                }
+                for m, e in doc.get("partitions", {}).items()
+            }
+            spec = doc.get("partition_spec")
+            if spec:
+                spec = {
+                    **spec,
+                    "fields": [
+                        {**f, "source": ren(f["source"])}
+                        for f in spec.get("fields", [])
+                    ],
+                }
+            defaults = {
+                ren(c): v for c, v in (doc.get("defaults") or {}).items()
+            }
+            identity = {
+                ren(c): v for c, v in (doc.get("identity") or {}).items()
+            }
+            generated = {
+                ren(c): v for c, v in (doc.get("generated") or {}).items()
+            }
+            version = prev + 1
+            try:
+                self._publish(
+                    version,
+                    {"version": version, "mode": "alter",
+                     "members": list(doc["members"]), "added": [],
+                     "stats": stats, "partitions": parts,
+                     "deletes": dict(doc.get("deletes", {})),
+                     "deletes_rows": dict(doc.get("deletes_rows", {})),
+                     "partition_spec": spec,
+                     "txns": dict(doc.get("txns", {})),
+                     "constraints": dict(doc.get("constraints", {})),
+                     "defaults": defaults,
+                     "column_mapping": mapping,
+                     "identity": identity,
+                     "generated": generated,
+                     "retired_physical": list(
+                         doc.get("retired_physical") or []
+                     ),
+                     "schema": new_schema.jsonValue(),
+                     "schema_version": doc.get("schema_version", 1) + 1},
+                )
+                return version
+            except FileExistsError:
+                continue
+        raise SnapshotConflictError(
+            f"rename_column could not land after {_OCC_RETRIES} rebases "
+            "(sustained contention on the manifest log)"
+        )
+
+    def drop_column(self, name: str) -> int:
+        """Drop a column WITHOUT rewriting any data file: a schema-only
+        version removes it from the recorded schema (reads simply stop
+        requesting it — the manifest-schema scan prunes it for free) and
+        RETIRES its physical name so a later ``add_column`` of the same
+        logical name can never resurrect the dead bytes. Time travel to
+        pre-drop versions still shows the column. Refuses when a CHECK
+        constraint, the partition spec, or a generated expression
+        references it."""
+        for _ in range(_OCC_RETRIES):
+            prev = self.latest_version()
+            if prev is None:
+                raise ValueError("drop_column() on an empty store")
+            doc = self.manifest(prev)
+            if doc.get("schema") is None:
+                raise ValueError(
+                    "drop_column() needs a schema-tracking manifest"
+                )
+            schema = StructType.fromJson(doc["schema"])
+            if name not in schema.fieldNames():
+                raise ValueError(f"column {name!r} does not exist")
+            if len(schema.fields) == 1:
+                raise ValueError("cannot drop the last column")
+            for cname, cexpr in (doc.get("constraints") or {}).items():
+                if self._expr_references(cexpr, name):
+                    raise ValueError(
+                        f"constraint {cname!r} references {name!r}; "
+                        "drop the constraint first"
+                    )
+            for fld in (doc.get("partition_spec") or {}).get("fields", []):
+                if fld["source"] == name:
+                    raise ValueError(
+                        f"partition spec sources {name!r}; evolve the "
+                        "spec first"
+                    )
+            for gname, gexpr in (doc.get("generated") or {}).items():
+                if gname != name and self._expr_references(gexpr, name):
+                    raise ValueError(
+                        f"generated column {gname!r} references {name!r}; "
+                        "drop it first"
+                    )
+            mapping = dict(doc.get("column_mapping") or {})
+            phys = mapping.pop(name, name)
+            retired = list(doc.get("retired_physical") or [])
+            if phys not in retired:
+                retired.append(phys)
+            new_schema = StructType(
+                [f for f in schema.fields if f.name != name]
+            )
+            stats = {
+                m: {c: v for c, v in s.items() if c != name}
+                for m, s in doc.get("stats", {}).items()
+            }
+            defaults = {
+                c: v
+                for c, v in (doc.get("defaults") or {}).items()
+                if c != name
+            }
+            identity = {
+                c: v
+                for c, v in (doc.get("identity") or {}).items()
+                if c != name
+            }
+            generated = {
+                c: v
+                for c, v in (doc.get("generated") or {}).items()
+                if c != name
+            }
+            version = prev + 1
+            try:
+                self._publish(
+                    version,
+                    {"version": version, "mode": "alter",
+                     "members": list(doc["members"]), "added": [],
+                     "stats": stats,
+                     "partitions": dict(doc.get("partitions", {})),
+                     "deletes": dict(doc.get("deletes", {})),
+                     "deletes_rows": dict(doc.get("deletes_rows", {})),
+                     "partition_spec": doc.get("partition_spec"),
+                     "txns": dict(doc.get("txns", {})),
+                     "constraints": dict(doc.get("constraints", {})),
+                     "defaults": defaults,
+                     "column_mapping": mapping,
+                     "identity": identity,
+                     "generated": generated,
+                     "retired_physical": retired,
+                     "schema": new_schema.jsonValue(),
+                     "schema_version": doc.get("schema_version", 1) + 1},
+                )
+                return version
+            except FileExistsError:
+                continue
+        raise SnapshotConflictError(
+            f"drop_column could not land after {_OCC_RETRIES} rebases "
+            "(sustained contention on the manifest log)"
+        )
+
+    def add_identity_column(
+        self, spark: SparkSession, name: str, start: int = 1, step: int = 1
+    ) -> int:
+        """Add a ``GENERATED ALWAYS AS IDENTITY`` BIGINT column (Delta
+        semantics): values are ENGINE-assigned at every later
+        ``commit()`` — unique, strictly past the recorded watermark in
+        ``step``'s direction, gaps allowed (ids derive from
+        ``monotonically_increasing_id``'s per-partition blocks, so
+        assignment needs no shuffle and no global sort at any scale;
+        Delta documents the same non-consecutive contract). Batches must
+        OMIT the column; explicit values refuse. Existing rows are
+        materialized by ONE rewrite here (Delta restricts identity to
+        new tables; the rewrite is this store's explicit, priced
+        equivalent) — like every rewrite verb it is not rebaseable."""
+        if step == 0:
+            raise ValueError("identity step must be nonzero")
+        prev = self.latest_version()
+        if prev is None:
+            raise ValueError("add_identity_column() on an empty store")
+        doc = self.manifest(prev)
+        if doc.get("schema") is None:
+            raise ValueError(
+                "add_identity_column() needs a schema-tracking manifest"
+            )
+        schema = StructType.fromJson(doc["schema"])
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        phys, mapping = self._fresh_physical(name, doc)
+        new_schema = StructType(
+            list(schema.fields) + [StructField(name, LongType(), True)]
+        )
+        identity = dict(doc.get("identity") or {})
+        entry = {"start": start, "step": step, "watermark": start - step}
+        version = prev + 1
+        if not doc["members"]:
+            identity[name] = entry
+            try:
+                self._publish(version, self._alter_doc(
+                    doc, version, new_schema, identity=identity,
+                    column_mapping=mapping,
+                ))
+                return version
+            except FileExistsError:
+                raise SnapshotConflictError(
+                    f"add_identity_column lost the race for v{version}; "
+                    "re-run against the new latest"
+                ) from None
+        # materializing rewrite: logical rows + assigned ids, re-laid-out
+        # under the current spec (DVs applied and dropped, like compact)
+        out = self._identity_assign(
+            self._read_members(spark, doc, doc["members"]), name, entry
+        )
+        written = self._write_under_spec(
+            out, doc.get("partition_spec"),
+            mapping={**mapping} if mapping else None,
+        )
+        identity[name] = self._advance_watermark(
+            spark, entry, [d for d, _ in written],
+            mapping.get(name, name) if mapping else name,
+        )
+        stat_cols = sorted(
+            {c for s in doc.get("stats", {}).values() for c in s}
+        )
+        stats = (
+            self._members_stats(
+                spark, [d for d, _ in written], stat_cols
+            )
+            if stat_cols
+            else {}
+        )
+        try:
+            self._publish(
+                version,
+                {"version": version, "mode": "alter",
+                 "members": [d for d, _ in written],
+                 "added": [d for d, _ in written],
+                 "rewrote": list(doc["members"]),
+                 "stats": stats,
+                 "partitions": {
+                     d: e for d, e in written if e is not None
+                 },
+                 "partition_spec": doc.get("partition_spec"),
+                 "txns": dict(doc.get("txns", {})),
+                 "constraints": dict(doc.get("constraints", {})),
+                 "defaults": {},  # the rewrite materialized them
+                 "column_mapping": mapping,
+                 "identity": identity,
+                 "generated": dict(doc.get("generated") or {}),
+                 "retired_physical": list(
+                     doc.get("retired_physical") or []
+                 ),
+                 "schema": new_schema.jsonValue(),
+                 "schema_version": doc.get("schema_version", 1) + 1},
+            )
+            return version
+        except FileExistsError:
+            raise SnapshotConflictError(
+                f"add_identity_column of v{prev} lost the race for "
+                f"v{version}: the rewrite no longer describes the latest "
+                "version; re-run against the new latest"
+            ) from None
+
+    def add_generated_column(
+        self,
+        spark: SparkSession,
+        name: str,
+        dtype: DataType | str,
+        expr: str,
+    ) -> int:
+        """Add a ``GENERATED ALWAYS AS (expr)`` column (Delta generated
+        columns): the value is COMPUTED and materialized by the engine
+        on every later write — commit() refuses batches that carry it
+        explicitly, update_where() refuses assigning it, and MERGE
+        post-images recompute it. Existing rows are materialized by ONE
+        rewrite here (not rebaseable, like every rewrite verb); an
+        empty table evolves schema-only."""
+        if isinstance(dtype, str):
+            dtype = StructType.fromDDL(f"`{name}` {dtype}")[0].dataType
+        prev = self.latest_version()
+        if prev is None:
+            raise ValueError("add_generated_column() on an empty store")
+        doc = self.manifest(prev)
+        if doc.get("schema") is None:
+            raise ValueError(
+                "add_generated_column() needs a schema-tracking manifest"
+            )
+        schema = StructType.fromJson(doc["schema"])
+        if name in schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        if self._expr_references(expr, name):
+            raise ValueError("generated expression references itself")
+        phys, mapping = self._fresh_physical(name, doc)
+        new_schema = StructType(
+            list(schema.fields) + [StructField(name, dtype, True)]
+        )
+        generated = dict(doc.get("generated") or {})
+        generated[name] = expr
+        version = prev + 1
+        if not doc["members"]:
+            # validate the expression against the schema on an empty frame
+            spark.createDataFrame([], schema).select(
+                F.expr(expr).cast(dtype)
+            )
+            try:
+                self._publish(version, self._alter_doc(
+                    doc, version, new_schema, generated=generated,
+                    column_mapping=mapping,
+                ))
+                return version
+            except FileExistsError:
+                raise SnapshotConflictError(
+                    f"add_generated_column lost the race for v{version}; "
+                    "re-run against the new latest"
+                ) from None
+        out = self._read_members(spark, doc, doc["members"]).withColumn(
+            name, F.expr(expr).cast(dtype)
+        )
+        written = self._write_under_spec(
+            out, doc.get("partition_spec"),
+            mapping={**mapping} if mapping else None,
+        )
+        stat_cols = sorted(
+            {c for s in doc.get("stats", {}).values() for c in s}
+        )
+        stats = (
+            self._members_stats(
+                spark, [d for d, _ in written], stat_cols
+            )
+            if stat_cols
+            else {}
+        )
+        try:
+            self._publish(
+                version,
+                {"version": version, "mode": "alter",
+                 "members": [d for d, _ in written],
+                 "added": [d for d, _ in written],
+                 "rewrote": list(doc["members"]),
+                 "stats": stats,
+                 "partitions": {
+                     d: e for d, e in written if e is not None
+                 },
+                 "partition_spec": doc.get("partition_spec"),
+                 "txns": dict(doc.get("txns", {})),
+                 "constraints": dict(doc.get("constraints", {})),
+                 "defaults": {},
+                 "column_mapping": mapping,
+                 "identity": dict(doc.get("identity") or {}),
+                 "generated": generated,
+                 "retired_physical": list(
+                     doc.get("retired_physical") or []
+                 ),
+                 "schema": new_schema.jsonValue(),
+                 "schema_version": doc.get("schema_version", 1) + 1},
+            )
+            return version
+        except FileExistsError:
+            raise SnapshotConflictError(
+                f"add_generated_column of v{prev} lost the race for "
+                f"v{version}; re-run against the new latest"
+            ) from None
+
+    def _fresh_physical(
+        self, name: str, doc: dict
+    ) -> tuple[str, dict]:
+        """(physical name, updated mapping) for a NEW logical column:
+        usually ``name`` itself; a collision with any physical name this
+        lineage ever wrote gets a fresh suffixed one (or a dropped
+        column's surviving bytes would leak into the new column)."""
+        mapping = dict(doc.get("column_mapping") or {})
+        if name in self._used_physical(doc):
+            phys = f"{name}__{uuid.uuid4().hex[:8]}"
+            mapping[name] = phys
+            return phys, mapping
+        return name, mapping
+
+    def _alter_doc(
+        self, doc: dict, version: int, new_schema: StructType, **extra
+    ) -> dict:
+        """A schema-only alter manifest: same members, metadata carried,
+        ``extra`` keys overlaid."""
+        out = {"version": version, "mode": "alter",
+               "members": list(doc["members"]), "added": [],
+               "stats": dict(doc.get("stats", {})),
+               "partitions": dict(doc.get("partitions", {})),
+               "deletes": dict(doc.get("deletes", {})),
+               "deletes_rows": dict(doc.get("deletes_rows", {})),
+               "partition_spec": doc.get("partition_spec"),
+               "txns": dict(doc.get("txns", {})),
+               "constraints": dict(doc.get("constraints", {})),
+               "defaults": self._carry_defaults(doc),
+               "schema": new_schema.jsonValue(),
+               "schema_version": doc.get("schema_version", 1) + 1}
+        out.update(extra)
+        return out
+
+    @staticmethod
+    def _identity_assign(df: DataFrame, name: str, entry: dict) -> DataFrame:
+        """``df`` with engine-assigned identity values: unique (the
+        per-row ``monotonically_increasing_id`` is), strictly past the
+        watermark in ``step``'s direction, gaps allowed. No shuffle."""
+        wm, step = entry["watermark"], entry["step"]
+        return df.withColumn(
+            name,
+            (
+                F.lit(wm)
+                + F.lit(step) * (F.monotonically_increasing_id() + 1)
+            ).cast("long"),
+        )
+
+    def _advance_watermark(
+        self, spark: SparkSession, entry: dict, dirs: list[str], phys: str
+    ) -> dict:
+        """The identity entry with its watermark advanced past every id
+        just written (one column-pruned agg over only the new files)."""
+        if not dirs:
+            return dict(entry)
+        agg = F.max if entry["step"] > 0 else F.min
+        row = spark.read.parquet(
+            *[os.path.join(self.base_dir, d) for d in dirs]
+        ).agg(agg(F.col(phys)).alias("w")).first()
+        out = dict(entry)
+        if row["w"] is not None:
+            out["watermark"] = int(row["w"])
+        return out
 
     # -- partition-spec evolution --------------------------------------------
 
@@ -615,14 +1202,103 @@ class SnapshotStore:
         # _read_members_raw): a legal subset append that omits a column
         # referenced by a CHECK constraint NULL-backfills and passes
         # under SQL NULL-passes semantics, instead of failing column
-        # resolution and blocking the valid write.
+        # resolution and blocking the valid write. Column mapping aliases
+        # the physical file names back to the logical ones the
+        # constraint expressions reference.
         reader = spark.read
-        if doc.get("schema") is not None:
-            reader = reader.schema(StructType.fromJson(doc["schema"]))
+        mapping = doc.get("column_mapping") or {}
+        schema = (
+            StructType.fromJson(doc["schema"])
+            if doc.get("schema") is not None
+            else None
+        )
+        if schema is not None:
+            reader = reader.schema(
+                self._physical_schema(schema, mapping)
+                if mapping
+                else schema
+            )
         df = reader.parquet(
             *[os.path.join(self.base_dir, d) for d in written]
         )
+        if mapping and schema is not None:
+            df = df.select(
+                *[
+                    F.col(mapping.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
         self._check_rows(df, cons, context=f"{verb}")
+
+    @staticmethod
+    def _apply_generated(doc: dict, df: DataFrame) -> DataFrame:
+        """Recompute every GENERATED ALWAYS AS (expr) column present in
+        ``df`` from its recorded expression — the single post-image
+        discipline all rewrite verbs share (Delta materializes generated
+        columns on every write)."""
+        gen = doc.get("generated") or {}
+        if not gen or doc.get("schema") is None:
+            return df
+        schema = StructType.fromJson(doc["schema"])
+        for c, gexpr in gen.items():
+            if c in df.columns:
+                df = df.withColumn(
+                    c, F.expr(gexpr).cast(schema[c].dataType)
+                )
+        return df
+
+    def _guard_identity_merge(
+        self, doc: dict, changes: DataFrame, op_col: str
+    ) -> None:
+        """MERGE preconditions for identity tables: the batch must not
+        carry an engine-owned column (GENERATED ALWAYS), and — enforced
+        downstream by ``_enforce_identity_not_null`` — must not INSERT
+        (a new key's post-image cannot receive an engine-assigned id
+        through a merge; route new rows through commit())."""
+        owned = set(doc.get("identity") or {}) | set(
+            doc.get("generated") or {}
+        )
+        bad = owned & {
+            c for c in changes.columns if c != op_col
+        } & set(doc.get("identity") or {})
+        if bad:
+            raise ValueError(
+                f"changes batch carries identity columns {sorted(bad)}: "
+                "GENERATED ALWAYS values are engine-owned — omit them "
+                "(updates keep the target row's id)"
+            )
+
+    def _enforce_identity_not_null(
+        self, spark: SparkSession, doc: dict, written: list[str], verb: str
+    ) -> None:
+        """Refuse a merge whose post-images left an identity column NULL
+        — the signature of an attempted INSERT through MERGE (the target
+        side had no row to inherit the id from). One limit-1 probe over
+        only the just-written files, same O(new rows) discipline as
+        constraint enforcement."""
+        ident = doc.get("identity") or {}
+        if not ident or not written:
+            return
+        mapping = doc.get("column_mapping") or {}
+        probe = (
+            spark.read.parquet(
+                *[os.path.join(self.base_dir, d) for d in written]
+            )
+            .where(
+                " OR ".join(
+                    f"`{mapping.get(c, c)}` IS NULL" for c in sorted(ident)
+                )
+            )
+            .limit(1)
+            .collect()
+        )
+        if probe:
+            raise ValueError(
+                f"{verb} would INSERT rows into a table with identity "
+                f"columns {sorted(ident)} (their post-image id is NULL): "
+                "merges can only update/delete existing keys here — "
+                "commit() new rows so the engine assigns their ids"
+            )
 
     @staticmethod
     def _transform_expr(field: dict) -> Column:
@@ -668,7 +1344,10 @@ class SnapshotStore:
         return s  # strings, dates (ISO lexical form), everything else
 
     def _write_under_spec(
-        self, df: DataFrame, spec: dict | None
+        self,
+        df: DataFrame,
+        spec: dict | None,
+        mapping: dict | None = None,
     ) -> list[tuple[str, dict | None]]:
         """Write ``df`` as this commit's member set under ``spec``:
         unpartitioned -> one member directory (as before); spec'd -> ONE
@@ -680,10 +1359,14 @@ class SnapshotStore:
         partitioned batch yields zero members. Loudly bounded at
         ``_MAX_PARTITIONS`` members per commit — a finer spec is the
         small-files failure mode, not a supported configuration."""
+        # column mapping: bytes hit parquet under PHYSICAL names (stable
+        # across renames), logical names live only in the manifest schema
+        if mapping is None:
+            mapping = self.column_mapping()
         fields = (spec or {}).get("fields") or []
         if not fields:
             commit_dir, full_dir = self._new_member_dir()
-            df.write.parquet(full_dir)
+            self._to_physical(df, mapping).write.parquet(full_dir)
             return [(commit_dir, None)]
         spec_id = spec["spec_id"]
         stage = os.path.join(
@@ -692,8 +1375,13 @@ class SnapshotStore:
         pcols = [f"_p{i}" for i in range(len(fields))]
         aug = df
         for pc, fld in zip(pcols, fields):
+            # transforms evaluate on LOGICAL names (the spec's source
+            # columns); the physical rename happens after, and leaves
+            # the synthetic _pN columns untouched
             aug = aug.withColumn(pc, self._transform_expr(fld))
-        aug.write.partitionBy(*pcols).parquet(stage)
+        self._to_physical(aug, mapping).write.partitionBy(*pcols).parquet(
+            stage
+        )
         leafs: list[tuple[str, list[str]]] = []
 
         def _walk(d: str, depth: int, raw: list[str]) -> None:
@@ -946,9 +1634,55 @@ class SnapshotStore:
 
     # -- commit protocol ----------------------------------------------------
 
+    #: table-level metadata every publish carries forward unless the verb
+    #: sets it explicitly (rename/drop/identity verbs do; commit extends)
+    _CARRIED_KEYS = (
+        "column_mapping", "identity", "generated", "retired_physical",
+    )
+
+    @staticmethod
+    def _required_reader(doc: dict) -> int:
+        """The MINIMUM reader generation that serves this manifest's
+        rows correctly — derived from content, not verb: a manifest
+        whose features an old reader would silently ignore must refuse
+        on open under that reader."""
+        req = 1
+        if any((doc.get("deletes") or {}).values()):
+            req = 2
+        if doc.get("defaults") or doc.get("constraints"):
+            req = max(req, 3)
+        if (
+            doc.get("column_mapping")
+            or doc.get("identity")
+            or doc.get("generated")
+            or doc.get("retired_physical")
+        ):
+            req = max(req, 4)
+        return req
+
     def _publish(self, version: int, doc: dict) -> None:
         """Atomically publish ``v{version}.json``; FileExistsError if a
-        concurrent writer won the race for this version number."""
+        concurrent writer won the race for this version number.
+
+        This single chokepoint also (a) carries forward the table-level
+        DDL metadata keys a verb did not explicitly set, and (b) stamps
+        ``min_reader_version`` = max(previous stamp, what this doc's
+        content requires) — the protocol floor is MONOTONE like Delta's
+        (removing the last DV does not re-admit readers that would have
+        mis-read the intermediate history)."""
+        prev_min = 1
+        if version > 1:
+            try:
+                prev_doc = self.manifest(version - 1)
+            except FileNotFoundError:
+                prev_doc = {}
+            prev_min = int(prev_doc.get("min_reader_version", 1))
+            for key in self._CARRIED_KEYS:
+                if key not in doc and prev_doc.get(key):
+                    doc[key] = prev_doc[key]
+        doc["min_reader_version"] = max(
+            prev_min, self._required_reader(doc)
+        )
         final = self._manifest_path(version)
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -1038,14 +1772,72 @@ class SnapshotStore:
         # change racing in before our publish is fine — the members keep
         # the spec they were written under (Iceberg's per-file spec id)
         spec = self.partition_spec()
-        written = self._write_under_spec(df, spec)
+        base_prev = self.latest_version()
+        base_doc = self.manifest(base_prev) if base_prev is not None else {}
+        base_schema = (
+            StructType.fromJson(base_doc["schema"])
+            if base_doc.get("schema") is not None
+            else None
+        )
+        # GENERATED ALWAYS columns are ENGINE-owned: explicit values
+        # refuse; identity ids are assigned (unique, past the watermark,
+        # gaps allowed), generated expressions are computed — both in
+        # recorded order, before the one data write
+        ident = dict(base_doc.get("identity") or {})
+        gen = dict(base_doc.get("generated") or {})
+        for c in list(ident) + list(gen):
+            if c in df.columns:
+                raise ValueError(
+                    f"column {c!r} is GENERATED ALWAYS — omit it from "
+                    "the batch; the engine assigns/computes it"
+                )
+        ident_base = {c: ident[c]["watermark"] for c in ident}
+        for c, e in ident.items():
+            df = self._identity_assign(df, c, e)
+        for c, gexpr in gen.items():
+            try:
+                df = df.withColumn(
+                    c, F.expr(gexpr).cast(base_schema[c].dataType)
+                )
+            except Exception as exc:
+                raise ValueError(
+                    f"generated column {c!r} could not be computed from "
+                    f"this batch ({gexpr!r}): its source columns must be "
+                    "present"
+                ) from exc
+        # column mapping: a batch column that is NEW to the table but
+        # collides with a physical name this lineage ever wrote (dropped
+        # or renamed-away column) gets a fresh physical name, or dead
+        # bytes in old files would leak into it
+        mapping_now = dict(base_doc.get("column_mapping") or {})
+        extra: dict[str, str] = {}
+        if base_schema is not None:
+            tbl_names = set(base_schema.fieldNames())
+            used = self._used_physical(base_doc)
+            for c in df.columns:
+                if c not in tbl_names and c not in mapping_now and c in used:
+                    extra[c] = f"{c}__{uuid.uuid4().hex[:8]}"
+        write_mapping = {**mapping_now, **extra}
+        written = self._write_under_spec(
+            df, spec, mapping=write_mapping if write_mapping else None
+        )
         new_stats = (
             self._members_stats(
-                df.sparkSession, [d for d, _ in written], stats_cols
+                df.sparkSession, [d for d, _ in written], stats_cols,
+                mapping=write_mapping,
             )
             if stats_cols
             else {}
         )
+        # identity watermarks advance past every id just written (one
+        # column-pruned agg over only the new files, per identity col)
+        new_ident = {
+            c: self._advance_watermark(
+                df.sparkSession, e, [d for d, _ in written],
+                write_mapping.get(c, c),
+            )
+            for c, e in ident.items()
+        }
         batch_schema = self._normalize(df.schema)
         validated_cons = None  # constraints map already enforced, if any
         for _ in range(_OCC_RETRIES):
@@ -1064,6 +1856,27 @@ class SnapshotStore:
                     # pre-check and now: our data directory becomes a
                     # vacuum()-collectable orphan, the rows exist ONCE
                     return prev
+            # a rebase onto a manifest whose GENERATED-ALWAYS surface
+            # moved cannot land blindly: identity watermarks that
+            # advanced mean our assigned ids may collide; a changed
+            # generated/identity set means our written files lack (or
+            # mis-compute) an engine-owned column
+            cur_ident = prev_doc.get("identity") or {}
+            if set(cur_ident) != set(ident) or any(
+                cur_ident[c]["watermark"] != ident_base[c]
+                for c in cur_ident
+            ):
+                raise SnapshotConflictError(
+                    "identity columns changed or their watermark moved "
+                    "during commit (concurrent writer/DDL); the assigned "
+                    "ids may collide — retry the commit"
+                )
+            if (prev_doc.get("generated") or {}) != gen:
+                raise SnapshotConflictError(
+                    "generated columns changed during commit (concurrent "
+                    "DDL); the written files do not carry the new "
+                    "expression — retry the commit"
+                )
             # CHECK constraints: validate the just-written files against
             # the manifest we are landing on — re-run only if a rebase
             # changed the constraint set (a racing add_constraint)
@@ -1120,6 +1933,21 @@ class SnapshotStore:
                 if entry is not None:
                     partitions[d] = entry
             stats.update(new_stats)
+            # column mapping survives overwrite for surviving columns;
+            # entries for columns the overwrite's declared schema drops
+            # retire their physical names (conservative: the member list
+            # reset already prevents byte leaks, retirement keeps the
+            # never-reuse invariant uniform)
+            cm = dict(prev_doc.get("column_mapping") or {})
+            cm.update(extra)
+            retired = list(prev_doc.get("retired_physical") or [])
+            if not keep_prev:
+                field_names = set(schema.fieldNames())
+                for k in list(cm):
+                    if k not in field_names:
+                        if cm[k] not in retired:
+                            retired.append(cm[k])
+                        del cm[k]
             doc = {"version": version, "mode": mode, "members": members,
                    "added": [d for d, _ in written], "stats": stats,
                    "schema": schema_json, "schema_version": sv,
@@ -1129,6 +1957,10 @@ class SnapshotStore:
                    "partition_spec": prev_doc.get("partition_spec"),
                    "txns": txns,
                    "constraints": dict(prev_doc.get("constraints", {})),
+                   "column_mapping": cm,
+                   "identity": new_ident,
+                   "generated": gen,
+                   "retired_physical": retired,
                    # append: prior members keep their default backfill;
                    # overwrite: the old members die and the backfill
                    # entries die with them (the new state is physical)
@@ -1158,16 +1990,28 @@ class SnapshotStore:
 
     @staticmethod
     def _member_stats(
-        spark: SparkSession, full_dir: str, cols: list[str]
+        spark: SparkSession,
+        full_dir: str,
+        cols: list[str],
+        mapping: dict | None = None,
     ) -> dict:
+        mapping = mapping or {}
         aggs = []
         for c in cols:
-            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+            p = mapping.get(c, c)
+            aggs += [
+                F.min(F.col(p)).alias(f"lo_{c}"),
+                F.max(F.col(p)).alias(f"hi_{c}"),
+            ]
         row = spark.read.parquet(full_dir).agg(*aggs).collect()[0]
         return {c: [row[f"lo_{c}"], row[f"hi_{c}"]] for c in cols}
 
     def _members_stats(
-        self, spark: SparkSession, dirs: list[str], cols: list[str]
+        self,
+        spark: SparkSession,
+        dirs: list[str],
+        cols: list[str],
+        mapping: dict | None = None,
     ) -> dict:
         """[min,max] stats for SEVERAL just-written member directories in
         ONE read-back job (rows attributed to members via
@@ -1178,10 +2022,15 @@ class SnapshotStore:
         estimate."""
         if not dirs or not cols:
             return {}
+        # stats are keyed LOGICAL in the manifest; the read-back of the
+        # just-written files selects the physical names
+        if mapping is None:
+            mapping = self.column_mapping()
         if len(dirs) == 1:
             return {
                 dirs[0]: self._member_stats(
-                    spark, os.path.join(self.base_dir, dirs[0]), cols
+                    spark, os.path.join(self.base_dir, dirs[0]), cols,
+                    mapping,
                 )
             }
         full = [os.path.join(self.base_dir, d) for d in dirs]
@@ -1190,7 +2039,11 @@ class SnapshotStore:
         ).alias("_member")
         aggs = []
         for c in cols:
-            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+            p = mapping.get(c, c)
+            aggs += [
+                F.min(F.col(p)).alias(f"lo_{c}"),
+                F.max(F.col(p)).alias(f"hi_{c}"),
+            ]
         rows = (
             spark.read.parquet(*full).groupBy(member_key).agg(*aggs).collect()
         )
@@ -1328,6 +2181,7 @@ class SnapshotStore:
                 # conform batch types to the RECORDED schema (re-checked
                 # per rebase: an interleaved alter may have changed it)
                 chg = self._conform_changes(doc, changes, op_col)
+                self._guard_identity_merge(doc, chg, op_col)
                 if prune and len(keys) == 1:
                     split = self._split_affected(
                         spark, doc, chg, keys[0]
@@ -1340,7 +2194,9 @@ class SnapshotStore:
                         except FileExistsError:
                             continue  # rebase against the new latest
                 cur = self.read(spark, prev)
-                out = self._apply_changes(cur, chg, keys, op_col)
+                out = self._apply_generated(
+                    doc, self._apply_changes(cur, chg, keys, op_col)
+                )
                 # the logical path rewrites the whole table into one
                 # member: re-stat it on every column the prior manifest
                 # tracked, so a logical merge never silently turns off
@@ -1365,6 +2221,9 @@ class SnapshotStore:
                     out, doc.get("partition_spec")
                 )
                 self._enforce_constraints(
+                    spark, doc, [d for d, _ in written], "merge"
+                )
+                self._enforce_identity_not_null(
                     spark, doc, [d for d, _ in written], "merge"
                 )
                 stats = (
@@ -1668,6 +2527,15 @@ class SnapshotStore:
                         f"assignment columns {sorted(missing)} not in the "
                         "table schema"
                     )
+            owned = set(doc.get("identity") or {}) | set(
+                doc.get("generated") or {}
+            )
+            bad_assign = owned & set(exprs)
+            if bad_assign:
+                raise ValueError(
+                    f"columns {sorted(bad_assign)} are GENERATED ALWAYS "
+                    "and cannot be assigned; the engine owns their values"
+                )
             members = doc["members"]
             this_cond = cond
             if prune_range is not None:
@@ -1708,6 +2576,10 @@ class SnapshotStore:
                         for c in pre.columns
                     ]
                 )
+                # generated columns recompute on the post-image: an
+                # assignment to a SOURCE column must not leave a stale
+                # derived value (Delta recomputes on UPDATE)
+                post = self._apply_generated(doc, post)
                 cdf_dir, cdf_full = self._new_member_dir()
                 meta = lambda df, t: df.withColumn(  # noqa: E731
                     "_change_type", F.lit(t)
@@ -1804,6 +2676,7 @@ class SnapshotStore:
                 # as the copy-on-write path — a wider batch type must
                 # never publish a member the recorded schema can't read)
                 chg = self._conform_changes(doc, changes, op_col)
+                self._guard_identity_merge(doc, chg, op_col)
                 # the stats split narrows the SCAN (which members can
                 # hold a matched key); unlike copy-on-write, untouched
                 # vs affected does not change what gets rewritten —
@@ -1858,9 +2731,14 @@ class SnapshotStore:
                             )
                         )
                         written = self._write_under_spec(
-                            out_new, doc.get("partition_spec")
+                            self._apply_generated(doc, out_new),
+                            doc.get("partition_spec"),
                         )
                         self._enforce_constraints(
+                            spark, doc, [d for d, _ in written],
+                            "merge_on_read",
+                        )
+                        self._enforce_identity_not_null(
                             spark, doc, [d for d, _ in written],
                             "merge_on_read",
                         )
@@ -2059,7 +2937,9 @@ class SnapshotStore:
             cur = self._read_members(
                 spark, doc, doc["members"][:1]
             ).where(F.lit(False))
-        out = self._apply_changes(cur, changes, keys, op_col)
+        out = self._apply_generated(
+            doc, self._apply_changes(cur, changes, keys, op_col)
+        )
         version = prev + 1
         # change data feed (same contract as the logical path): the
         # affected-member slice holds every pre-image by construction —
@@ -2073,6 +2953,9 @@ class SnapshotStore:
         # member set real table formats carry after spec evolution
         written = self._write_under_spec(out, doc.get("partition_spec"))
         self._enforce_constraints(
+            spark, doc, [d for d, _ in written], "merge(prune=True)"
+        )
+        self._enforce_identity_not_null(
             spark, doc, [d for d, _ in written], "merge(prune=True)"
         )
         prev_stats = doc.get("stats", {})
@@ -2497,11 +3380,20 @@ class SnapshotStore:
             else None
         )
         defaults = doc.get("defaults") or {}
+        # column mapping: files carry PHYSICAL names; the scan requests
+        # them and a pure projection aliases back to this version's
+        # logical names (pushdown/pruning unaffected — Catalyst pushes
+        # through the aliasing projection)
+        mapping = (doc.get("column_mapping") or {}) if schema else {}
 
         def _plain(ms: list[str]) -> DataFrame:
             reader = spark.read
             if schema is not None:
-                reader = reader.schema(schema)
+                reader = reader.schema(
+                    self._physical_schema(schema, mapping)
+                    if mapping
+                    else schema
+                )
             df = reader.parquet(
                 *[os.path.join(self.base_dir, m) for m in ms]
             )
@@ -2510,6 +3402,14 @@ class SnapshotStore:
                 # relation itself — project the row address HERE, before
                 # any default backfill or union hides it
                 df = df.select("*", *self._pos_cols())
+            if mapping:
+                df = df.select(
+                    *[
+                        F.col(mapping.get(f.name, f.name)).alias(f.name)
+                        for f in schema.fields
+                    ],
+                    *(["_file", "_pos"] if with_pos else []),
+                )
             return df
 
         if not defaults or schema is None:
