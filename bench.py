@@ -268,6 +268,11 @@ HEADLINE = [
     "storage_delete_vectors",
     "storage_check_constraint",
     "storage_compact_small",
+    # round-13: column mapping (metadata-only rename/drop read path),
+    # identity assignment, generated-column recompute
+    "storage_column_mapping",
+    "storage_identity_column",
+    "storage_generated_column",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —
@@ -439,24 +444,38 @@ def _plan_sha(df) -> str:
 
 def _time_pass(spark, sf_dir, queries, runs, want_plans=False):
     """One HEAD timing pass: per query, min over ``runs`` end-to-end
-    executions (+ the normalized plan fingerprint of the last one)."""
+    executions (+ the normalized plan fingerprint of the last one).
+
+    The FIRST execution is timed separately (``firsts``): staged-store
+    gates build their fixture (snapshot store, bucketed copy, Z-order
+    layout) on a cold cache exactly once, and that cost belongs to
+    ``stage_sec`` — not to the measured read path. ``min`` still spans
+    every run (a first run is never meaningfully faster, so the
+    reported query time is unchanged in definition), and the full map
+    records ``stage_sec = max(0, first - min)`` per query so a
+    read-path regression can never hide under staging noise
+    (r12 VERDICT item 5)."""
     from big_data_assignment2_2025_spark.plans import QUERIES
 
     mins: dict[str, float] = {}
     rows: dict[str, int] = {}
     plans: dict[str, str] = {}
+    firsts: dict[str, float] = {}
     for name in queries:
         fn = QUERIES[name]
         best, n, df = float("inf"), -1, None
-        for _ in range(runs):
+        for i in range(runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if i == 0:
+                firsts[name] = dt
+            best = min(best, dt)
         mins[name], rows[name] = best, n
         if want_plans:
             plans[name] = _plan_sha(df)
-    return mins, rows, plans
+    return mins, rows, plans, firsts
 
 
 def _quantile(sorted_vals: list[float], q: float) -> float | None:
@@ -487,7 +506,7 @@ def main() -> None:
         return AB_BUDGET - (time.monotonic() - t_start)
 
     # -- HEAD pass 1 (RUNS runs per query, plan fingerprints) --
-    mins1, rows, plans = _time_pass(
+    mins1, rows, plans, firsts = _time_pass(
         spark, sf_dir, HEADLINE, RUNS, want_plans=True
     )
     pass1_wall = time.monotonic() - t_start
@@ -544,7 +563,7 @@ def main() -> None:
             try:
                 # -- HEAD pass 2 (1 run): brackets the tag probe, so host
                 # drift during the window is measurable WITHIN one tree --
-                mins2, _, _ = _time_pass(spark, sf_dir, HEADLINE, 1)
+                mins2, _, _, _ = _time_pass(spark, sf_dir, HEADLINE, 1)
             except Exception as e:  # noqa: BLE001
                 print(f"# HEAD bracket pass failed: {e}", file=sys.stderr)
     elif ab_on and ab is None:
@@ -561,6 +580,11 @@ def main() -> None:
         timings[name] = round(head_min, 3)
         d: dict = {
             "sec": timings[name],
+            # cold-cache fixture staging of run 1, split out so the
+            # measured query path (min over warm runs) is what the A/B
+            # compares — ~0 for unstaged queries
+            "first_sec": round(firsts[name], 3),
+            "stage_sec": round(max(0.0, firsts[name] - head_min), 3),
             # probe-captured sha when available (comparable to the tag
             # side); the warm in-process sha otherwise, marked as such
             "plan_sha": (
@@ -577,7 +601,13 @@ def main() -> None:
         }
         if prev is not None and name in prev.get("queries", {}):
             p = prev["queries"][name]
-            d["ratio_vs_prev"] = round(head_min / max(p["min"], 1e-6), 3)
+            # warm min on the tag side too (its run 1 stages fixtures
+            # into an isolated TMPDIR — a pure staging cost that is not
+            # the read path under comparison); older probes without the
+            # field degrade to the plain min
+            d["ratio_vs_prev"] = round(
+                head_min / max(p.get("min_warm", p["min"]), 1e-6), 3
+            )
             d["prev_plan_sha"] = p["plan_sha"]
             # comparable only probe-to-probe; otherwise unknown, not
             # "changed" (the r11 warm-vs-cold lesson)
@@ -651,8 +681,13 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "ab": ab,
+        # cold-cache fixture staging split out of the measured path:
+        # per-query first_sec/stage_sec live in ab_queries
+        "stage_sec_total": round(
+            sum(max(0.0, firsts[n] - timings[n]) for n in HEADLINE), 3
+        ),
         # per-query A/B record: HEAD sec (min over both passes),
-        # ratio_vs_prev, plan_sha both sides, plan_same
+        # first_sec/stage_sec, ratio_vs_prev, plan_sha both sides
         "ab_queries": detail,
     }
     with open(local_path, "w") as f:

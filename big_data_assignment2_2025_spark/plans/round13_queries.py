@@ -359,14 +359,158 @@ ORDER BY band
 """
 
 
+#: skewed pruned-merge narrative splits (shared Spark/SQL). The member
+#: shape is ZIPFIAN: one HOT member holds the keys below the 90% cut,
+#: four cold members split the tail — and the change batch targets ONLY
+#: hot keys, so the hot member absorbs every change (r12 verdict #2:
+#: exactly the shape where an affected/untouched split degrades).
+_SKEW_UPD_MOD = 5     # hot keys k%5==0 (and not %7) get price += 10
+_SKEW_DEL_MOD = 7     # hot keys k%7==0 are deleted
+_SKEW_INS_MOD = 97    # one insert per k%97==0 source row, above max key
+
+
+def _staged_skew_merge_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
+    """v1-v5: orders committed as one HOT member (keys < 90% cut) plus
+    four cold tail members, all with o_orderkey stats; v6: ONE
+    ``merge(prune=True)`` whose update/delete keys all live in the hot
+    member — the builder asserts the prune still bit (exactly the hot
+    member rewritten, the four cold members carried verbatim)."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"snapskewmerge1_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(base, fprint):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        store = SnapshotStore(base)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        max_key = int(orders.agg(F.max("o_orderkey")).first()[0])
+        hot_cut = (max_key * 9) // 10
+        k = F.col("o_orderkey")
+        store.commit(
+            orders.where(k < hot_cut), mode="overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        tail = (max_key + 1 - hot_cut) // 4 + 1
+        for i in range(4):
+            lo = hot_cut + i * tail
+            store.commit(
+                orders.where((k >= lo) & (k < lo + tail)),
+                mode="append", stats_cols=["o_orderkey"],
+            )
+        snull = F.lit(None).cast("string")
+        hot = orders.where(k < hot_cut)
+        deletes = hot.where(k % _SKEW_DEL_MOD == 0).select(
+            "o_orderkey", snull.alias("o_orderpriority"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+            F.lit("delete").alias("_op"),
+        )
+        updates = hot.where(
+            (k % _SKEW_UPD_MOD == 0) & (k % _SKEW_DEL_MOD != 0)
+        ).select(
+            "o_orderkey", snull.alias("o_orderpriority"),
+            (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+            F.lit("upsert").alias("_op"),
+        )
+        inserts = orders.where(k % _SKEW_INS_MOD == 0).select(
+            (k + max_key + 1).alias("o_orderkey"),
+            F.lit("SKEWINS").alias("o_orderpriority"),
+            F.lit(1.0).alias("o_totalprice"),
+            F.lit("upsert").alias("_op"),
+        )
+        v = store.merge(
+            spark,
+            deletes.unionAll(updates).unionAll(inserts),
+            keys=["o_orderkey"],
+            prune=True,
+        )
+        doc = store.manifest(v)
+        assert len(doc["rewrote"]) == 1, (
+            f"skewed pruned merge rewrote {len(doc['rewrote'])} members "
+            "(expected exactly the hot one)"
+        )
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
+        mark_derived_cache(base, fprint)
+    return SnapshotStore(base)
+
+
+def storage_merge_pruned_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-PRUNED merge under a zipfian member shape: the hot member
+    absorbs every update/delete, yet the four cold tail members are
+    carried into the merged manifest verbatim — rewrote(1) << members(5)
+    even when one member holds 90% of the keys, and the end state equals
+    the oracle's relational rebuild. The 100 TB point: prune cost scales
+    with AFFECTED members, and hot-key concentration cannot silently
+    degrade the split into a full rewrite (bookkeeping columns pin it)."""
+    store = _staged_skew_merge_store(spark, sf_dir)
+    v = store.latest_version()
+    doc = store.manifest(v)
+    return (
+        store.read(spark)
+        # updates carried a NULL priority -> partial-update coalesce
+        # inherited the target's value, so grouping needs no relabel
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0
+            ).alias("sum_price"),
+        )
+        .select(
+            F.lit(len(doc["rewrote"])).alias("n_rewrote"),
+            F.lit(len(store.manifest(v - 1)["members"])).alias(
+                "n_members_before"
+            ),
+            "prio",
+            "n_rows",
+            "sum_price",
+        )
+        .orderBy("prio")
+    )
+
+
+MERGE_PRUNED_SKEW_SQL = f"""
+WITH b AS (
+  SELECT CAST(MAX(o_orderkey) * 9 // 10 AS BIGINT) AS hot_cut,
+         MAX(o_orderkey) AS max_key
+  FROM orders),
+merged AS (
+  SELECT o.o_orderpriority AS prio,
+         o.o_totalprice
+         + CASE WHEN o.o_orderkey < b.hot_cut
+                     AND o.o_orderkey % {_SKEW_UPD_MOD} = 0
+                     AND o.o_orderkey % {_SKEW_DEL_MOD} <> 0
+                THEN 10.0 ELSE 0.0 END AS p
+  FROM orders o, b
+  WHERE NOT (o.o_orderkey < b.hot_cut
+             AND o.o_orderkey % {_SKEW_DEL_MOD} = 0)
+  UNION ALL
+  SELECT 'SKEWINS', 1.0
+  FROM orders WHERE o_orderkey % {_SKEW_INS_MOD} = 0)
+SELECT CAST(1 AS INTEGER) AS n_rewrote,
+       CAST(5 AS INTEGER) AS n_members_before,
+       prio, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_price
+FROM merged
+GROUP BY prio
+ORDER BY prio
+"""
+
+
 QUERIES = {
     "storage_column_mapping": storage_column_mapping,
     "storage_identity_column": storage_identity_column,
     "storage_generated_column": storage_generated_column,
+    "storage_merge_pruned_skew": storage_merge_pruned_skew,
 }
 
 ORACLES = {
     "storage_column_mapping": COLUMN_MAPPING_SQL,
     "storage_identity_column": IDENTITY_COLUMN_SQL,
     "storage_generated_column": GENERATED_COLUMN_SQL,
+    "storage_merge_pruned_skew": MERGE_PRUNED_SKEW_SQL,
 }

@@ -36,6 +36,12 @@ E. **deletion-vector melee** (round 12, r11 verdict #5) — four racing
    member data was lost, and the manifest's ``deletes_rows`` telemetry
    reconciles row-for-row with a physical read of every referenced
    position-delete file.
+F. **skewed deletion-vector melee** (round 13, r12 verdict #2) — the
+   same four racing verbs over a ZIPFIAN member shape: one hot member
+   holds 90% of a 4000-key domain, four cold members split the tail,
+   so every verb's masks land mostly on the SAME hot member (the shape
+   where pruned splits and member stats degrade at 100 TB). Same
+   invariants: order-independent state, telemetry row-for-row.
 
 Usage:
     python tools/occ_stress.py <out_json>                 # orchestrator
@@ -62,6 +68,7 @@ W = int(os.environ.get("OCC_WRITERS", "4"))
 C = int(os.environ.get("OCC_COMMITS", "4"))
 ROWS = 100          # rows per append batch
 KEYS = 50           # shared key universe for the merge phases
+SKEW_KEYS = 4000    # key universe for the zipfian DV melee (phase F)
 
 
 def _spark(app: str):
@@ -116,10 +123,11 @@ def writer_merge(store_dir: str, wid: int, n: int, mor: bool) -> None:
 
 
 def writer_dv(store_dir: str, wid: int, n: int) -> None:
-    """One racing DV verb, selected by writer id. Key classes are
-    disjoint (k mod 10) so the final state is order-independent; the
-    members each verb masks OVERLAP (both seed members hold every
-    class), which is the contention the phase exists to prove safe."""
+    """One racing DV verb, selected by writer id; ``n`` is the key-
+    universe size (KEYS for the uniform phase, SKEW_KEYS for the
+    zipfian one). Key classes are disjoint (k mod 10) so the final
+    state is order-independent; the members each verb masks OVERLAP,
+    which is the contention the phase exists to prove safe."""
     from pyspark.sql import functions as F
 
     from big_data_assignment2_2025_spark.sources.snapshots import (
@@ -138,12 +146,12 @@ def writer_dv(store_dir: str, wid: int, n: int) -> None:
         )
         print(f"writer {wid}: update_where landed at v{v}")
     elif wid == 2:
-        ups = spark.range(KEYS).where(F.col("id") % 10 == 2).select(
+        ups = spark.range(n).where(F.col("id") % 10 == 2).select(
             F.col("id").alias("k"),
             F.lit(2222).alias("val"),
             F.lit("upsert").alias("_op"),
         )
-        dels = spark.range(KEYS).where(F.col("id") % 10 == 3).select(
+        dels = spark.range(n).where(F.col("id") % 10 == 3).select(
             F.col("id").alias("k"),
             F.lit(0).alias("val"),
             F.lit("delete").alias("_op"),
@@ -303,27 +311,48 @@ def phase_compact(spark, appends_dir: str, result: dict) -> None:
     assert ok, result["compact_race"]
 
 
-def phase_dv_melee(spark, result: dict) -> None:
+def phase_dv_melee(spark, result: dict, skew: bool = False) -> None:
     from pyspark.sql import functions as F
 
     from big_data_assignment2_2025_spark.sources.snapshots import (
         SnapshotStore,
     )
 
-    d = tempfile.mkdtemp(prefix="occ_dv_")
+    d = tempfile.mkdtemp(prefix="occ_dv_skew_" if skew else "occ_dv_")
     st = SnapshotStore(d)
-    base = spark.range(KEYS).select(
+    keys = SKEW_KEYS if skew else KEYS
+    base = spark.range(keys).select(
         F.col("id").alias("k"), F.lit(0).alias("val")
     )
-    # two members, each holding every key class — every verb's mask set
-    # OVERLAPS both members while key classes stay disjoint
-    st.commit(base.where(F.col("k") % 2 == 0), mode="overwrite",
-              stats_cols=["k"])
-    st.commit(base.where(F.col("k") % 2 == 1), mode="append",
-              stats_cols=["k"])
+    if skew:
+        # ZIPFIAN member shape (round 13, r12 verdict #2): ONE hot
+        # member holds 90% of the key domain, four cold members split
+        # the tail — every verb's mask set lands mostly on the same hot
+        # member (hot-key member stats are where pruned splits degrade),
+        # while key classes stay disjoint so the expected state is
+        # order-independent
+        hot_cut = (keys * 9) // 10
+        st.commit(base.where(F.col("k") < hot_cut), mode="overwrite",
+                  stats_cols=["k"])
+        tail = (keys - hot_cut) // 4
+        for i in range(4):
+            lo = hot_cut + i * tail
+            hi = keys if i == 3 else lo + tail
+            st.commit(
+                base.where((F.col("k") >= lo) & (F.col("k") < hi)),
+                mode="append", stats_cols=["k"],
+            )
+    else:
+        # two members, each holding every key class — every verb's mask
+        # set OVERLAPS both members while key classes stay disjoint
+        st.commit(base.where(F.col("k") % 2 == 0), mode="overwrite",
+                  stats_cols=["k"])
+        st.commit(base.where(F.col("k") % 2 == 1), mode="append",
+                  stats_cols=["k"])
+    seed_versions = st.latest_version()
     t0 = time.perf_counter()
     codes = _join(
-        [_spawn(["dv", d, str(w), "1"]) for w in range(4)],
+        [_spawn(["dv", d, str(w), str(keys)]) for w in range(4)],
         ok_codes=(0, 42),
     )
     dt = time.perf_counter() - t0
@@ -333,7 +362,7 @@ def phase_dv_melee(spark, result: dict) -> None:
     # to 2222, everything else untouched
     expect = {
         (k, 1111 if k % 10 == 1 else 2222 if k % 10 == 2 else 0)
-        for k in range(KEYS)
+        for k in range(keys)
         if k % 10 not in (0, 3)
     }
     got = {tuple(r) for r in st.read(spark).collect()}
@@ -355,22 +384,24 @@ def phase_dv_melee(spark, result: dict) -> None:
         )
         if physical != dv_rows.get(m, 0):
             telemetry_ok = False
-    # 3 rebaseable verbs always land (+2 seeds); compact_masked lands
+    # 3 rebaseable verbs always land (+seeds); compact_masked lands
     # 0 or 1 versions (no-op/refusal vs publish)
     ok = (
         got == expect
         and telemetry_ok
-        and 5 <= latest <= 6
+        and seed_versions + 3 <= latest <= seed_versions + 4
         and refused <= 1
     )
-    result["dv_melee"] = {
-        "writers": 4, "keys": KEYS, "rows": len(got),
+    key = "dv_melee_skew" if skew else "dv_melee"
+    result[key] = {
+        "writers": 4, "keys": keys, "rows": len(got),
         "expected_rows": len(expect), "state_match": got == expect,
         "telemetry_reconciles": telemetry_ok,
+        "seed_members": len(st.manifest(seed_versions)["members"]),
         "versions": latest, "compact_masked_refused": refused,
         "wall_sec": round(dt, 1), "ok": ok,
     }
-    assert ok, result["dv_melee"]
+    assert ok, result[key]
 
 
 def main() -> None:
@@ -398,6 +429,7 @@ def main() -> None:
     phase_merge(spark, result, mor=True)
     phase_compact(spark, appends_dir, result)
     phase_dv_melee(spark, result)
+    phase_dv_melee(spark, result, skew=True)
     result["all_ok"] = all(
         v.get("ok") for v in result.values() if isinstance(v, dict)
     )

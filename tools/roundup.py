@@ -23,7 +23,10 @@ steps, same isolation the grading driver has):
      order the same day)
  5. plan_lint            -> PLANAUDIT_r{N}.json
  6. shuffle_report sf0.1 -> SHUFFLE_r{N}.json, budget-gated against the
-    newest prior SHUFFLE_r{M}.json (M < N) if one exists
+    newest prior SHUFFLE_r{M}.json (M < N) if one exists; since r13 it
+    also profiles the join/agg/window shapes on the uniform 10x fixture
+    AND its zipfian twin (--skew), gated 2x within-run vs the uniform
+    twin and round-over-round vs the prior skew section
  7. explain_dump         -> EXPLAINS.md
  8. bench.py             -> BENCH_LOCAL_r{N}.json (the driver writes the
     official BENCH_r{N}.json itself; the local copy pins a quiet-host
@@ -141,7 +144,14 @@ def main() -> None:
         ("plan_lint", [sys.executable, "tools/plan_lint.py",
                        f"--json=PLANAUDIT_r{n}.json"]),
         ("shuffle", [sys.executable, "tools/shuffle_report.py",
-                     "/root/testdata/sf0.1", f"--json=SHUFFLE_r{n}.json"]),
+                     "/root/testdata/sf0.1",
+                     # skew section (standing since r13): the join/agg/
+                     # window shapes profiled on the uniform 10x fixture
+                     # AND its zipfian twin, gated at 2x within-run and
+                     # round-over-round — a skew-shuffle regression fails
+                     # the chain, not a vibe
+                     "--skew=/tmp/sf10x_oracle:/tmp/sfskew_oracle",
+                     f"--json=SHUFFLE_r{n}.json"]),
         ("explains", [sys.executable, "tools/explain_dump.py"]),
         ("bench", [sys.executable, "bench.py"]),
     ]

@@ -404,6 +404,54 @@ AB_PAIRS = {
 #: candidate-generation blowup — all of which move bytes by >2x.
 BUDGET_FACTOR = 2.0
 
+#: queries profiled on BOTH the uniform 10x fixture and its zipfian twin
+#: (round 13, r12 verdict #1): join/agg/window shapes keyed on the
+#: remapped hot columns (o_custkey, l_partkey/l_suppkey, user_id). The
+#: fixtures hold the SAME row counts, so hot-key concentration must not
+#: multiply shuffle volume — a salted join that over-replicates, a lost
+#: map-side partial agg, or a window forced through a single hot
+#: partition all would. Gated at SKEW_FACTOR x the uniform twin measured
+#: in the SAME run, plus round-over-round vs the prior artifact's skew
+#: section like the main list.
+SKEW_PROFILE = [
+    "q3_shipping_priority",    # customer ⋈ orders ⋈ lineitem (hot custkey)
+    "q5_region_revenue",       # + supplier join (hot suppkey)
+    "q9_product_profit",       # part/supplier joins (hot part+supp keys)
+    "window_topk_per_group",   # window over a hot grouping key
+    "window_running_sum",      # running window under duplicate hot pairs
+    "agg_distinct",            # distinct-agg under hot-key mass
+    "join_semi",               # semi-join probe side skew
+    "skew_join_salted",        # the op DESIGNED for this shape
+    "events_rolling_dau",      # hot user_id daily fan-out
+    "events_sessionize",       # per-user session window on hot users
+]
+
+#: skew-vs-uniform multiplier: same rows, so >2x bytes on the zipfian
+#: twin is a skew-sensitive plan, not noise
+SKEW_FACTOR = 2.0
+
+
+def check_skew_budget(report: dict, budget_path: str) -> list[str]:
+    """Round-over-round gate on the SKEW section: like ``check_budget``
+    but against the prior artifact's ``skew.queries`` map (absent in
+    pre-r13 artifacts — passes vacuously until one exists)."""
+    with open(budget_path) as fh:
+        base = json.load(fh)
+    old_map = (base.get("skew") or {}).get("queries", {})
+    violations = []
+    for name, prof in (report.get("skew") or {}).get("queries", {}).items():
+        old = old_map.get(name)
+        if not old or old.get("skew_total_bytes", 0) <= 0:
+            continue
+        new_b = prof["skew_total_bytes"]
+        old_b = old["skew_total_bytes"]
+        if new_b > BUDGET_FACTOR * old_b:
+            violations.append(
+                f"skew:{name}: total shuffle {new_b} B > "
+                f"{BUDGET_FACTOR}x recorded {old_b} B"
+            )
+    return violations
+
 
 def check_budget(report: dict, budget_path: str) -> list[str]:
     """Compare ``report`` against a committed prior artifact; return the
@@ -448,6 +496,10 @@ def main() -> None:
     budget_path = next(
         (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--budget=")), None
     )
+    # --skew=UNIFORM_DIR:SKEW_DIR profiles SKEW_PROFILE on both fixtures
+    skew_arg = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--skew=")), None
+    )
 
     from big_data_assignment2_2025_spark.plans import QUERIES
 
@@ -489,8 +541,49 @@ def main() -> None:
             f"{b['total_shuffle_bytes']} B total"
         )
 
+    if skew_arg:
+        uni_dir, skew_dir = skew_arg.split(":", 1)
+        skew_q: dict[str, dict] = {}
+        skew_violations: list[str] = []
+        for name in SKEW_PROFILE:
+            a = profile(lambda n=name: QUERIES[n](spark, uni_dir), spark)
+            b = profile(lambda n=name: QUERIES[n](spark, skew_dir), spark)
+            ratio = (
+                round(b["total_shuffle_bytes"] / a["total_shuffle_bytes"], 3)
+                if a["total_shuffle_bytes"] > 0
+                else None
+            )
+            skew_q[name] = {
+                "uniform_total_bytes": a["total_shuffle_bytes"],
+                "uniform_total_records": a["total_shuffle_records"],
+                "skew_total_bytes": b["total_shuffle_bytes"],
+                "skew_total_records": b["total_shuffle_records"],
+                "bytes_ratio": ratio,
+            }
+            print(
+                f"skew {name}: uniform {a['total_shuffle_bytes']} B vs "
+                f"zipfian {b['total_shuffle_bytes']} B (ratio {ratio})"
+            )
+            if ratio is not None and ratio > SKEW_FACTOR:
+                skew_violations.append(
+                    f"skew:{name}: zipfian shuffle {b['total_shuffle_bytes']}"
+                    f" B > {SKEW_FACTOR}x uniform twin "
+                    f"{a['total_shuffle_bytes']} B (same row count)"
+                )
+        report["skew"] = {
+            "uniform_dir": uni_dir,
+            "skew_dir": skew_dir,
+            "factor_vs_uniform": SKEW_FACTOR,
+            "queries": skew_q,
+            "violations": skew_violations,
+        }
+        for v in skew_violations:
+            print(f"SKEW VIOLATION: {v}")
+
     if budget_path:
         violations = check_budget(report, budget_path)
+        if skew_arg:
+            violations += check_skew_budget(report, budget_path)
         report["budget"] = {
             "baseline": budget_path,
             "factor": BUDGET_FACTOR,
@@ -505,6 +598,8 @@ def main() -> None:
         print(f"wrote {json_path}")
 
     if budget_path and report["budget"]["violations"]:
+        sys.exit(1)
+    if skew_arg and report["skew"]["violations"]:
         sys.exit(1)
 
 
