@@ -501,11 +501,206 @@ ORDER BY prio
 """
 
 
+#: restore narrative splits (shared Spark/SQL)
+_RST_APP_MOD = 100    # v2 appends k % 100 == 0 (rolled back by v4)
+_RST_UPD_PRIO = "2-HIGH"   # v3 update (+10) — also rolled back
+_RST_POST_MOD = 500   # v5 appends k % 500 == 0 AFTER the restore
+
+
+def _staged_restore_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
+    """v1 overwrite -> v2 append -> v3 update_where -> v4 RESTORE(1)
+    (metadata-only: the append and the update roll back, history stays
+    time-travelable) -> v5 append. The builder asserts the restore wrote
+    nothing and recorded its target."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"snaprestore1_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    if not derived_cache_ok(base, fprint):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        store = SnapshotStore(base)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        store.commit(orders, mode="overwrite", stats_cols=["o_orderkey"])
+        store.commit(
+            orders.where(F.col("o_orderkey") % _RST_APP_MOD == 0),
+            mode="append",
+        )
+        store.update_where(
+            spark,
+            F.col("o_orderpriority") == _RST_UPD_PRIO,
+            {"o_totalprice": F.col("o_totalprice") + F.lit(10.0)},
+        )
+        v4 = store.restore(1)
+        doc = store.manifest(v4)
+        assert doc["added"] == [] and doc["restore_of"] == 1, doc
+        store.commit(
+            orders.where(F.col("o_orderkey") % _RST_POST_MOD == 0),
+            mode="append",
+        )
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
+        mark_derived_cache(base, fprint)
+    return SnapshotStore(base)
+
+
+def storage_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE pinned cross-engine: the final table equals v1's rows
+    plus only the POST-restore append (the rolled-back append and
+    update are gone from latest but still time-travelable — bookkeeping
+    pins the v3 row count stayed larger and that the restore wrote zero
+    files). Delta semantics: rollback as one more manifest, never
+    deleted history."""
+    store = _staged_restore_store(spark, sf_dir)
+    v3_rows = store.read(spark, 3).count()
+    v4 = store.manifest(4)
+    return (
+        store.read(spark)
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0
+            ).alias("sum_price"),
+        )
+        .select(
+            F.lit(v4["mode"]).alias("v4_mode"),
+            F.lit(v4["restore_of"]).alias("restore_of"),
+            F.lit(len(v4["added"])).alias("v4_files_written"),
+            F.lit(int(v3_rows > 0)).alias("history_travelable"),
+            "prio",
+            "n_rows",
+            "sum_price",
+        )
+        .orderBy("prio")
+    )
+
+
+RESTORE_SQL = f"""
+WITH final AS (
+  SELECT o_orderpriority AS prio, o_totalprice AS p FROM orders
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderkey % {_RST_POST_MOD} = 0)
+SELECT 'restore' AS v4_mode, CAST(1 AS INTEGER) AS restore_of,
+       CAST(0 AS INTEGER) AS v4_files_written,
+       CAST(1 AS INTEGER) AS history_travelable,
+       prio, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_price
+FROM final
+GROUP BY prio
+ORDER BY prio
+"""
+
+
+#: clone narrative splits (shared Spark/SQL)
+_CLN_SRC_MOD = 2      # source = k % 2 == 0
+_CLN_DEL_MOD = 10     # source deletes k % 10 == 0 before the clone
+_CLN_APP_MOD = 7      # clone appends k % 7 == 3 afterwards
+
+
+def _staged_clone_store(spark: SparkSession, sf_dir: str) -> SnapshotStore:
+    """Source: v1 overwrite (k%2==0) -> v2 delete_where (k%10==0, a DV
+    the clone must inherit) -> SHALLOW CLONE -> the clone appends its
+    own batch (k%7==3). Builder asserts zero bytes copied (the clone's
+    data dir holds only its own append)."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    src_base = os.path.join(tempfile.gettempdir(), f"snapclonesrc1_{tag}")
+    dst_base = os.path.join(tempfile.gettempdir(), f"snapclonedst1_{tag}")
+    fprint = fixture_fingerprint(sf_dir)
+    # the clone references the SOURCE's directories — both must survive
+    # for the cache to be valid (a half-cleared /tmp must rebuild both)
+    if not derived_cache_ok(dst_base, fprint) or not os.path.isdir(
+        os.path.join(src_base, "data")
+    ):
+        for b in (src_base, dst_base):
+            if os.path.exists(b):
+                shutil.rmtree(b)
+        src = SnapshotStore(src_base)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        src.commit(
+            orders.where(F.col("o_orderkey") % _CLN_SRC_MOD == 0),
+            mode="overwrite",
+            stats_cols=["o_orderkey"],
+        )
+        src.delete_where(spark, F.col("o_orderkey") % _CLN_DEL_MOD == 0)
+        clone = src.clone_to(dst_base)
+        assert os.listdir(os.path.join(dst_base, "data")) == [], (
+            "shallow clone copied bytes"
+        )
+        clone.commit(
+            orders.where(F.col("o_orderkey") % _CLN_APP_MOD == 3)
+            .withColumn("o_orderpriority", F.lit("CLONED")),
+            mode="append",
+        )
+        with open(os.path.join(dst_base, "_SUCCESS"), "w"):
+            pass
+        mark_derived_cache(dst_base, fprint)
+    return SnapshotStore(dst_base)
+
+
+def storage_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone pinned cross-engine: the clone serves the SOURCE's
+    live rows (deletion vector inherited by reference) plus its own
+    divergent append — zero bytes copied at clone time (bookkeeping
+    pins v1 wrote nothing and mode 'clone'). The 100 TB point: forking
+    a corpus for an experiment costs O(members) metadata, not a table
+    copy."""
+    store = _staged_clone_store(spark, sf_dir)
+    v1 = store.manifest(1)
+    return (
+        store.read(spark)
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0
+            ).alias("sum_price"),
+        )
+        .select(
+            F.lit(v1["mode"]).alias("v1_mode"),
+            F.lit(len(v1["added"]) - len(v1["members"])).alias(
+                "v1_local_files"
+            ),
+            "prio",
+            "n_rows",
+            "sum_price",
+        )
+        .orderBy("prio")
+    )
+
+
+CLONE_SHALLOW_SQL = f"""
+WITH final AS (
+  SELECT o_orderpriority AS prio, o_totalprice AS p FROM orders
+  WHERE o_orderkey % {_CLN_SRC_MOD} = 0
+    AND o_orderkey % {_CLN_DEL_MOD} <> 0
+  UNION ALL
+  SELECT 'CLONED', o_totalprice FROM orders
+  WHERE o_orderkey % {_CLN_APP_MOD} = 3)
+SELECT 'clone' AS v1_mode, CAST(0 AS INTEGER) AS v1_local_files,
+       prio, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(p * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_price
+FROM final
+GROUP BY prio
+ORDER BY prio
+"""
+
+
 QUERIES = {
     "storage_column_mapping": storage_column_mapping,
     "storage_identity_column": storage_identity_column,
     "storage_generated_column": storage_generated_column,
     "storage_merge_pruned_skew": storage_merge_pruned_skew,
+    "storage_restore": storage_restore,
+    "storage_clone_shallow": storage_clone_shallow,
 }
 
 ORACLES = {
@@ -513,4 +708,6 @@ ORACLES = {
     "storage_identity_column": IDENTITY_COLUMN_SQL,
     "storage_generated_column": GENERATED_COLUMN_SQL,
     "storage_merge_pruned_skew": MERGE_PRUNED_SKEW_SQL,
+    "storage_restore": RESTORE_SQL,
+    "storage_clone_shallow": CLONE_SHALLOW_SQL,
 }

@@ -3338,6 +3338,169 @@ class SnapshotStore:
                 removed.append(rel)
         return removed
 
+    def restore(self, version: int) -> int:
+        """``RESTORE TABLE ... TO VERSION`` (Delta): publish a NEW
+        version whose state — members, stats, partition values, deletion
+        vectors, schema, constraints, defaults, column mapping — equals
+        ``version``'s, without touching a data file. History is intact
+        (the bad versions stay time-travelable; the restore is one more
+        manifest), which is exactly how Delta distinguishes RESTORE from
+        a rollback-by-deletion. Exceptions to the wholesale copy, each a
+        can't-go-backward invariant: writer ``txns`` stay CURRENT
+        (idempotence must survive the restore or a replayed batch would
+        double-land), identity watermarks take the MAX of both sides
+        (the id space never rewinds — restored rows keep their ids, new
+        rows must not collide with ids assigned after ``version``),
+        ``retired_physical`` is the union (a physical name never
+        un-retires), and ``min_reader_version`` stays monotone via
+        ``_publish``. Refuses if a retained member was vacuumed away.
+        OCC: declares full new state like overwrite — rebases blindly,
+        bounded retries."""
+        target = self.manifest(version)  # raises if unknown / too new
+        for m in target["members"]:
+            if not os.path.isdir(os.path.join(self.base_dir, m)):
+                raise ValueError(
+                    f"restore(v{version}) impossible: member {m} was "
+                    "vacuumed away — the version is no longer servable"
+                )
+        for dv_dirs in (target.get("deletes") or {}).values():
+            for d in dv_dirs:
+                if not os.path.isdir(os.path.join(self.base_dir, d)):
+                    raise ValueError(
+                        f"restore(v{version}) impossible: deletion-vector "
+                        f"directory {d} was vacuumed away"
+                    )
+        for _ in range(_OCC_RETRIES):
+            prev = self.latest_version()
+            cur = self.manifest(prev)
+            if version == prev:
+                return prev  # restoring to the current state is a no-op
+            sv = cur.get("schema_version", 1)
+            if target.get("schema") != cur.get("schema"):
+                sv += 1
+            identity = {}
+            cur_ident = cur.get("identity") or {}
+            for c, e in (target.get("identity") or {}).items():
+                e = dict(e)
+                if c in cur_ident:
+                    mx = (max if e["step"] > 0 else min)
+                    e["watermark"] = mx(
+                        e["watermark"], cur_ident[c]["watermark"]
+                    )
+                identity[c] = e
+            retired = list(cur.get("retired_physical") or [])
+            for p in target.get("retired_physical") or []:
+                if p not in retired:
+                    retired.append(p)
+            new_v = prev + 1
+            doc = {"version": new_v, "mode": "restore",
+                   "restore_of": version,
+                   "members": list(target["members"]), "added": [],
+                   "stats": dict(target.get("stats", {})),
+                   "partitions": dict(target.get("partitions", {})),
+                   "deletes": dict(target.get("deletes", {})),
+                   "deletes_rows": dict(target.get("deletes_rows", {})),
+                   "partition_spec": target.get("partition_spec"),
+                   "txns": dict(cur.get("txns", {})),
+                   "constraints": dict(target.get("constraints", {})),
+                   "defaults": dict(target.get("defaults", {}) or {}),
+                   "column_mapping": dict(
+                       target.get("column_mapping") or {}
+                   ),
+                   "identity": identity,
+                   "generated": dict(target.get("generated") or {}),
+                   "retired_physical": retired,
+                   "schema": target.get("schema"),
+                   "schema_version": sv}
+            try:
+                self._publish(new_v, doc)
+                return new_v
+            except FileExistsError:
+                continue  # rebase: last-writer-wins, like overwrite
+        raise SnapshotConflictError(
+            f"restore could not land after {_OCC_RETRIES} rebases "
+            "(sustained contention on the manifest log)"
+        )
+
+    def clone_to(
+        self, dst_dir: str, version: int | None = None
+    ) -> "SnapshotStore":
+        """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``): a
+        new store at ``dst_dir`` whose v1 manifest REFERENCES the source
+        version's data directories by absolute path — zero bytes copied,
+        O(members) metadata. The clone is immediately writable: appends
+        land in its own ``data/``, rewrites (compact/merge) materialize
+        locally and drop the references, and the clone's ``vacuum()``
+        never touches source files (it only removes entries under its
+        own data root). Writer ``txns`` start EMPTY (a fresh writer
+        domain); everything schema-coupled (mapping, defaults,
+        constraints, identity, generated) carries over so reads and
+        writes behave identically.
+
+        The documented shallow-clone hazard is inherited from Delta
+        verbatim: a ``vacuum()`` on the SOURCE that drops a referenced
+        directory breaks the clone's reads — deep-copy (or compact the
+        clone, which localizes it) before vacuuming shared history."""
+        src_v = self.latest_version() if version is None else version
+        if src_v is None:
+            raise ValueError("clone_to() on an empty store")
+        doc = self.manifest(src_v)
+        dst = SnapshotStore(dst_dir)
+        if dst.latest_version() is not None:
+            raise ValueError(f"{dst_dir} already holds a store")
+        absm = {
+            m: os.path.join(self.base_dir, m) for m in doc["members"]
+        }
+        clone = {"version": 1, "mode": "clone",
+                 "cloned_from": {"base_dir": os.path.abspath(self.base_dir),
+                                 "version": src_v},
+                 "members": [absm[m] for m in doc["members"]],
+                 # a stream over the clone serves v1 as its baseline
+                 "added": [absm[m] for m in doc["members"]],
+                 "stats": {
+                     absm[m]: s
+                     for m, s in doc.get("stats", {}).items()
+                     if m in absm
+                 },
+                 "partitions": {
+                     absm[m]: e
+                     for m, e in doc.get("partitions", {}).items()
+                     if m in absm
+                 },
+                 "deletes": {
+                     absm[m]: [
+                         os.path.join(self.base_dir, d) for d in dirs
+                     ]
+                     for m, dirs in (doc.get("deletes") or {}).items()
+                     if m in absm
+                 },
+                 "deletes_rows": {
+                     absm[m]: n
+                     for m, n in (doc.get("deletes_rows") or {}).items()
+                     if m in absm
+                 },
+                 "partition_spec": doc.get("partition_spec"),
+                 "txns": {},
+                 "constraints": dict(doc.get("constraints", {})),
+                 "defaults": {
+                     c: {"value": s["value"],
+                         "members": [
+                             absm[m] for m in s.get("members", [])
+                             if m in absm
+                         ]}
+                     for c, s in (doc.get("defaults") or {}).items()
+                 },
+                 "column_mapping": dict(doc.get("column_mapping") or {}),
+                 "identity": dict(doc.get("identity") or {}),
+                 "generated": dict(doc.get("generated") or {}),
+                 "retired_physical": list(
+                     doc.get("retired_physical") or []
+                 ),
+                 "schema": doc.get("schema"),
+                 "schema_version": doc.get("schema_version", 1)}
+        dst._publish(1, clone)
+        return dst
+
     # -- reads --------------------------------------------------------------
 
     def _member_paths(self, version: int) -> list[str]:
