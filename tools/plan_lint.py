@@ -51,6 +51,10 @@ from big_data_assignment2_2025_spark.session import get_spark
 #: input is bounded by a small domain, with the bound stated.
 WHITELIST: dict[str, dict[str, str]] = {
     # ---- deliberate 1-row scalar broadcast cross joins ----
+    "storage_identity_column": {
+        "bnlj": "1-row identity-invariants scalar cross-joined onto the "
+        "bounded per-priority aggregate (≤ priority-domain rows)"
+    },
     "bm25_search": {"bnlj": "1-row corpus-stats scalar cross join (N, avgdl)"},
     "bm25_search_conjunctive": {"bnlj": "1-row corpus-stats scalar"},
     "bm25_single_term": {"bnlj": "1-row corpus-stats scalar"},
