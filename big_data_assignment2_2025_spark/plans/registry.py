@@ -43,6 +43,7 @@ from . import (
     round11_queries,
     round12_queries,
     round13_queries,
+    round13b_queries,
     search_queries,
     similarity_queries,
     sql_queries,
@@ -91,6 +92,7 @@ _MODULES = [
     round11_queries,
     round12_queries,
     round13_queries,
+    round13b_queries,
     storage_queries,
 ]
 

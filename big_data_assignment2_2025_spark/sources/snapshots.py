@@ -91,6 +91,7 @@ from urllib.parse import unquote
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -111,6 +112,8 @@ from pyspark.sql.types import (
     TimestampNTZType,
     TimestampType,
 )
+
+from . import blooms
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
@@ -1594,6 +1597,12 @@ class SnapshotStore:
         src_types = (
             {f.name: f.dataType for f in schema.fields} if schema else {}
         )
+        # sidecars are keyed by PHYSICAL column name (immutable per
+        # member): a rename keeps the index alive, a drop/re-add gets a
+        # fresh physical name that can never match a stale bloom
+        phys = (doc.get("column_mapping") or {}).get(col, col)
+        dtype = src_types.get(col)
+        hashes: list[int] = []  # probe hashes, computed lazily once
         bucket_cache: dict = {}
         keep = []
         for m in doc["members"]:
@@ -1609,8 +1618,103 @@ class SnapshotStore:
                         continue
                 except TypeError:
                     pass
+            # bloom sidecar: the high-cardinality complement to stats (a
+            # hash-distributed key spans every member's [min,max], so
+            # intervals never prune it; the bloom does). Probe hashes are
+            # computed ONCE per call by the engine itself the first time
+            # an indexed member is met; members without a sidecar (fresh
+            # compaction output, older lineage) stay conservative.
+            side = (
+                blooms.load_sidecar(os.path.join(self.base_dir, m))
+                if dtype is not None else None
+            )
+            if side is not None:
+                cdoc = side.get("cols", {}).get(phys)
+                if cdoc is not None:
+                    kk = cdoc["k"]
+                    if kk > len(hashes):
+                        hashes[:] = blooms.probe_hashes(
+                            spark, value, dtype, kk
+                        )
+                    if not blooms.might_contain(cdoc, hashes):
+                        continue
             keep.append(m)
         return keep
+
+    def build_blooms(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        version: int | None = None,
+        bits_per_key: int = 16,
+        k: int = 7,
+        rebuild: bool = False,
+    ) -> int:
+        """Build (or top up) the per-member BLOOM FILTER sidecar index
+        on ``cols`` for ``version`` (default latest) — the point-lookup
+        complement to [min,max] stats for hash-distributed keys (see
+        ``sources/blooms.py`` for the design and the Delta
+        ``_delta_index`` precedent). INCREMENTAL: only members missing
+        a sidecar entry for some requested column are scanned (two
+        distributed jobs over just those members), so re-running after
+        an append or a compaction indexes only the new directories.
+        Returns the number of members (re)indexed. Correctness never
+        depends on the index: unindexed members are read
+        conservatively, and immutable members make a built sidecar
+        valid for every version that references the directory."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise ValueError("build_blooms() on an empty store")
+        doc = self.manifest(v)
+        mapping = doc.get("column_mapping") or {}
+        schema = (
+            StructType.fromJson(doc["schema"])
+            if doc.get("schema") is not None else None
+        )
+        if schema is not None:
+            missing = [c for c in cols if c not in schema.fieldNames()]
+            if missing:
+                raise ValueError(
+                    f"build_blooms: columns {missing} not in the v{v} "
+                    "schema"
+                )
+        phys = [mapping.get(c, c) for c in cols]
+        todo: dict[str, str] = {}
+        for m in doc["members"]:
+            full = os.path.join(self.base_dir, m)
+            side = None if rebuild else blooms.load_sidecar(full)
+            if side is not None and all(
+                p in side.get("cols", {}) for p in phys
+            ):
+                continue
+            todo[os.path.basename(m)] = full
+        if not todo:
+            return 0
+        # read just the indexed PHYSICAL columns under the table's
+        # recorded types: a member that physically lacks one (subset-
+        # schema append) NULL-backfills to an exactly-empty bloom
+        # instead of failing resolution (same lesson as the r12
+        # constraint-enforcement ADVICE fix)
+        read_schema = (
+            StructType([
+                StructField(
+                    mapping.get(c, c), schema[c].dataType, True
+                )
+                for c in cols
+            ])
+            if schema is not None else None
+        )
+        built = blooms.build_member_blooms(
+            spark, todo, phys, bits_per_key=bits_per_key, k=k,
+            schema=read_schema,
+        )
+        for mid, full in todo.items():
+            side = blooms.load_sidecar(full) or {"rows": 0, "cols": {}}
+            new = built.get(mid, {"rows": 0, "cols": {}})
+            side["rows"] = new["rows"]
+            side["cols"].update(new["cols"])
+            blooms.write_sidecar(full, side)
+        return len(todo)
 
     def read_point(
         self, spark: SparkSession, col: str, value, version: int | None = None

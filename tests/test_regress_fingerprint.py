@@ -82,11 +82,22 @@ def test_bench_prev_ref_resolution():
         assert bench._resolve_prev_ref(".") == "r99"
     finally:
         del os.environ["SPARK_GRAFT_PREV_REF"]
-    # this repo has the r10 tag (or later): resolves to the highest rN
+    # with rN tags present, resolves to the highest one not at HEAD; a
+    # fresh clone without tags (round-13 driver checkouts drop them)
+    # must yield a clean None, never a bogus ref
+    import subprocess
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tags = subprocess.run(
+        ["git", "-C", repo, "tag", "--list", "r[0-9]*"],
+        capture_output=True, text=True, timeout=30,
+    ).stdout.split()
     ref = bench._resolve_prev_ref(repo)
-    assert ref is not None and ref.startswith("r")
-    assert int(ref[1:]) >= 10
+    if tags:
+        assert ref is not None and ref.startswith("r")
+        assert int(ref[1:]) >= 10
+    else:
+        assert ref is None
 
 
 def test_bench_prev_ref_skips_tag_at_head(tmp_path):
