@@ -273,6 +273,9 @@ HEADLINE = [
     "storage_column_mapping",
     "storage_identity_column",
     "storage_generated_column",
+    # round-13b: bloom-index point skipping and CDF-fed incremental MV
+    "storage_bloom_point_skip",
+    "storage_incremental_mv",
 ]
 
 #: timed runs per query; we report the fastest (steady-state throughput —
