@@ -850,6 +850,36 @@ COMMENTARY = {
         "edit distance <= 1. The tiny query side broadcasts; top-3 is a "
         "partitioned row_number, never a global sort."
     ),
+    "storage_bloom_point_skip": (
+        "Bloom-filter member skipping (round 13b). The staged store is "
+        "the stats-blind shape: 8 members split by key RESIDUE, so every "
+        "member's [min,max] covers every mid-range probe and interval "
+        "pruning reads all 8. The per-member bloom sidecar turns the "
+        "plan into ONE member scan for the present probe and ~zero for "
+        "16 guaranteed-absent probes (vs 128 conservative member-reads); "
+        "probe positions are k independent salted xxhash64 calls "
+        "replayed through a 1-row engine job, so build and probe share "
+        "one hash codepath under any SQL mode (no int64-wrapping double "
+        "hashing — ANSI-safe). Plan: a pruned member scan + scalar "
+        "aggregate; the pruning itself is driver-side microseconds over "
+        "sidecar words, zero jobs per member. At 100 TB this is the "
+        "difference between one file and the whole table for a point "
+        "lookup on a hash-distributed id."
+    ),
+    "storage_incremental_mv": (
+        "Incremental materialized view (round 13b). The view's refresh "
+        "input is the CHANGE FEED, not the table: signed delta folding "
+        "(insert/update_post +, delete/update_pre -) aggregates O(change "
+        "rows) into a groups-sized partial, then one full-outer join "
+        "against the groups-sized view folds it in — the only "
+        "data-sized read across five refreshes was the change rows "
+        "themselves (the gate's change_bounded flag fails if that ever "
+        "reaches rebuild-per-refresh cost). Refresh lands as one commit "
+        "with txn=(app, source_version): watermark and data publish "
+        "atomically, replay no-ops. The serving read is a scan of the "
+        "groups-sized view — at 100 TB the dashboard pays O(groups), "
+        "and each tick pays O(yesterday's changes)."
+    ),
 }
 
 
