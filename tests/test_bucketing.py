@@ -5,6 +5,9 @@ storage-level co-location strategy for repeatedly-joined 100 TB fact tables.
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -14,7 +17,15 @@ from tests.conftest import SF_SMALL
 @pytest.fixture(scope="module")
 def warehouse(spark):
     # NB: spark.sql.warehouse.dir is a static conf — tables land in the
-    # default warehouse; DROP TABLE removes the managed files afterwards
+    # default warehouse; DROP TABLE removes the managed files afterwards.
+    # An interrupted earlier run can leave the managed LOCATION on disk
+    # with no catalog entry (fresh in-memory catalog each session), and
+    # saveAsTable then refuses with LOCATION_ALREADY_EXISTS — clear such
+    # orphans before writing.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("orders_b", "lineitem_b"):
+        if not spark.catalog.tableExists(t):
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
     li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
     (
