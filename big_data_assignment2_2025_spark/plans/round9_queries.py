@@ -483,6 +483,14 @@ def _staged_zorder_store(spark: SparkSession, sf_dir: str) -> str:
                 )
         finally:
             z.unpersist()
+        # commit point for the CACHE (the store's commits are already
+        # atomic): derived_cache_ok requires a _SUCCESS at base, which a
+        # SnapshotStore never writes itself — without it this store
+        # restaged on EVERY invocation (measured r13: 5.6-13 s of the
+        # query's 4.3 s bench entry was a silent rebuild of an identical
+        # store; the read path itself is 0.3 s warm)
+        with open(os.path.join(base, "_SUCCESS"), "w"):
+            pass
         mark_derived_cache(base, fprint)
     return base
 
