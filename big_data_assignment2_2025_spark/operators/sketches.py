@@ -572,29 +572,46 @@ def cms_estimate_for_keys(
     per-day counter table probed by a (day, key) watchlist): lookups then
     join on (group, bucket), so one call estimates every group's
     watchlist at once. The counter side stays broadcast-scale at
-    groups x d x w rows."""
+    groups x d x w rows.
+
+    Plan shape (r13 rewrite): ONE broadcast join, not d. The original form
+    joined the keys frame d times, each against a ``row == i`` slice of the
+    counter table — d broadcast builds, each re-running the counter
+    subplan (for the streaming twin that subplan is a groupBy over the
+    drained update log, re-executed per build). Exploding the d probe
+    positions on the KEYS side instead (a watchlist, tiny by contract)
+    joins the whole counter table once and folds back with
+    ``min(coalesce(cnt, 0))`` — `est = min over d of (counter or 0)`, the
+    identical value row for row. Requires ``keys_df`` rows to be unique
+    (both callers probe a distinct watchlist)."""
     by = list(by or [])
-    out = keys_df
-    ests = []
-    for i, pos in enumerate(_cms_positions(F.col(key_col))):
-        b = f"_cms{i}"
-        ct = counters.where(F.col("row") == i).select(
-            *[F.col(c).alias(f"_cg{i}_{c}") for c in by],
-            F.col("bucket").alias(f"_cb{i}"),
-            F.col("cnt").alias(b),
-        )
-        cond = F.col(f"_cp{i}") == F.col(f"_cb{i}")
-        for c in by:
-            cond = cond & (F.col(c) == F.col(f"_cg{i}_{c}"))
-        out = out.withColumn(f"_cp{i}", pos).join(F.broadcast(ct), cond, "left")
-        ests.append(F.coalesce(F.col(b), F.lit(0).cast("long")))
-    est = ests[0]
-    for e in ests[1:]:
-        est = F.least(est, e)
-    out = out.withColumn("est_cnt", est)
-    drop = [c for i in range(CMS_DEPTH) for c in (f"_cp{i}", f"_cb{i}", f"_cms{i}")]
-    drop += [f"_cg{i}_{c}" for i in range(CMS_DEPTH) for c in by]
-    return out.drop(*drop)
+    key_cols = list(keys_df.columns)
+    probes = keys_df.select(
+        *key_cols,
+        F.posexplode(
+            F.array(*_cms_positions(F.col(key_col)))
+        ).alias("_cms_row", "_cms_bucket"),
+    )
+    # counter-side columns are renamed (keys frames are often DERIVED from
+    # the counter table — e.g. its distinct days — and a common lineage
+    # makes a USING-column join ambiguous)
+    ct = counters.select(
+        *[F.col(c).alias(f"_cg_{c}") for c in by],
+        F.col("row").cast("long").alias("_cg_row"),
+        F.col("bucket").cast("long").alias("_cg_bucket"),
+        F.col("cnt").alias("_cg_cnt"),
+    )
+    cond = (
+        F.col("_cms_row").cast("long") == F.col("_cg_row")
+    ) & (F.col("_cms_bucket").cast("long") == F.col("_cg_bucket"))
+    for c in by:
+        cond = cond & (F.col(c) == F.col(f"_cg_{c}"))
+    joined = probes.join(F.broadcast(ct), cond, "left")
+    return joined.groupBy(*key_cols).agg(
+        F.min(
+            F.coalesce(F.col("_cg_cnt"), F.lit(0).cast("long"))
+        ).alias("est_cnt")
+    )
 
 
 #: Deterministic KMV defaults: keep the 256 smallest distinct hashes.
