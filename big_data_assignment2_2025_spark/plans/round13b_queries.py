@@ -54,13 +54,24 @@ def _bloom_probes(spark: SparkSession, pk_frame) -> tuple[int, list[int]]:
     fixture's key distribution). The present probe is the smallest
     key above the domain midpoint: a boundary key like MIN would be
     stats-prunable and pollute the attribution."""
-    row = pk_frame.agg(
+    # ONE job for both aggregates (r13): the midpoint scan and the
+    # min-above-mid scan fuse via a broadcast scalar cross join, halving
+    # the eager driver round-trips this readout pays per invocation
+    stats = pk_frame.agg(
         F.min("pk").alias("lo"), F.max("pk").alias("hi")
-    ).first()
-    mid = (int(row["lo"]) + int(row["hi"])) // 2
-    probe = int(
-        pk_frame.where(F.col("pk") > mid).agg(F.min("pk")).first()[0]
     )
+    row = (
+        pk_frame.crossJoin(F.broadcast(stats))
+        .where(F.col("pk") > F.floor((F.col("lo") + F.col("hi")) / 2))
+        .agg(
+            F.min("pk").alias("probe"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+        )
+        .first()
+    )
+    mid = (int(row["lo"]) + int(row["hi"])) // 2
+    probe = int(row["probe"])
     absent = [
         x for x in range(mid + 1, mid + 4 * _BLOOM_ABSENT_PROBES)
         if x % 2 == 1
@@ -128,11 +139,14 @@ def storage_bloom_point_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         and max(probe, absents[-1]) <= s["pk"][1]
         for s in doc["stats"].values()
     )
-    planned_present = store.planned_members_point(spark, "pk", probe)
-    absent_total = sum(
-        len(store.planned_members_point(spark, "pk", a))
-        for a in absents
+    # one batched probe pass: all 17 keys' hashes in a single 1-row
+    # engine job instead of one job per key (r13; see
+    # planned_members_points)
+    planned = store.planned_members_points(
+        spark, "pk", [probe, *absents]
     )
+    planned_present = planned[0]
+    absent_total = sum(len(p) for p in planned[1:])
     return (
         store.read_point(spark, "pk", probe)
         .agg(

@@ -76,13 +76,39 @@ def probe_hashes(spark: SparkSession, value, dtype, k: int) -> list[int]:
     the ENGINE itself on a 1-row frame — the only way to guarantee the
     probe's hash matches the build's (same codepath, same type
     coercion). O(1) metadata-plane job, like the constraint probes."""
-    lit = F.lit(value).cast(dtype)
-    row = (
-        spark.range(1)
-        .select(*[F.xxhash64(lit, F.lit(i)).alias(f"h{i}") for i in range(k)])
-        .collect()[0]
+    return probe_hashes_many(spark, [value], dtype, k)[0]
+
+
+def probe_hashes_many(
+    spark: SparkSession, values: list, dtype, k: int
+) -> list[list[int]]:
+    """The k salted hashes for EVERY probe value in ONE job. A
+    point-skip readout that probes a batch of keys (e.g. 16 absent
+    probes + 1 present) previously paid one driver-round-trip job per
+    key — the job overhead, not the hashing, was ~100 ms each
+    (measured r13).
+
+    Values travel as DATA ROWS, not literals: a literal-per-probe
+    projection generates fresh codegen source per distinct probe set
+    (measured ~0.8-1 s of Janino compile per invocation for 17x7
+    literal columns), while a fixed k-column shape over a value column
+    is compiled once and cache-hits forever. ``lit(v).cast(dtype)`` and
+    ``createDataFrame`` + ``cast(dtype)`` infer the same Spark type
+    from the same Python value, so the hashed bytes are identical."""
+    df = spark.createDataFrame(
+        [(j, v) for j, v in enumerate(values)], ["idx", "v"]
     )
-    return [row[f"h{i}"] for i in range(k)]
+    rows = df.select(
+        "idx",
+        *[
+            F.xxhash64(F.col("v").cast(dtype), F.lit(i)).alias(f"h{i}")
+            for i in range(k)
+        ],
+    ).collect()
+    out: list[list[int]] = [[] for _ in values]
+    for r in rows:
+        out[r["idx"]] = [r[f"h{i}"] for i in range(k)]
+    return out
 
 
 def positions(hashes: list[int], k: int, m: int) -> list[int]:

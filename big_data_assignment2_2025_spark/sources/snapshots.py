@@ -1584,6 +1584,22 @@ class SnapshotStore:
         values prune first (exact), then [min,max] stats; members with
         neither are read conservatively. Exposed so callers (and the
         gate queries) can WITNESS the pruning, not just trust it."""
+        return self.planned_members_points(spark, col, [value], version)[0]
+
+    def planned_members_points(
+        self,
+        spark: SparkSession,
+        col: str,
+        values: list,
+        version: int | None = None,
+    ) -> list[list[str]]:
+        """``planned_members_point`` for a BATCH of probe values: one
+        manifest walk, sidecars loaded once per member, and ALL probe
+        hashes computed in a single 1-row engine job (lazily, only if an
+        indexed member survives the partition/stats prunes — a store
+        without blooms still runs zero jobs). A 17-probe readout paid 17
+        driver-round-trip jobs before (~100 ms each, r13 measurement);
+        now it pays at most one."""
         v = self.latest_version() if version is None else version
         if v is None:
             raise ValueError("planned_members_point() on an empty store")
@@ -1602,44 +1618,56 @@ class SnapshotStore:
         # fresh physical name that can never match a stale bloom
         phys = (doc.get("column_mapping") or {}).get(col, col)
         dtype = src_types.get(col)
-        hashes: list[int] = []  # probe hashes, computed lazily once
+        #: probe hashes per value, computed lazily once for the batch;
+        #: sized to the LARGEST k met so far (k is per sidecar doc)
+        hashes: list[list[int]] = [[] for _ in values]
+        sidecar_cache: dict[str, dict | None] = {}
         bucket_cache: dict = {}
-        keep = []
+        keeps: list[list[str]] = [[] for _ in values]
         for m in doc["members"]:
             entry = parts.get(m)
-            if entry and self._part_excludes_point(
-                spark, entry, col, value, bucket_cache, src_types
-            ):
-                continue
+            side = ...  # sentinel: sidecar not loaded yet for this member
             s = stats.get(m, {}).get(col)
-            if s is not None and s[0] is not None and s[1] is not None:
-                try:
-                    if not (s[0] <= value <= s[1]):
-                        continue
-                except TypeError:
-                    pass
-            # bloom sidecar: the high-cardinality complement to stats (a
-            # hash-distributed key spans every member's [min,max], so
-            # intervals never prune it; the bloom does). Probe hashes are
-            # computed ONCE per call by the engine itself the first time
-            # an indexed member is met; members without a sidecar (fresh
-            # compaction output, older lineage) stay conservative.
-            side = (
-                blooms.load_sidecar(os.path.join(self.base_dir, m))
-                if dtype is not None else None
-            )
-            if side is not None:
-                cdoc = side.get("cols", {}).get(phys)
-                if cdoc is not None:
-                    kk = cdoc["k"]
-                    if kk > len(hashes):
-                        hashes[:] = blooms.probe_hashes(
-                            spark, value, dtype, kk
+            for j, value in enumerate(values):
+                if entry and self._part_excludes_point(
+                    spark, entry, col, value, bucket_cache, src_types
+                ):
+                    continue
+                if s is not None and s[0] is not None and s[1] is not None:
+                    try:
+                        if not (s[0] <= value <= s[1]):
+                            continue
+                    except TypeError:
+                        pass
+                # bloom sidecar: the high-cardinality complement to stats
+                # (a hash-distributed key spans every member's [min,max],
+                # so intervals never prune it; the bloom does). Members
+                # without a sidecar (fresh compaction output, older
+                # lineage) stay conservative.
+                if side is ...:
+                    side = (
+                        sidecar_cache.setdefault(
+                            m,
+                            blooms.load_sidecar(
+                                os.path.join(self.base_dir, m)
+                            ),
                         )
-                    if not blooms.might_contain(cdoc, hashes):
-                        continue
-            keep.append(m)
-        return keep
+                        if dtype is not None else None
+                    )
+                if side is not None:
+                    cdoc = side.get("cols", {}).get(phys)
+                    if cdoc is not None:
+                        kk = cdoc["k"]
+                        if kk > len(hashes[0]):
+                            new = blooms.probe_hashes_many(
+                                spark, values, dtype, kk
+                            )
+                            for h, n in zip(hashes, new):
+                                h[:] = n
+                        if not blooms.might_contain(cdoc, hashes[j]):
+                            continue
+                keeps[j].append(m)
+        return keeps
 
     def build_blooms(
         self,
