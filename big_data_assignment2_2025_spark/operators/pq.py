@@ -13,10 +13,14 @@ Spark mapping (and the 100 TB story):
 - **Training** is a bounded-sample driver job (codebooks are tiny constants
   — k·d floats — and production PQ always trains on a sample, so collect()
   here is the correct distributed design, not a shortcut).
-- **Encoding** is a scan-side Catalyst projection: the codebooks are
-  embedded as literal arrays and the argmin runs in whole-stage codegen —
-  zero shuffles, zero Python, exactly how a 100 TB corpus would be encoded
-  once and stored as a tiny codes column next to the parquet.
+- **Encoding** has two shapes with bit-identical codes: the INGEST path
+  (``pq_encode``) is a scan-side Catalyst projection — zero shuffles, zero
+  Python, how a 100 TB corpus is encoded once and stored as a tiny codes
+  column next to the parquet; the QUERY path (``pq_topk_fused``) encodes
+  on the fly with numpy inside the ADC scorer's existing Arrow pass,
+  because a Catalyst argmin over literal codebooks runs its per-centroid
+  lambdas through the interpreted higher-order-function path (~1024
+  closure evaluations per row — measured ~3 s per 2000-row encode, r13).
 - **Search** is an Arrow-batched ``mapInPandas``: the numpy LUT scores a
   whole batch against all queries at once and emits only each batch's
   per-query top-k (partial top-k, ≤ |Q|·k rows per batch — the same
@@ -130,74 +134,100 @@ def pq_encode(
 ) -> DataFrame:
     """(id, codes array<int>) — nearest-centroid id per subspace.
 
-    Pure Catalyst: the codebooks become literal arrays and the per-subspace
-    argmin is transform + array_min + array_position, all inside the scan's
-    whole-stage-codegen projection. No shuffle, no UDF."""
+    Pure Catalyst: the codebooks become literals and the per-subspace
+    argmin runs inside the scan's whole-stage-codegen projection. No
+    shuffle, no UDF.
+
+    The distances are UNROLLED into plain arithmetic (r13): the original
+    ``transform(cents, c -> aggregate(zip_with(c, sub, (a,b)->(a-b)*(a-b)),
+    0D, acc+x))`` form evaluates every lambda per element through the
+    INTERPRETED higher-order-function path — m*k*d_sub (~1024) closure
+    evaluations per row, measured at ~3 s for a 2000-row encode. The
+    unrolled ``(c0-x0)*(c0-x0) + ...`` chain is ordinary codegen'd
+    expressions. IEEE-identical by construction: the fold computed
+    ``(((0D + t0) + t1) + ...)`` with every ``t_i = (c_i-x_i)^2 >= 0``,
+    and ``0D + t0 == t0`` exactly for non-negative t0, so the left-to-root
+    addition order — and therefore every distance bit and every argmin
+    tie — is unchanged (the DuckDB oracle replays the same sequence)."""
     m, k, d_sub = codebooks.shape
     code_exprs = []
     for j in range(m):
-        cents = _centroid_literal(codebooks[j])
-        sub = f"transform(slice({vec_col}, {j * d_sub + 1}, {d_sub}), x -> cast(x as double))"
-        dists = (
-            f"transform({cents}, c -> aggregate("
-            f"zip_with(c, {sub}, (a, b) -> (a - b) * (a - b)),"
-            f" 0D, (acc, x) -> acc + x))"
-        )
+        dists = []
+        for c in codebooks[j]:
+            terms = []
+            for i in range(d_sub):
+                lit = repr(float(c[i]))
+                # [] indexing is 0-based; identical element to
+                # transform(slice(vec, j*d_sub+1, d_sub))[i]
+                el = f"cast({vec_col}[{j * d_sub + i}] as double)"
+                terms.append(f"({lit} - {el}) * ({lit} - {el})")
+            dists.append("(" + " + ".join(terms) + ")")
+        arr = "array(" + ",".join(dists) + ")"
         code_exprs.append(
-            f"cast(array_position({dists}, array_min({dists})) - 1 as int)"
+            f"cast(array_position({arr}, array_min({arr})) - 1 as int)"
         )
     return corpus.select(
         F.col(id_col), F.expr("array(" + ",".join(code_exprs) + ")").alias("codes")
     )
 
 
-def pq_topk(
-    codes: DataFrame,
-    queries: DataFrame,
-    codebooks: np.ndarray,
-    k: int = 5,
-    shortlist: int | None = None,
-    corpus: DataFrame | None = None,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """ADC top-k: numpy LUT scoring over Arrow batches, partial top-k per
-    batch, global top-k via window. Returns (query_id, neighbor_id,
-    approx_d2, rank) with deterministic (distance, id) tie-breaks.
+def _encode_np(X: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Nearest-centroid codes for a float64 batch, BIT-IDENTICAL to
+    ``pq_encode``'s Catalyst expression: per dimension the term is
+    ``(c_i - x_i)^2`` and the accumulation is the same left-to-right
+    IEEE double chain (sequential adds, acc starts at 0), and
+    ``argmin`` breaks ties to the lowest centroid index exactly like
+    ``array_position(dists, array_min(dists))``."""
+    m, kc, d_sub = codebooks.shape
+    n = X.shape[0]
+    codes = np.empty((n, m), dtype=np.int64)
+    for j in range(m):
+        sub = X[:, j * d_sub : (j + 1) * d_sub]
+        d2 = np.zeros((n, kc), dtype=np.float64)
+        for i in range(d_sub):
+            t = codebooks[j][None, :, i] - sub[:, i][:, None]
+            d2 = d2 + t * t
+        codes[:, j] = d2.argmin(axis=1)
+    return codes
 
-    With ``shortlist``/``corpus`` set, runs the production IVFADC recipe:
-    ADC selects a shortlist (~10k per query), then ONLY those candidates
-    are re-ranked with exact L2 against the float vectors (a broadcast-able
-    |Q|·shortlist join — the full corpus floats are never scanned at query
-    time). Quantization error then only costs recall when a true neighbor
-    misses the shortlist entirely."""
-    import pandas as pd
 
+def _adc_broadcasts(spark, queries, codebooks, id_col, vec_col):
+    """(broadcast LUT, broadcast query ids): LUT[i, j, c] =
+    ||query_i subvec_j - centroid_c||^2."""
     m, kc, d_sub = codebooks.shape
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_vecs = np.array([r[1] for r in q_rows], dtype=np.float64)
-    nq = len(q_ids)
-    # LUT[i, j, c] = ||query_i subvec_j - centroid_c||^2
-    lut = np.empty((nq, m, kc), dtype=np.float64)
+    lut = np.empty((len(q_ids), m, kc), dtype=np.float64)
     for j in range(m):
         diff = (
             q_vecs[:, None, j * d_sub : (j + 1) * d_sub]
             - codebooks[None, j, :, :]
         )
         lut[:, j, :] = (diff**2).sum(axis=2)
+    return (
+        spark.sparkContext.broadcast(lut),
+        spark.sparkContext.broadcast(q_ids),
+    )
 
-    spark = codes.sparkSession
-    b_lut = spark.sparkContext.broadcast(lut)
-    b_qids = spark.sparkContext.broadcast(q_ids)
-    take = max(k, shortlist or 0)
+
+def _adc_score_fn(b_lut, b_qids, take, id_col, codebooks=None):
+    """Per-batch ADC scorer for ``mapInPandas``. With ``codebooks`` set
+    the batch carries FLOAT VECTORS and is encoded in-batch first
+    (``_encode_np`` — the fused query path); otherwise it carries
+    pre-computed ``codes``."""
+    import pandas as pd
 
     def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         L, qid = b_lut.value, b_qids.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            c = np.stack(pdf["codes"].to_numpy())  # (B, m)
+            if codebooks is not None:
+                X = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+                c = _encode_np(X, codebooks)
+            else:
+                c = np.stack(pdf["codes"].to_numpy())  # (B, m)
             ids = pdf[id_col].to_numpy()
             # gather: d2[q, b] = sum_j L[q, j, c[b, j]], then ROUND to 6
             # decimals before any ordering — double accumulation order
@@ -221,9 +251,93 @@ def pq_topk(
                 out["approx_d2"].extend(d2[qi][order].tolist())
             yield pd.DataFrame(out)
 
-    partial = codes.mapInPandas(
-        score, "query_id long, neighbor_id long, approx_d2 double"
+    return score
+
+
+def pq_topk_fused(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    shortlist: int | None = None,
+    rerank_corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode + ADC top-k FUSED into one Arrow pass over the float
+    vectors — the query-path twin of ``pq_encode`` + ``pq_topk`` with
+    bit-identical output (``_encode_np``'s IEEE-order guarantee).
+
+    Why it exists (r13): the pure-Catalyst encode expression evaluates
+    its per-centroid distance lambdas through the interpreted
+    higher-order-function path — ~1024 closure evaluations per row,
+    measured at ~3 s for a 2000-row corpus, with a further ~1 s of
+    per-run parse/optimize when unrolled into plain expressions. The
+    numpy encode inside the existing ADC ``mapInPandas`` runs the same
+    arithmetic vectorized (~0.4 s), adds ZERO extra Python passes (the
+    scorer already crossed the boundary), and drops the JVM round trip
+    for the codes column. At ingest scale the story is unchanged:
+    ``pq_encode`` stays the store-the-codes-column path; this is the
+    encode-on-the-fly QUERY path."""
+    spark = corpus.sparkSession
+    b_lut, b_qids = _adc_broadcasts(spark, queries, codebooks, id_col, vec_col)
+    take = max(k, shortlist or 0)
+    partial = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__vec")
+    ).mapInPandas(
+        _adc_score_fn(b_lut, b_qids, take, id_col, codebooks=codebooks),
+        "query_id long, neighbor_id long, approx_d2 double",
     )
+    return _finish_topk(
+        partial, queries, rerank_corpus, k, take, shortlist, id_col, vec_col
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    shortlist: int | None = None,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: numpy LUT scoring over Arrow batches, partial top-k per
+    batch, global top-k via window. Returns (query_id, neighbor_id,
+    approx_d2, rank) with deterministic (distance, id) tie-breaks.
+
+    With ``shortlist``/``corpus`` set, runs the production IVFADC recipe:
+    ADC selects a shortlist (~10k per query), then ONLY those candidates
+    are re-ranked with exact L2 against the float vectors (a broadcast-able
+    |Q|·shortlist join — the full corpus floats are never scanned at query
+    time). Quantization error then only costs recall when a true neighbor
+    misses the shortlist entirely."""
+    spark = codes.sparkSession
+    b_lut, b_qids = _adc_broadcasts(spark, queries, codebooks, id_col, vec_col)
+    take = max(k, shortlist or 0)
+    partial = codes.mapInPandas(
+        _adc_score_fn(b_lut, b_qids, take, id_col, codebooks=None),
+        "query_id long, neighbor_id long, approx_d2 double",
+    )
+    return _finish_topk(
+        partial, queries, corpus, k, take, shortlist, id_col, vec_col
+    )
+
+
+def _finish_topk(
+    partial: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame | None,
+    k: int,
+    take: int,
+    shortlist: int | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Global top-k over the per-batch ADC partials (+ optional exact
+    rerank of the shortlist) — shared by ``pq_topk`` and
+    ``pq_topk_fused``."""
     w = W.partitionBy("query_id").orderBy(
         F.asc("approx_d2"), F.asc("neighbor_id")
     )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_of
-from ..operators.pq import pq_encode, pq_lowest_id_codebooks, pq_topk
+from ..operators.pq import pq_lowest_id_codebooks, pq_topk_fused
 from ..sources.readers import (
     derived_cache_ok,
     fixture_fingerprint,
@@ -61,12 +61,14 @@ def _pq_books(spark: SparkSession, sf_dir: str):
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-5 neighbors (approximate L2) for query vectors vec_id < 5
-    over 8x16 lowest-id-codebook product quantization."""
+    over 8x16 lowest-id-codebook product quantization. Encode + ADC run
+    fused in one Arrow pass (``pq_topk_fused``, r13): bit-identical to
+    ``pq_encode`` + ``pq_topk`` and ~2x faster — the Catalyst encode's
+    interpreted HOF lambdas were the cost, not the arithmetic."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = _pq_books(spark, sf_dir)
-    codes = pq_encode(emb, books)
     queries = emb.where(F.col("vec_id") < 5)
-    return pq_topk(codes, queries, books, k=5)
+    return pq_topk_fused(emb, queries, books, k=5)
 
 
 def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,10 +78,9 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is probed per shortlist row, never scanned."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = _pq_books(spark, sf_dir)
-    codes = pq_encode(emb, books)
     queries = emb.where(F.col("vec_id") < 5)
-    return pq_topk(
-        codes, queries, books, k=5, shortlist=_PQ_SHORTLIST, corpus=emb
+    return pq_topk_fused(
+        emb, queries, books, k=5, shortlist=_PQ_SHORTLIST, rerank_corpus=emb
     )
 
 
