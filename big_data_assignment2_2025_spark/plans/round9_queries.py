@@ -300,16 +300,26 @@ def _sq8_quantized(emb: DataFrame) -> DataFrame:
         f" (a, e) -> greatest(a, abs({x}))), CAST(1e-12 AS DOUBLE))"
         f" / {_SQ8_LEVELS}"
     )
-    q = (
-        f"transform(embedding, e -> CAST(floor({x} / ({scale}) + 0.5D)"
-        f" AS INT))"
-    )
-    return emb.select(
-        "vec_id",
-        F.expr(q).alias("q"),
-        F.expr(
-            f"aggregate({q}, 0L, (a, c) -> a + CAST(c AS BIGINT) * c)"
-        ).alias("qnorm2"),
+    # scale and q are HOISTED into their own columns (r13): inlining the
+    # scale aggregate into the quantize lambda made the interpreted HOF
+    # path re-run it per ELEMENT (64x64 evals/row), and inlining q into
+    # the norm re-ran the quantize transform — hoisted, each evaluates
+    # once per row (measured 1.1 -> 0.7 s on the sf0.1 noop, identical
+    # values row for row; the IEEE chain per element is unchanged)
+    return (
+        emb.withColumn("_scale", F.expr(scale))
+        .withColumn(
+            "q",
+            F.expr(
+                f"transform(embedding, e -> CAST(floor({x} / _scale"
+                f" + 0.5D) AS INT))"
+            ),
+        )
+        .withColumn(
+            "qnorm2",
+            F.expr("aggregate(q, 0L, (a, c) -> a + CAST(c AS BIGINT) * c)"),
+        )
+        .select("vec_id", "q", "qnorm2")
     )
 
 
