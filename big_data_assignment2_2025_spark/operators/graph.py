@@ -116,6 +116,13 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .select(F.col("src").alias("node"), "nbr_label")
         )
+        # the convergence flag rides the checkpointed round itself:
+        # new != old iff a neighbor label strictly undercuts ours, so
+        # ``chg`` is decided inside the round's one join and the probe
+        # below is an early-exit scan of the (already materialized)
+        # checkpoint blocks — the r12 form re-JOINED new vs old labels
+        # per round, a whole extra shuffle job whose answer was already
+        # computable in the round (r13, guide §2.4)
         new_labels = ckpt(
             labels.join(nbr_min, "node", "left")
             .select(
@@ -123,13 +130,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
+                (
+                    F.col("nbr_label").isNotNull()
+                    & (F.col("nbr_label") < F.col("label"))
+                ).alias("chg"),
             )
         )
-        changed = new_labels.alias("n").join(
-            labels.alias("o"), "node"
-        ).where(F.col("n.label") != F.col("o.label"))
-        labels = new_labels
-        if changed.isEmpty():
+        labels = new_labels.select("node", "label")
+        if new_labels.where(F.col("chg")).isEmpty():
             break
 
     edges.unpersist()
