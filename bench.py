@@ -300,18 +300,66 @@ AB_BUDGET = int(os.environ.get("SPARK_GRAFT_AB_BUDGET", "1500"))
 #: official artifact recorded ``parsed: null``)
 LINE_BUDGET = 1800
 
+#: STABLE driver-visible query set (r14, VERDICT r13 item 3): the line's
+#: per-query map previously filled greedily slowest-first, so membership in
+#: the slowest-40 reshuffled with host speed and every cross-round PERF
+#: comparison misreported "dropped"/"new" queries that merely got faster or
+#: slower than the cut line. These names — the full r13 line set — are now
+#: ALWAYS emitted (so round-over-round line diffs compare a fixed set);
+#: remaining budget is still filled greedily slowest-first with the rest.
+#: Line values are rounded to 2 decimals to fit the pinned set + the A/B
+#: block in the budget; the full-precision map lives in
+#: BENCH_LOCAL_latest.json as before. Append new names at round end when
+#: the line gains entries; never remove.
+LINE_PIN = [
+    "streaming_rolling_dau_hll", "streaming_user_freq_cms",
+    "graph_kcore_peel", "sql_recursive_reachability",
+    "streaming_snapshot_source", "graph_modularity",
+    "dedup_ngram_threshold", "streaming_pattern_match",
+    "contamination_check", "doc_quality_quartiles",
+    "dedup_cluster_components", "streaming_bitmap_dau", "udtf_top_terms",
+    "streaming_value_quantiles", "rfm_segmentation",
+    "graph_label_propagation", "streaming_ewma_anomaly",
+    "streaming_rolling_dau", "bm25_search", "dedup_ngram_capped",
+    "association_rules", "ann_ivf_topk", "dedup_containment",
+    "graph_link_prediction", "search_rrf_fusion", "docs_winnowing_dedup",
+    "storage_bloom_point_skip", "streaming_ohlc_bars", "ann_sq8_topk",
+    "multimodal_decode_features", "dedup_minhash_lsh",
+    "q3_shipping_priority", "dedup_simhash", "streaming_hourly_window",
+    "orders_bloom_prune", "q5_region_revenue", "streaming_latest_state",
+    "streaming_snapshot_sink", "docs_exact_substring_dedup",
+    "bm25_search_materialized", "zorder_key_topk", "user_ltv_deciles",
+    "sql_lateral_topk", "text_collocations_llr", "search_phrase_match",
+    "embedding_neardup", "events_rolling_dau_approx",
+    "embedding_semdedup_scaled", "pipeline_clean_corpus",
+    "embedding_semdedup",
+    # NOTE: the pinned set is exactly the r13 stdout-line set (what
+    # PERF_r14 will diff against); the budget does not fit more alongside
+    # the A/B block. Queries outside the pin (e.g. the 7 r13
+    # "dropped_from_bench" artifacts — queries that fell off the line
+    # because they got FASTER) still ride the greedy slowest-first fill.
+]
+
+
+def _dumps(obj) -> str:
+    """Compact JSON (no separator whitespace) — the line budget is hard."""
+    return json.dumps(obj, separators=(",", ":"))
+
 
 def summary_line(
     timings: dict[str, float], sf: float, ab: dict | None = None
 ) -> str:
     """Build the driver-facing stdout line, guaranteed ≤ LINE_BUDGET chars.
 
-    Summary fields always present; the per-query map is filled greedily
-    slowest-first until the serialized line would exceed the budget, at
-    which point ``queries_truncated: true`` marks the cut (the full map
-    lives in BENCH_LOCAL_latest.json). ``ab`` is the compact A/B summary
-    vs the previous round's tag (bounded size — it rides the line, the
-    per-query ratios live in the full map).
+    Summary fields always present. The per-query map carries the PINNED
+    set (``LINE_PIN`` — stable across rounds whatever the host speed)
+    first, then fills greedily slowest-first until the serialized line
+    would exceed the budget, at which point ``queries_truncated: true``
+    marks the cut (the full map lives in BENCH_LOCAL_latest.json). ``ab``
+    is the compact A/B summary vs the previous round's ref (bounded size —
+    it rides the line, the per-query ratios live in the full map). If the
+    pinned set itself ever overflows, the FASTEST pinned entries are
+    dropped last-first — never reached at current sizes (asserted below).
     """
     summary = {
         "metric": "headline_queries_total_time",
@@ -327,31 +375,72 @@ def summary_line(
     }
     if ab is not None:
         summary["ab"] = ab
-    for name in sorted(timings, key=lambda k: timings[k], reverse=True):
-        summary["queries"][name] = timings[name]
-        if len(json.dumps(summary)) > LINE_BUDGET:
+    pinned = [n for n in LINE_PIN if n in timings]
+    rest = sorted(
+        (n for n in timings if n not in set(LINE_PIN)),
+        key=lambda k: timings[k],
+        reverse=True,
+    )
+    for name in pinned:
+        summary["queries"][name] = round(timings[name], 2)
+    # pinned overflow safety valve: drop fastest pinned entries until fit
+    while len(_dumps(summary)) > LINE_BUDGET and summary["queries"]:
+        drop = min(summary["queries"], key=lambda k: summary["queries"][k])
+        del summary["queries"][drop]
+    truncated = len(summary["queries"]) < len(pinned)
+    for name in rest:
+        summary["queries"][name] = round(timings[name], 2)
+        if len(_dumps(summary)) > LINE_BUDGET:
             del summary["queries"][name]
+            truncated = True
             break
-    else:
+    if not truncated:
         del summary["queries_truncated"]
-    line = json.dumps(summary)
+    line = _dumps(summary)
     assert len(line) <= LINE_BUDGET, f"bench line {len(line)} > {LINE_BUDGET}"
     return line
 
 
 def _resolve_prev_ref(repo: str) -> str | None:
     """The previous round's git ref for the A/B side: explicit
-    ``$SPARK_GRAFT_PREV_REF`` wins; otherwise the highest ``r<N>`` tag
-    that does NOT resolve to the current HEAD commit. The self-compare
-    guard matters when the round tag is created before the driver's
-    bench run (r11's driver artifact compared HEAD to its own tag — a
-    pure-noise null instead of the real round-over-round signal); the
-    next-lower tag carries the comparison the A/B exists for."""
+    ``$SPARK_GRAFT_PREV_REF`` wins; then the committed ``PREV_REF`` file
+    (plain SHA, updated at each round end — r14, VERDICT r13 item 1: git
+    tags do NOT survive the driver's snapshot/clone cycle, so the r13
+    round's A/B silently recorded "skipped" despite the tag protocol);
+    then the highest ``r<N>`` tag that does NOT resolve to the current
+    HEAD commit. The self-compare guard matters when the ref points at
+    the current commit (r11's driver artifact compared HEAD to its own
+    tag — a pure-noise null instead of the real round-over-round
+    signal); the next-lower tag carries the comparison the A/B exists
+    for."""
     import subprocess
 
     env = os.environ.get("SPARK_GRAFT_PREV_REF")
     if env:
         return env
+
+    def _sha_of(ref: str) -> str | None:
+        try:
+            return subprocess.run(
+                ["git", "-C", repo, "rev-parse", f"{ref}^{{commit}}"],
+                capture_output=True, text=True, timeout=30, check=True,
+            ).stdout.strip()
+        except Exception:
+            return None
+
+    ref_file = os.path.join(repo, "PREV_REF")
+    if os.path.isfile(ref_file):
+        with open(ref_file) as fh:
+            lines = [
+                ln.strip() for ln in fh
+                if ln.strip() and not ln.lstrip().startswith("#")
+            ]
+        # newest-first: first resolvable line that isn't HEAD itself
+        head = _sha_of("HEAD")
+        for ln in lines:
+            sha = _sha_of(ln)
+            if sha is not None and sha != head:
+                return ln
 
     def _sha(ref: str) -> str | None:
         try:

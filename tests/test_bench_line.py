@@ -56,3 +56,29 @@ def test_summary_line_current_headline_count_fits():
     assert len(line) <= bench.LINE_BUDGET
     obj = json.loads(line)
     assert obj["n_queries"] == len(bench.HEADLINE)
+
+
+def test_summary_line_pinned_set_stable_under_host_speed():
+    """r14 (VERDICT r13 item 3): the driver-visible query set must not
+    churn with host speed — every LINE_PIN name present in the timings
+    rides the line even when it is among the FASTEST queries, and even
+    with a worst-case A/B block on board."""
+    ab = {
+        "prev": "66484756fd6c53cffbdc9833c1ddceeda9418cb1",
+        "n_common": 161, "median_ratio": 1.001, "p90_ratio": 1.101,
+        "max_ratio": 11.53, "n_plan_changed": 42,
+        "head_bracket_median": 1.002,
+    }
+    for speed in (0.011, 1.234, 987.654):
+        timings = {name: speed for name in bench.HEADLINE}
+        # make every pinned query the FASTEST in the map
+        for name in bench.LINE_PIN:
+            timings[name] = speed / 10
+        line = bench.summary_line(timings, 0.1, ab)
+        assert len(line) <= bench.LINE_BUDGET
+        obj = json.loads(line)
+        pinned_timed = [n for n in bench.LINE_PIN if n in timings]
+        assert all(n in obj["queries"] for n in pinned_timed)
+        assert obj["ab"] == ab
+    # every pinned name is a real headline query (typo guard)
+    assert set(bench.LINE_PIN) <= set(bench.HEADLINE)
