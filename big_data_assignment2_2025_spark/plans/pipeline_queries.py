@@ -290,11 +290,28 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
     sh = shingles_df(docs, n=5)
     split = docs.select("doc_id", is_train.alias("is_train"))
-    sh = sh.join(split, "doc_id")
-    train = sh.where(F.col("is_train")).select(
+    # Tokenize ONCE, shuffle ONCE (r14, guide §2.4): filtering train/test
+    # BEFORE the self-join gave each branch its own tokenize+shingle
+    # subtree and its own exchange — the corpus was tokenized twice per
+    # run (filter pushdown re-splits the branches even under a shared
+    # repartition, so exchange reuse alone cannot fix it). The labeled
+    # shingle frame is therefore materialized with an eager
+    # localCheckpoint straight off the (shuffle-free) broadcast split
+    # join: both branch filters then read the materialized blocks, so
+    # the heavy projection runs once and the only data-sized exchanges
+    # left are the join's two branch shuffles (which existed before).
+    # NOT a persist(): CacheManager keys on the canonical plan and would
+    # serve a later identical invocation from this run's cache —
+    # localCheckpoint blocks die with this frame, so every invocation
+    # still computes from the parquet inputs. At scale this is the
+    # worked-example shape (guide §8): pay the heavy projection once,
+    # materialize the lightweight proxy rows, move them once. Same rows,
+    # same join, same result.
+    lab = sh.join(split, "doc_id").localCheckpoint()
+    train = lab.where(F.col("is_train")).select(
         F.col("doc_id").alias("train_doc"), "shingle"
     )
-    test = sh.where(~F.col("is_train")).select(
+    test = lab.where(~F.col("is_train")).select(
         F.col("doc_id").alias("test_doc"), "shingle"
     )
     return (
