@@ -145,6 +145,39 @@ def _drain_to_memory(
     return _drain_many_to_memory([result], spark, output_mode)[0]
 
 
+class _no_data_batches:
+    """Scoped ``spark.sql.streaming.noDataMicroBatches.enabled`` override
+    for a streaming drain; restored after the drained query terminates.
+
+    Why it exists (r14, guide §1/§5 — the micro-batch floor): after the
+    backlog, availableNow runs one extra ZERO-ROW batch whose only
+    effects are watermark-driven state eviction and append-mode final
+    emission. Measured at sf0.1 (lastProgress.durationMs): that batch
+    costs ~0.5 s per drain — addBatch ~400 ms for 0 input rows — i.e.
+    ~35-40%% of every drain's wall clock. For COMPLETE mode (every batch
+    rewrites the full sink) and UPDATE mode (emits only CHANGED rows —
+    a no-data batch changes no aggregate) the sink contents are
+    identical with or without it, so the aggregation drains skip it.
+    APPEND-mode drains (stream-stream outer joins) MUST keep it: the
+    watermark advance after the last data batch is what flushes
+    unmatched rows, and skipping it would change results. A long-running
+    production deployment keeps the default (no-data batches drive
+    continuous eviction); this knob only shapes the bounded availableNow
+    replay the harness runs."""
+
+    def __init__(self, spark: SparkSession, enabled: bool):
+        self.spark, self.enabled = spark, enabled
+
+    def __enter__(self) -> None:
+        key = "spark.sql.streaming.noDataMicroBatches.enabled"
+        self.key = key
+        self.prev = self.spark.conf.get(key)
+        self.spark.conf.set(key, "true" if self.enabled else "false")
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set(self.key, self.prev)
+
+
 def _drain_many_to_memory(
     results: list[DataFrame], spark: SparkSession, output_mode: str = "complete"
 ) -> list[DataFrame]:
@@ -152,10 +185,15 @@ def _drain_many_to_memory(
     independent streaming aggregations over the same source overlap their
     micro-batch scheduling and source scans instead of paying the harness
     latency serially (the multi-aggregation pattern a real deployment runs
-    as concurrent jobs off one topic)."""
+    as concurrent jobs off one topic).
+
+    The trailing no-data micro-batch is skipped for complete/update
+    drains and kept for append drains (see ``_no_data_batches``)."""
     started = []
     try:
-        with _state_partitions(spark):
+        with _state_partitions(spark), _no_data_batches(
+            spark, enabled=(output_mode == "append")
+        ):
             for result in results:
                 name = f"sink_{uuid.uuid4().hex[:12]}"
                 ckpt = tempfile.mkdtemp(prefix="ckpt_")
@@ -864,13 +902,21 @@ def rolling_dau_hll_streams(
     ``(reg_agg, obs_agg)``, both unstarted.
 
     - ``reg_agg``: the stateless ``hll_bucket_rho`` projection feeding ONE
-      stateful op — ``max(rho)`` per (sliding 7d/1d event-time window,
-      bucket) under a 7-day watermark. This is the BOUNDED-state
-      long-running shape the exact twin cannot offer: state is at most
-      open-windows x 512 integer registers — independent of user
-      cardinality — where the exact twin's state is the per-window user
-      SET. Closed windows evict as the watermark advances; ``max`` is
-      duplicate-idempotent, so at-least-once replay needs no dedup stage.
+      stateful op — ``max(rho)`` per (TUMBLING 1-day event-time window,
+      bucket) under a 7-day watermark. r14 (guide §2.2/§2.4, VERDICT r13
+      item 3): the previous shape grouped by the SLIDING ``window(ts, 7d,
+      1d)``, which assigns every hashed row to 7 window instances — 7x
+      the rows into the stateful exchange and 7x the register state —
+      before the per-window max collapsed them. Registers merge by
+      ``max`` (associative/commutative), so the 7-day union is computed
+      ONCE per day batch-side in ``reconcile_dau_hll_updates`` by fanning
+      out the <= days x 512 per-day register rows (exactly the batch
+      twin's day_reg -> fan -> win_reg shape, bit-identical values).
+      State is now at most open-days x 512 integer registers —
+      independent of user cardinality — where the exact twin's state is
+      the per-window user SET. Closed windows evict as the watermark
+      advances; ``max`` is duplicate-idempotent, so at-least-once replay
+      needs no dedup stage.
     - ``obs_agg``: 1-day tumbling ``count(*)`` — observedness from row
       EXISTENCE (NULL-user days still emit), same convention as the exact
       twin and the batch oracle."""
@@ -880,9 +926,9 @@ def rolling_dau_hll_streams(
     hashed = ev.where(F.col("user_id").isNotNull()).select("ts", bucket, rho)
     reg_agg = (
         hashed.withWatermark("ts", "7 days")
-        .groupBy(F.window("ts", "7 days", "1 day").alias("w"), "bucket")
+        .groupBy(F.window("ts", "1 day").alias("w"), "bucket")
         .agg(F.max("rho").alias("r"))
-        .select(F.date_sub(F.to_date("w.end"), 1).alias("day"), "bucket", "r")
+        .select(F.to_date("w.start").alias("day"), "bucket", "r")
     )
     obs_agg = (
         ev.withWatermark("ts", "7 days")
@@ -903,11 +949,30 @@ def reconcile_dau_hll_updates(
     the sketch is deterministic: a register only ever grows across a
     window's emissions (monotone max), so max-per-(day,bucket) over the
     log is the final register set, and the estimate is the same
-    frozen-order IEEE chain."""
+    frozen-order IEEE chain.
+
+    ``reg_rows`` carries TUMBLING per-day registers (r14); the 7-day
+    union happens here, on the <= emissions x 512 register log, by the
+    batch twin's exact fan-out shape: each (day, bucket, r) log row
+    contributes to window-end days day..day+6, and ``hll_merge``'s
+    per-bucket max over the fan-out IS the window union (max is
+    associative/commutative/idempotent, so merging per-day maxima equals
+    the old per-sliding-window max row for row). A day is emitted iff it
+    is observed (row existence, from ``obs_rows``) AND some hashed row
+    landed in its trailing 7 days — the identical emission rule as
+    before: a sliding window existed iff some hashed row fell inside
+    it."""
     from ..operators.sketches import hll_estimate, hll_merge
 
     obs = obs_rows.select("day").distinct()
-    win_reg = hll_merge(reg_rows.join(obs, "day"), ["day"])
+    fan = reg_rows.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "bucket",
+        "r",
+    )
+    win_reg = hll_merge(fan.join(obs, "day"), ["day"])
     return hll_estimate(win_reg, ["day"], out_col="dau7_hll_micro").select(
         "day", "v_empty", "reg_sum", "dau7_hll_micro"
     )

@@ -185,9 +185,11 @@ def test_closed_windows_evict_from_register_state(spark):
                          dt.date(2024, 3, 20): {3},
                          dt.date(2024, 3, 21): {4}})
         assert got == expected
-        # live state: <= 8 windows still covering 03-20/03-21, each with
-        # <= 2 touched buckets (users 3 and 4) -> <= 16 register rows;
-        # without eviction the 15 March-1/2 windows' rows would remain
+        # live state: the 2 open tumbling day-windows (03-20/03-21), each
+        # with 1 touched bucket -> <= 16 register rows comfortably (the
+        # bound predates the r14 sliding->tumbling change, which only
+        # shrank state further); without eviction the March-1/2 windows'
+        # rows would remain
         state_rows = _final_state_rows(qs["reg"])
         assert state_rows <= 16, f"register state not evicted: {state_rows}"
 
