@@ -184,9 +184,13 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph_queries import _copurchase_edges
     from .round7i_queries import graph_label_propagation
 
-    edges = _copurchase_edges(spark, sf_dir).persist()
+    edges = _copurchase_edges(spark, sf_dir)
     labels = graph_label_propagation(spark, sf_dir)
-    m = edges.count()  # scalar: number of undirected edges
+    # the edge-count scalar m rides the plan as a 1-row broadcast cross
+    # join instead of an eager driver count (r14, guide §2.4/§5 — no
+    # driver action, one fewer job; same exact integer, same DECIMAL(38,0)
+    # products, same frozen final division)
+    m_row = edges.agg(F.count("*").cast("long").alias("m"))
     lab_u = labels.select(F.col("node").alias("u"), F.col("label").alias("lab_u"))
     lab_v = labels.select(F.col("node").alias("v"), F.col("label").alias("lab_v"))
     tagged = edges.join(lab_u, "u").join(lab_v, "v")
@@ -207,11 +211,16 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("degree").cast("long").alias("d_sum"),
         )
     )
-    cells = dmass.join(intra, "label", "left").select(
-        "label",
-        "n_nodes",
-        F.coalesce("l_intra", F.lit(0).cast("long")).alias("l_intra"),
-        "d_sum",
+    cells = (
+        dmass.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("l_intra", F.lit(0).cast("long")).alias("l_intra"),
+            "d_sum",
+            "m",
+        )
     )
     return (
         cells.select(
@@ -220,12 +229,12 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_intra",
             "d_sum",
             F.expr(
-                f"CAST(floor(CAST("
-                f"  CAST(4 AS DECIMAL(38,0)) * {m} * l_intra"
-                f"  - CAST(d_sum AS DECIMAL(38,0)) * d_sum"
-                f" AS DOUBLE) / CAST("
-                f"  CAST(4 AS DECIMAL(38,0)) * {m} * {m}"
-                f" AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+                "CAST(floor(CAST("
+                "  CAST(4 AS DECIMAL(38,0)) * m * l_intra"
+                "  - CAST(d_sum AS DECIMAL(38,0)) * d_sum"
+                " AS DOUBLE) / CAST("
+                "  CAST(4 AS DECIMAL(38,0)) * m * m"
+                " AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
             ).alias("q_micros"),
         )
         .orderBy("label")

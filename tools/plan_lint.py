@@ -78,6 +78,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         " broadcastable)"
     },
     "graph_kcore_peel": {"bnlj": "three 1-row x 1-row per-round summary scalar cross joins"},
+    "graph_modularity": {
+        "bnlj": "1-row edge-count scalar m cross-joined onto the bounded "
+        "per-community cell frame (r14: replaced the eager driver count)"
+    },
     "null_semantics_parity": {"bnlj": "two broadcast 1-row aggregate scalars assembled into the summary row"},
     "q6_forecast_revenue": {"bnlj": "1-row aggregate scalar"},
     "q11_important_parts": {"bnlj": "1-row global-fraction threshold scalar"},
