@@ -40,9 +40,12 @@ splits evenly. Same exactness argument — boundaries only shape balance.
 
 Driver-side state is bounded by ``n_buckets`` (default 32, scale to ~#cores
 or #partitions on a cluster), the same bounded-collect discipline as
-``operators/pq.py``. Two extra jobs per call (boundaries, counts) recompute
-the input aggregate; callers rank a small *dimension* aggregate, where the
-recompute is cheaper than persisting would be at corpus scale.
+``operators/pq.py``. The scored input (a small *dimension* aggregate by the
+operator's contract) is materialized once per call with an eager
+``localCheckpoint`` (r14): the boundary/count stats jobs and the returned
+consumer plan all read the materialized blocks, so the scoring subtree —
+often a fact-table aggregation — runs exactly once per invocation instead
+of once per pass, and nothing is cached across invocations.
 """
 
 from __future__ import annotations
@@ -143,132 +146,137 @@ def _bucketize(
                 f"__v_{s.out_col}", value_exprs[s.out_col].cast("long")
             )
 
-    # The bounded driver actions below would each recompute the input
-    # subtree; cache it for their duration only — unpersisted before
-    # returning, so a long registry run leaks nothing and the returned
-    # (lazy) frame simply recomputes from source.
-    keyed = keyed.persist()
-    try:
-        # 1. metric boundaries for all specs + total count in ONE job;
-        # literals from here on
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        brow = keyed.agg(
-            F.count("*").alias("__n"),
-            *[
-                F.percentile_approx(
-                    f"__k_{s.out_col}", F.array(*[F.lit(p) for p in probs])
-                ).alias(s.out_col)
-                for s in specs
-            ],
-        ).first()
-        total = brow["__n"]
+    # The scored input is materialized ONCE with an eager localCheckpoint
+    # (r14, guide §8 — pay the scoring pass once, move small rows after):
+    # the two bounded driver actions below AND the returned consumer plan
+    # all read the materialized blocks, where the previous scoped persist
+    # still recomputed the whole scoring subtree (often a fact-table
+    # aggregation) a second time for the final pass after its unpersist.
+    # localCheckpoint rather than persist so a later identical invocation
+    # can never be served from this one's cache (CacheManager keys on the
+    # canonical plan; checkpoint blocks die with this frame) — every
+    # invocation still computes from the parquet inputs. The materialized
+    # frame is the DIMENSION-sized scored input (the operator's
+    # documented contract), so executor storage is bounded.
+    keyed = keyed.localCheckpoint()
+    # 1. metric boundaries for all specs + total count in ONE job;
+    # literals from here on
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    brow = keyed.agg(
+        F.count("*").alias("__n"),
+        *[
+            F.percentile_approx(
+                f"__k_{s.out_col}", F.array(*[F.lit(p) for p in probs])
+            ).alias(s.out_col)
+            for s in specs
+        ],
+    ).first()
+    total = brow["__n"]
 
-        # 1b. composite (key, tiebreak) boundaries for sub_key specs: a
-        # deterministic hash sample (~8 pairs per bucket; bounded driver
-        # state), sorted, K-1 evenly spaced pairs kept. Sampling quality
-        # only affects bucket BALANCE — bucketing is a pure monotone
-        # function of the row under lexicographic pair comparison, so
-        # ranks stay exact for any boundary set.
-        sub_specs = [s for s in specs if s.sub_key is not None]
-        pair_bounds: dict[str, list] = {}
-        if sub_specs and total:
-            rate = max(1, total // (n_buckets * 8))
-            sampled = (
-                keyed.select(
-                    F.explode(
-                        F.array(
-                            *[
-                                F.struct(
-                                    F.lit(s.out_col).alias("m"),
-                                    F.col(f"__k_{s.out_col}").alias("k"),
-                                    F.col(f"__t_{s.out_col}").alias("t"),
-                                )
-                                for s in sub_specs
-                            ]
-                        )
-                    ).alias("x")
-                )
-                .where(F.pmod(F.abs(F.hash("x.m", "x.k", "x.t")), F.lit(rate)) == 0)
-                .select("x.m", "x.k", "x.t")
-                .collect()
-            )
-            for s in sub_specs:
-                pool = sorted(
-                    {(r["k"], r["t"]) for r in sampled if r["m"] == s.out_col}
-                )
-                if len(pool) > n_buckets - 1:
-                    step = len(pool) / n_buckets
-                    pool = [pool[int((i + 1) * step)] for i in range(n_buckets - 1)]
-                pair_bounds[s.out_col] = pool
-
-        def _bucket_of(key):
-            return lambda acc, b: acc + F.when(key > b, 1).otherwise(0)
-
-        def _pair_bucket_of(key, sub):
-            return lambda acc, b: acc + F.when(
-                (b["k"] < key) | ((b["k"] == key) & (b["t"] <= sub)), 1
-            ).otherwise(0)
-
-        bucket_exprs = {}
-        for s in specs:
-            if s.sub_key is not None:
-                bp = pair_bounds.get(s.out_col, [])
-                bnds = F.array(
-                    *[
-                        F.struct(
-                            F.lit(int(bk)).alias("k"), F.lit(int(bt)).alias("t")
-                        )
-                        for bk, bt in bp
-                    ]
-                )
-                bucket_exprs[s.out_col] = (
-                    F.aggregate(
-                        bnds,
-                        F.lit(0),
-                        _pair_bucket_of(
-                            F.col(f"__k_{s.out_col}"), F.col(f"__t_{s.out_col}")
-                        ),
-                    )
-                    if bp
-                    else F.lit(0)
-                )
-            else:
-                bnds = F.array(*[F.lit(int(b)) for b in (brow[s.out_col] or [])])
-                bucket_exprs[s.out_col] = F.aggregate(
-                    bnds, F.lit(0), _bucket_of(F.col(f"__k_{s.out_col}"))
-                )
-        bucketed = keyed
-        for s in specs:
-            bucketed = bucketed.withColumn(
-                f"__b_{s.out_col}", bucket_exprs[s.out_col]
-            )
-
-        # 2. per-bucket count (and value sum) for all specs in ONE job
-        rows = (
-            bucketed.select(
+    # 1b. composite (key, tiebreak) boundaries for sub_key specs: a
+    # deterministic hash sample (~8 pairs per bucket; bounded driver
+    # state), sorted, K-1 evenly spaced pairs kept. Sampling quality
+    # only affects bucket BALANCE — bucketing is a pure monotone
+    # function of the row under lexicographic pair comparison, so
+    # ranks stay exact for any boundary set.
+    sub_specs = [s for s in specs if s.sub_key is not None]
+    pair_bounds: dict[str, list] = {}
+    if sub_specs and total:
+        rate = max(1, total // (n_buckets * 8))
+        sampled = (
+            keyed.select(
                 F.explode(
                     F.array(
                         *[
                             F.struct(
                                 F.lit(s.out_col).alias("m"),
-                                F.col(f"__b_{s.out_col}").alias("b"),
-                                (
-                                    F.col(f"__v_{s.out_col}")
-                                    if s.out_col in value_exprs
-                                    else F.lit(0).cast("long")
-                                ).alias("v"),
+                                F.col(f"__k_{s.out_col}").alias("k"),
+                                F.col(f"__t_{s.out_col}").alias("t"),
                             )
-                            for s in specs
+                            for s in sub_specs
                         ]
                     )
                 ).alias("x")
             )
-            .groupBy("x.m", "x.b")
-            .agg(F.count("*").alias("c"), F.sum("x.v").alias("s"))
+            .where(F.pmod(F.abs(F.hash("x.m", "x.k", "x.t")), F.lit(rate)) == 0)
+            .select("x.m", "x.k", "x.t")
             .collect()
         )
-    finally:
-        keyed.unpersist()
+        for s in sub_specs:
+            pool = sorted(
+                {(r["k"], r["t"]) for r in sampled if r["m"] == s.out_col}
+            )
+            if len(pool) > n_buckets - 1:
+                step = len(pool) / n_buckets
+                pool = [pool[int((i + 1) * step)] for i in range(n_buckets - 1)]
+            pair_bounds[s.out_col] = pool
+
+    def _bucket_of(key):
+        return lambda acc, b: acc + F.when(key > b, 1).otherwise(0)
+
+    def _pair_bucket_of(key, sub):
+        return lambda acc, b: acc + F.when(
+            (b["k"] < key) | ((b["k"] == key) & (b["t"] <= sub)), 1
+        ).otherwise(0)
+
+    bucket_exprs = {}
+    for s in specs:
+        if s.sub_key is not None:
+            bp = pair_bounds.get(s.out_col, [])
+            bnds = F.array(
+                *[
+                    F.struct(
+                        F.lit(int(bk)).alias("k"), F.lit(int(bt)).alias("t")
+                    )
+                    for bk, bt in bp
+                ]
+            )
+            bucket_exprs[s.out_col] = (
+                F.aggregate(
+                    bnds,
+                    F.lit(0),
+                    _pair_bucket_of(
+                        F.col(f"__k_{s.out_col}"), F.col(f"__t_{s.out_col}")
+                    ),
+                )
+                if bp
+                else F.lit(0)
+            )
+        else:
+            bnds = F.array(*[F.lit(int(b)) for b in (brow[s.out_col] or [])])
+            bucket_exprs[s.out_col] = F.aggregate(
+                bnds, F.lit(0), _bucket_of(F.col(f"__k_{s.out_col}"))
+            )
+    bucketed = keyed
+    for s in specs:
+        bucketed = bucketed.withColumn(
+            f"__b_{s.out_col}", bucket_exprs[s.out_col]
+        )
+
+    # 2. per-bucket count (and value sum) for all specs in ONE job
+    rows = (
+        bucketed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s.out_col).alias("m"),
+                            F.col(f"__b_{s.out_col}").alias("b"),
+                            (
+                                F.col(f"__v_{s.out_col}")
+                                if s.out_col in value_exprs
+                                else F.lit(0).cast("long")
+                            ).alias("v"),
+                        )
+                        for s in specs
+                    ]
+                )
+            ).alias("x")
+        )
+        .groupBy("x.m", "x.b")
+        .agg(F.count("*").alias("c"), F.sum("x.v").alias("s"))
+        .collect()
+    )
     counts = {s.out_col: {} for s in specs}
     sums = {s.out_col: {} for s in specs}
     for r in rows:
@@ -359,27 +367,27 @@ def with_partitioned_ranks(
     keyed = df.withColumn(k, spec.asc_key.cast("long")).withColumn(
         p, F.col(partition_col).cast("string")
     )
-    # two bounded driver actions (boundaries, per-(value,bucket) counts)
-    # share one cached subtree; unpersisted before returning so the lazy
-    # result frame simply recomputes from source (same as _bucketize)
-    keyed = keyed.persist()
-    try:
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        bnds = (
-            keyed.agg(
-                F.percentile_approx(k, F.array(*[F.lit(pr) for pr in probs]))
-            ).first()[0]
-            or []
-        )
-        bucket = F.aggregate(
-            F.array(*[F.lit(int(x)) for x in bnds]),
-            F.lit(0),
-            lambda acc, bd: acc + F.when(F.col(k) > bd, 1).otherwise(0),
-        )
-        bucketed = keyed.withColumn(b, bucket)
-        rows = bucketed.groupBy(p, b).agg(F.count("*").alias("c")).collect()
-    finally:
-        keyed.unpersist()
+    # the scored input is materialized ONCE (eager localCheckpoint, r14 —
+    # same rationale as _bucketize): the two bounded driver actions
+    # (boundaries, per-(value,bucket) counts) AND the returned consumer
+    # plan all read the materialized dimension-sized blocks instead of
+    # recomputing the scoring subtree for the final pass; checkpoint
+    # blocks die with this frame, so nothing is served across invocations
+    keyed = keyed.localCheckpoint()
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bnds = (
+        keyed.agg(
+            F.percentile_approx(k, F.array(*[F.lit(pr) for pr in probs]))
+        ).first()[0]
+        or []
+    )
+    bucket = F.aggregate(
+        F.array(*[F.lit(int(x)) for x in bnds]),
+        F.lit(0),
+        lambda acc, bd: acc + F.when(F.col(k) > bd, 1).otherwise(0),
+    )
+    bucketed = keyed.withColumn(b, bucket)
+    rows = bucketed.groupBy(p, b).agg(F.count("*").alias("c")).collect()
 
     per_val: dict = {}
     for r in rows:
