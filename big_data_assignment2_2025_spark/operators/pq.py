@@ -179,6 +179,16 @@ def _encode_np(X: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     ``argmin`` breaks ties to the lowest centroid index exactly like
     ``array_position(dists, array_min(dists))``."""
     m, kc, d_sub = codebooks.shape
+    # precondition made LOUD (r14, ADVICE): the fused query path assumes
+    # clean fixed-length embeddings — np.stack upstream already raises on
+    # null/ragged rows, and a NaN component would argmin differently from
+    # Catalyst's array_min (NaN sorts greatest there) — so reject rather
+    # than silently diverge from pq_encode
+    if X.ndim != 2 or X.shape[1] != m * d_sub:
+        raise ValueError(
+            f"pq encode expects dense {m * d_sub}-dim embeddings, got "
+            f"shape {X.shape}"
+        )
     n = X.shape[0]
     codes = np.empty((n, m), dtype=np.int64)
     for j in range(m):
@@ -282,7 +292,15 @@ def pq_topk_fused(
     spark = corpus.sparkSession
     b_lut, b_qids = _adc_broadcasts(spark, queries, codebooks, id_col, vec_col)
     take = max(k, shortlist or 0)
-    partial = corpus.select(
+    m, _, d_sub = codebooks.shape
+    # dirty-input guard (r14, ADVICE): pq_encode's Catalyst expression
+    # tolerated null/short embeddings (null distances sort away); the
+    # numpy batch encode would raise on them instead — filter the rows
+    # that could never encode BEFORE the Arrow pass (no-op on the clean
+    # fixtures, same contract as ann_sq8_topk's null filter)
+    partial = corpus.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == m * d_sub)
+    ).select(
         F.col(id_col), F.col(vec_col).alias("__vec")
     ).mapInPandas(
         _adc_score_fn(b_lut, b_qids, take, id_col, codebooks=codebooks),

@@ -60,9 +60,14 @@ def _bloom_probes(spark: SparkSession, pk_frame) -> tuple[int, list[int]]:
     stats = pk_frame.agg(
         F.min("pk").alias("lo"), F.max("pk").alias("hi")
     )
+    # engine-side midpoint in EXACT integer arithmetic (r14, ADVICE):
+    # floor((lo+hi)/2) computed the mid in double — above 2^53 it could
+    # disagree with the driver's exact (lo+hi)//2 below; `div` is the
+    # engine's integral division, bit-identical to Python // for
+    # non-negative longs
     row = (
         pk_frame.crossJoin(F.broadcast(stats))
-        .where(F.col("pk") > F.floor((F.col("lo") + F.col("hi")) / 2))
+        .where(F.col("pk") > F.expr("(lo + hi) div 2"))
         .agg(
             F.min("pk").alias("probe"),
             F.first("lo").alias("lo"),
@@ -70,6 +75,13 @@ def _bloom_probes(spark: SparkSession, pk_frame) -> tuple[int, list[int]]:
         )
         .first()
     )
+    if row["probe"] is None or row["lo"] is None or row["hi"] is None:
+        # an empty/degenerate pk frame yields an all-null agg row; fail
+        # with the real reason instead of a TypeError on int(None)
+        raise ValueError(
+            "bloom probe derivation needs a non-empty pk frame with a key "
+            "strictly above the domain midpoint"
+        )
     mid = (int(row["lo"]) + int(row["hi"])) // 2
     probe = int(row["probe"])
     absent = [

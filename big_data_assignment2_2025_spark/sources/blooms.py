@@ -95,6 +95,10 @@ def probe_hashes_many(
     is compiled once and cache-hits forever. ``lit(v).cast(dtype)`` and
     ``createDataFrame`` + ``cast(dtype)`` infer the same Spark type
     from the same Python value, so the hashed bytes are identical."""
+    if not values:
+        # createDataFrame cannot infer a schema from zero rows (r14,
+        # ADVICE); zero probes need zero hashes
+        return []
     df = spark.createDataFrame(
         [(j, v) for j, v in enumerate(values)], ["idx", "v"]
     )

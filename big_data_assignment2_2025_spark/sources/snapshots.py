@@ -1577,6 +1577,63 @@ class SnapshotStore:
                         return True
         return False
 
+    def _prefill_probe_cache(
+        self, spark: SparkSession, values: list, parts: dict, col: str,
+        dt, bucket_cache: dict,
+    ) -> None:
+        """Fill ``bucket_cache`` for EVERY (probe value, partition
+        transform) pair the member walk could need, in ONE engine job
+        (r14, ADVICE): ``_bucket_of``/``_canon_temporal`` are memoized
+        per value, so a batch of point probes against a bucket- or
+        month/day-partitioned store previously paid one 1-row job per
+        distinct probe value. Values travel as data rows (fixed codegen
+        shape — the ``blooms.probe_hashes_many`` lesson); the per-value
+        ``uncastable`` flag preserves the None-means-conservative
+        contract."""
+        ns: set[int] = set()
+        trs: set[str] = set()
+        for entry in parts.values():
+            for fld in entry.get("fields", []):
+                if fld["source"] != col:
+                    continue
+                tr = fld["transform"]
+                if tr in ("month", "day"):
+                    trs.add(tr)
+                else:
+                    m = _BUCKET_RE.match(tr)
+                    if m:
+                        ns.add(int(m.group(1)))
+        vals = [
+            v for v in dict.fromkeys(values)
+            if v is not None and self._probe_kind_ok(dt, v)
+        ]
+        need = [
+            v for v in vals
+            if any((repr(v), n) not in bucket_cache for n in ns)
+            or any((repr(v), tr) not in bucket_cache for tr in trs)
+        ]
+        if not (ns or trs) or not need:
+            return
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(need)], ["i", "v"]
+        )
+        cast = F.col("v").cast(dt)
+        sel = [F.col("i"), cast.isNull().alias("u")]
+        for n in sorted(ns):
+            sel.append(
+                F.pmod(F.xxhash64(cast.cast("string")), F.lit(n))
+                .cast("int").alias(f"b{n}")
+            )
+        for tr in sorted(trs):
+            fmt = "yyyy-MM" if tr == "month" else "yyyy-MM-dd"
+            sel.append(F.date_format(cast, fmt).alias(f"t_{tr}"))
+        for r in df.select(*sel).collect():
+            v = need[r["i"]]
+            for n in ns:
+                bucket_cache[(repr(v), n)] = None if r["u"] else r[f"b{n}"]
+            for tr in trs:
+                bucket_cache[(repr(v), tr)] = r[f"t_{tr}"]
+
     def planned_members_point(
         self, spark: SparkSession, col: str, value, version: int | None = None
     ) -> list[str]:
@@ -1623,6 +1680,13 @@ class SnapshotStore:
         hashes: list[list[int]] = [[] for _ in values]
         sidecar_cache: dict[str, dict | None] = {}
         bucket_cache: dict = {}
+        # bucket/temporal partition-transform probes for the whole batch
+        # in one engine job (r14, ADVICE — keeps the one-job claim true
+        # for bucket-partitioned stores too); no-op when no member
+        # partitions on a transform of ``col``
+        self._prefill_probe_cache(
+            spark, values, parts, col, src_types.get(col), bucket_cache
+        )
         keeps: list[list[str]] = [[] for _ in values]
         for m in doc["members"]:
             entry = parts.get(m)

@@ -327,6 +327,33 @@ def test_cms_never_undercounts_and_bounds_overcount(spark):
         assert est[u] <= t + slack, (u, est[u], t, slack)
 
 
+def test_cms_estimate_keys_contract_duplicates_collapse(spark):
+    """r14 (ADVICE): cms_estimate_for_keys groupBys the keys frame's
+    columns, so its contract requires UNIQUE watchlist rows — an
+    accidental duplicate silently collapses to one output row instead of
+    erroring. Pin that behavior loudly here so a caller change that
+    starts passing dup rows trips this test's expectations rather than
+    shipping a row-count surprise: output rows == DISTINCT input rows,
+    and each key's estimate is unaffected by duplication."""
+    from big_data_assignment2_2025_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate_for_keys,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    counters = cms_counters(ev, "user_id")
+    some = [r["user_id"] for r in ev.select("user_id").where(
+        F.col("user_id").isNotNull()).distinct().limit(3).collect()]
+    uniq = spark.createDataFrame([(u,) for u in some], "user_id long")
+    dup = uniq.unionAll(uniq)
+    est_u = {r["user_id"]: r["est_cnt"]
+             for r in cms_estimate_for_keys(counters, uniq, "user_id").collect()}
+    est_d = {r["user_id"]: r["est_cnt"]
+             for r in cms_estimate_for_keys(counters, dup, "user_id").collect()}
+    assert est_d == est_u  # dups collapse, values unchanged
+    assert cms_estimate_for_keys(counters, dup, "user_id").count() == len(some)
+
+
 def test_streaming_cms_bit_identical_to_batch_daily_sketch(spark):
     """Counters are deterministic additive integers, so the streaming
     drain (update-mode log reconciled by max) must equal the per-day
