@@ -863,10 +863,20 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per distinct part — a frame that grows with scale factor, so the
     size decision belongs to AQE (broadcast when small, shuffle join on the
     part key otherwise); only the 1-row n_orders scalar keeps its hint."""
+    # The distinct basket projection feeds FIVE consumers (n_orders, the
+    # per-item aggregate, both sides of the pair self-join, and the b-side
+    # re-aggregate) — planned separately, that was five lineitem scans and
+    # up to five distinct shuffles per run (r14 measurement: executed plan
+    # showed 5 FileScans, 0 reused exchanges). Materialize it ONCE with an
+    # eager localCheckpoint (guide §8 — one scan + one distinct shuffle,
+    # then every consumer reads the narrow 16-byte (orderkey, partkey)
+    # blocks); checkpoint blocks die with this frame, so nothing is served
+    # across invocations.
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders")
